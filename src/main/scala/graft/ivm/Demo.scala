@@ -1,0 +1,100 @@
+package graft.ivm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo / smoke drive of the public IVM API on real testdata.
+  *
+  * Run: sbt "runMain graft.ivm.Demo [sfDir]"
+  *
+  * Exercises (1) the reference-parity surface (`createView` + `upsert` over
+  * a `delta_` table), and (2) the materialize/refresh half the reference
+  * leaves as future work, including a Q13-style join view, checking that the
+  * incrementally refreshed view equals a full recompute over base ⊎ delta.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ivm-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import IvmCore._
+
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+
+    // Deterministic synthetic delta batch: ~1% of lineitem; even linenumber
+    // rows are inserts, odd are deletes (of rows that exist in base).
+    val deltaLineitem = lineitem
+      .where(col("l_orderkey") % 97 === 0)
+      .withColumn(MULT, col("l_linenumber") % 2 === 0)
+    lineitem.createOrReplaceTempView("lineitem")
+    deltaLineitem.createOrReplaceTempView("delta_lineitem")
+    println(s"base rows=${lineitem.count()} delta rows=${deltaLineitem.count()}")
+
+    // ---- 1. Reference-parity surface: PRAGMA ivm_upsert analogue
+    import AggSpec._
+    val viewQ = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+      Seq(Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
+    Ivm.createView("flag_totals", viewQ)
+    val dv = Ivm.upsert(spark, "flag_totals")
+    println("delta_V (parity, one row per (group, ±)):")
+    dv.show(20, truncate = false)
+    require(dv.count() > 0, "parity delta_V must be non-empty")
+
+    // ---- 2. Materialize + incremental refresh (the missing half)
+    val store = new MemStore
+    val base: String => DataFrame = {
+      case "lineitem" => lineitem
+      case "orders"   => orders
+      case "customer" => customer
+    }
+    val deltas: String => Option[DataFrame] =
+      t => if (t == "lineitem") Some(deltaLineitem) else None
+
+    Ivm.create("flag_totals", viewQ, base, store)
+    val delta2 = Ivm.refresh("flag_totals", viewQ, base, deltas, store)
+    println(s"refresh ΔV rows=${delta2.count()}")
+    val got = Ivm.read("flag_totals", viewQ, store)
+    val want = Ivm.recompute(viewQ, base, deltas)
+    println("maintained view after refresh:")
+    got.orderBy("l_returnflag").show(10, truncate = false)
+    val diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    println(s"refresh-vs-recompute diff rows = $diff")
+    require(diff == 0, "incremental refresh must equal full recompute")
+
+    // ---- 3. Q13-style join view (poster's aspiration): orders ⋈ customer
+    val q13ish = Aggregate(
+      Join(
+        Project(Scan("customer"), Seq(col("c_custkey").as("custkey"), col("c_mktsegment"))),
+        // decimal, not double: sums stay exact, so the incremental path and
+        // a full recompute agree bit-for-bit regardless of addition order
+        Project(Scan("orders"), Seq(col("o_custkey").as("custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))),
+        Seq("custkey")),
+      Seq("c_mktsegment"),
+      Seq(Sum(col("o_totalprice"), "revenue"), CountStar("n_orders")))
+    val deltaOrders = orders
+      .where(col("o_orderkey") % 53 === 0)
+      .withColumn(MULT, col("o_orderkey") % 2 === 0)
+    val deltas2: String => Option[DataFrame] =
+      t => if (t == "orders") Some(deltaOrders) else None
+    Ivm.create("seg_rev", q13ish, base, store)
+    Ivm.refresh("seg_rev", q13ish, base, deltas2, store)
+    val got2 = Ivm.read("seg_rev", q13ish, store)
+    val want2 = Ivm.recompute(q13ish, base, deltas2)
+    got2.orderBy("c_mktsegment").show(10, truncate = false)
+    val diff2 = got2.exceptAll(want2).count() + want2.exceptAll(got2).count()
+    println(s"join-view refresh-vs-recompute diff rows = $diff2")
+    require(diff2 == 0, "join view refresh must equal recompute")
+
+    println("DEMO OK")
+    spark.stop()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ivm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch evaluation of an [[IvmQuery]] against base tables — "the view
+  * itself". Pure DataFrame combinators: Catalyst performs predicate
+  * pushdown, column pruning, and join strategy selection on the declarative
+  * plan, so nothing here hand-schedules execution (SURVEY.md §4).
+  *
+  * `resolve` maps a table name to its DataFrame (parquet path, catalog
+  * table, in-memory fixture — the engine does not care).
+  */
+object Eval {
+
+  def eval(q: IvmQuery, resolve: String => DataFrame): DataFrame = q match {
+    case Scan(t)            => resolve(t)
+    case Filter(c, pred)    => eval(c, resolve).filter(pred)
+    case Project(c, cols)   => eval(c, resolve).select(cols: _*)
+    case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
+    case Aggregate(c, keys, aggs) =>
+      val child = eval(c, resolve)
+      val exprs = aggs.map(evalAgg)
+      if (keys.isEmpty) child.agg(exprs.head, exprs.tail: _*)
+      else child.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  private def evalAgg(a: AggSpec): Column = a match {
+    case AggSpec.Sum(e, n)    => sum(e).as(n)
+    case AggSpec.Count(e, n)  => count(e).as(n)
+    case AggSpec.CountStar(n) => count(lit(1)).as(n)
+    case AggSpec.Avg(e, n)    => avg(e).as(n)
+  }
+
+  /** Evaluate with the hidden bookkeeping columns a materialized aggregate
+    * state needs: per-aggregate physical columns plus [[IvmCore.HCOUNT]]
+    * (group liveness). Used by [[Ivm.create]] to seed state; the delta path
+    * ([[ZDelta]]) maintains the same schema incrementally. */
+  private[ivm] def evalState(q: Aggregate, resolve: String => DataFrame): DataFrame = {
+    val child = eval(q.child, resolve)
+    val exprs = q.aggs.flatMap(Eval.statePhysical) :+ count(lit(1)).as(IvmCore.HCOUNT)
+    if (q.keys.isEmpty) child.agg(exprs.head, exprs.tail: _*)
+    else child.groupBy(q.keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Physical (stored) columns for an aggregate: enough state to combine
+    * with signed deltas and to reconstruct the user-visible value.
+    * SUM additionally tracks its non-null input count so SUM over a group
+    * whose non-null inputs all get deleted correctly returns to NULL. */
+  private[ivm] def statePhysical(a: AggSpec): Seq[Column] = a match {
+    case AggSpec.Sum(e, n) =>
+      Seq(sum(e).as(physSum(n)), count(e).as(physNn(n)))
+    case AggSpec.Count(e, n)  => Seq(count(e).as(physNn(n)))
+    case AggSpec.CountStar(n) => Seq(count(lit(1)).as(physNn(n)))
+    case AggSpec.Avg(e, n) =>
+      Seq(sum(e).as(physSum(n)), count(e).as(physNn(n)))
+  }
+
+  /** User-visible output column derived from the physical state columns. */
+  private[ivm] def stateOutput(a: AggSpec): Column = a match {
+    case AggSpec.Sum(_, n) =>
+      when(col(physNn(n)) > 0, col(physSum(n))).as(n)
+    case AggSpec.Count(_, n)  => col(physNn(n)).as(n)
+    case AggSpec.CountStar(n) => col(physNn(n)).as(n)
+    case AggSpec.Avg(_, n) =>
+      when(col(physNn(n)) > 0, col(physSum(n)) / col(physNn(n))).as(n)
+  }
+
+  private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
+  private[ivm] def physNn(name: String)  = s"__ivm_nn_$name"
+  private[ivm] def physicalNames(a: AggSpec): Seq[String] = a match {
+    case AggSpec.Sum(_, n)    => Seq(physSum(n), physNn(n))
+    case AggSpec.Count(_, n)  => Seq(physNn(n))
+    case AggSpec.CountStar(n) => Seq(physNn(n))
+    case AggSpec.Avg(_, n)    => Seq(physSum(n), physNn(n))
+  }
+}

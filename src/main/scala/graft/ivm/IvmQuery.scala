@@ -1,0 +1,98 @@
+package graft.ivm
+
+import org.apache.spark.sql.Column
+
+/** Core constants of the IVM engine.
+  *
+  * The multiplicity column name/type mirrors the reference convention
+  * (reference: include/ivm_rewrite_rule.hpp:77-78, README.md:10):
+  * `_duckdb_ivm_multiplicity BOOLEAN`, true = inserted row, false = deleted
+  * row; an update is modeled as delete + insert.
+  *
+  * Internally the engine generalizes the boolean to a signed integer weight
+  * (a Z-set / DBToaster-style multiplicity, cf. the reference poster's
+  * refs [2][3]): weight = +1 for inserts, -1 for deletes. Signed weights
+  * compose through joins (weights multiply) and aggregates (SUM(e*w)),
+  * which the boolean form cannot.
+  */
+object IvmCore {
+  /** Boolean multiplicity column — public surface, byte-for-byte parity
+    * with the reference (ivm_rewrite_rule.hpp:77). */
+  val MULT = "_duckdb_ivm_multiplicity"
+
+  /** Signed weight column — internal Z-set annotation (+1 insert / -1 delete). */
+  val WEIGHT = "__ivm_weight"
+
+  /** Hidden per-group row count in materialized aggregate state; detects
+    * group death (count reaching 0) under deletions. The reference leaves
+    * this entire "apply ΔV to V" half as future work (poster Future Work;
+    * SURVEY.md §2.3.4) — we implement it. */
+  val HCOUNT = "__ivm_count"
+
+  /** Conventional name of the delta table for a base table
+    * (ivm_rewrite_rule.hpp:107). */
+  def deltaTableName(table: String): String = s"delta_$table"
+}
+
+/** Restricted view-definition AST — exactly the operator surface the
+  * reference rewrites (GET / FILTER / PROJECTION / AGGREGATE, the
+  * authoritative list at ivm_rewrite_rule.hpp:99-284) plus the equi-JOIN
+  * the reference poster aspires to (TPC-H Q13 running example) but its code
+  * rejects (ivm_rewrite_rule.hpp:282-283).
+  *
+  * Two interpreters (SURVEY.md §7):
+  *   - [[Eval]]:  IvmQuery => DataFrame over base tables (the view itself);
+  *   - [[ParityDelta]] / [[ZDelta]]: IvmQuery => DataFrame over delta tables
+  *     (the incremental rewrite).
+  */
+sealed trait IvmQuery {
+  /** Base tables scanned by this query, left-to-right. */
+  def tables: Seq[String] = this match {
+    case Scan(t)             => Seq(t)
+    case Filter(c, _)        => c.tables
+    case Project(c, _)       => c.tables
+    case Aggregate(c, _, _)  => c.tables
+    case Join(l, r, _)       => l.tables ++ r.tables
+  }
+}
+
+/** Leaf scan of a named base table (reference O1, ivm_rewrite_rule.hpp:100-145). */
+final case class Scan(table: String) extends IvmQuery
+
+/** WHERE predicate; selection commutes with delta (reference O3,
+  * ivm_rewrite_rule.hpp:277-281). */
+final case class Filter(child: IvmQuery, pred: Column) extends IvmQuery
+
+/** Projection; computed columns must be aliased (reference O2/O4/O7). */
+final case class Project(child: IvmQuery, cols: Seq[Column]) extends IvmQuery
+
+/** GROUP BY over named key columns with structured aggregates
+  * (reference O5/O6, ivm_rewrite_rule.hpp:221-253). Empty keys = global
+  * aggregate. Aggregates are structured (not opaque Columns) because the
+  * delta rules differ per function. */
+final case class Aggregate(child: IvmQuery, keys: Seq[String], aggs: Seq[AggSpec])
+    extends IvmQuery
+
+/** Inner equi-join on same-named key columns. Beyond reference code parity
+  * (README.md:36 declares joins unsupported) but squarely inside the
+  * poster's intended design (Q13; delta rule
+  * Δ(A⋈B) = ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB with weights multiplied). */
+final case class Join(left: IvmQuery, right: IvmQuery, keys: Seq[String])
+    extends IvmQuery
+
+/** Structured aggregate functions with known delta rules.
+  * SUM and COUNT are the reference's declared surface (README.md:35);
+  * COUNT(*) and AVG are self-maintainable extensions (AVG = SUM/COUNT).
+  * MIN/MAX are NOT self-maintainable under deletes (poster future work) and
+  * are intentionally absent from v1. */
+sealed trait AggSpec { def name: String }
+object AggSpec {
+  /** SUM(expr) — null iff the group has no non-null expr values. */
+  final case class Sum(expr: Column, name: String) extends AggSpec
+  /** COUNT(expr) — non-null count. */
+  final case class Count(expr: Column, name: String) extends AggSpec
+  /** COUNT(*). */
+  final case class CountStar(name: String) extends AggSpec
+  /** AVG(expr) — maintained as (sum, non-null count). */
+  final case class Avg(expr: Column, name: String) extends AggSpec
+}

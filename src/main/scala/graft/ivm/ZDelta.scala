@@ -1,0 +1,229 @@
+package graft.ivm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Generalized delta transform over signed weights (Z-sets) — the engine
+  * the reference's poster describes but its code does not reach: composable
+  * delta rules ("IVM transforms should be composable to allow chaining like
+  * with relational operators" — poster), including joins (the poster's
+  * TPC-H Q13 running example) and the delta-application step the reference
+  * leaves as future work.
+  *
+  * Every delta DataFrame carries [[IvmCore.WEIGHT]] (+n insert / -n delete).
+  * Delta rules (DBToaster/DBSP-style; poster refs [2][3]):
+  *
+  *   - Δ(σ_p Q)        = σ_p(ΔQ)
+  *   - Δ(Π_c Q)        = Π_{c∪w}(ΔQ)
+  *   - Δ(A ⋈ B)        = ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB, weights multiplied
+  *   - Δ(γ_{g;aggs} Q) = for each group touched by ΔQ: retract the old
+  *     output row (w=-1, if the group existed) and assert the new one
+  *     (w=+1, if the group still has rows) — requires the materialized old
+  *     aggregate state, threaded via [[IvmStore]].
+  *
+  * Scale notes (100 TB design): deltas are assumed small relative to bases,
+  * so every delta⋈base join broadcasts the DELTA side (no shuffle of the
+  * base), and the aggregate-state merge broadcasts the touched-groups frame
+  * against the state (right_outer with the small side broadcast). Base-side
+  * scans remain plain parquet reads with Catalyst pushdown. Set
+  * `broadcastDeltas = false` for genuinely large delta batches — the plan
+  * degrades gracefully to shuffle joins chosen by AQE.
+  */
+object ZDelta {
+  import IvmCore.{WEIGHT, MULT, HCOUNT}
+
+  /** One pending aggregate-state replacement discovered during delta
+    * computation: `updated` holds the post-delta rows for every touched
+    * group (including dead ones, HCOUNT = 0). Commit order is bottom-up. */
+  final case class StateUpdate(path: String, keys: Seq[String], updated: DataFrame)
+
+  final case class Ctx(
+      base: String => DataFrame,
+      deltaOf: String => Option[DataFrame],
+      state: String => DataFrame,
+      broadcastDeltas: Boolean = true,
+      updates: mutable.Buffer[StateUpdate] = mutable.Buffer.empty)
+
+  /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
+  def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
+    q.tables.exists(t => ctx.deltaOf(t).isDefined)
+
+  /** Normalize a boolean-multiplicity delta table to signed-weight form. */
+  def weighted(deltaTable: DataFrame): DataFrame =
+    deltaTable
+      .withColumn(WEIGHT, when(col(MULT), lit(1)).otherwise(lit(-1)))
+      .drop(MULT)
+
+  /** Signed-weight delta of `q`. Result schema = output of `q` + WEIGHT.
+    * Caller must ensure `hasDelta(q)`. Aggregate nodes append a
+    * [[StateUpdate]] to `ctx.updates`; [[Ivm.refresh]] commits them. */
+  def delta(q: IvmQuery, ctx: Ctx, path: String = "r"): DataFrame = q match {
+
+    case Scan(t) =>
+      val d = ctx.deltaOf(t).getOrElse {
+        throw new IllegalStateException(
+          s"IVM: delta table ${IvmCore.deltaTableName(t)} not found for base table $t")
+      }
+      weighted(d)
+
+    case Filter(c, pred) =>
+      delta(c, ctx, path + ".0").filter(pred)
+
+    case Project(c, cols) =>
+      delta(c, ctx, path + ".0").select(cols :+ col(WEIGHT): _*)
+
+    case Join(l, r, keys) =>
+      deltaJoin(l, r, keys, ctx, path)
+
+    case agg @ Aggregate(_, _, _) =>
+      deltaAggregate(agg, ctx, path)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  private def deltaJoin(
+      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
+    val lHas = hasDelta(l, ctx)
+    val rHas = hasDelta(r, ctx)
+    require(lHas || rHas, s"delta of join with no deltas on either side at $path")
+
+    def bcast(df: DataFrame): DataFrame =
+      if (ctx.broadcastDeltas) broadcast(df) else df
+
+    lazy val dl = delta(l, ctx, path + ".0")
+    lazy val dr = delta(r, ctx, path + ".1")
+    lazy val bl = Eval.eval(l, ctx.base)
+    lazy val br = Eval.eval(r, ctx.base)
+
+    val terms = mutable.Buffer.empty[DataFrame]
+    if (lHas) {
+      // ΔA ⋈ B : broadcast the (small) delta side; B streams from parquet
+      // with pushdown — no shuffle of the base at any scale.
+      terms += bcast(dl).join(br, keys).select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
+    }
+    if (rHas) {
+      // A ⋈ ΔB
+      terms += bl.join(bcast(dr), keys).select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
+    }
+    if (lHas && rHas) {
+      // ΔA ⋈ ΔB : both small; weights multiply.
+      val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
+      val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
+      terms += dl2
+        .join(bcast(dr2), keys)
+        .withColumn(WEIGHT, col("__ivm_wl") * col("__ivm_wr"))
+        .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
+    }
+    terms.reduce(_.unionByName(_))
+  }
+
+  /** Output columns of Join(l, r, keys) in eval order: keys once, then the
+    * remaining columns of each side. */
+  private def joinOut(
+      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx): Seq[Column] = {
+    val lCols = outputNames(l, ctx).filterNot(keys.contains)
+    val rCols = outputNames(r, ctx).filterNot(keys.contains)
+    (keys ++ lCols ++ rCols).map(col)
+  }
+
+  /** Output column names of a query; scan leaves resolve via the base
+    * resolver (schema-only — no data read). */
+  private[ivm] def outputNames(q: IvmQuery, ctx: Ctx): Seq[String] = q match {
+    case Scan(t)                  => ctx.base(t).columns.toSeq
+    case Aggregate(_, keys, aggs) => keys ++ aggs.map(_.name)
+    case Project(_, cols)         => cols.map(colName)
+    case Filter(c, _)             => outputNames(c, ctx)
+    case Join(l, r, keys) =>
+      keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
+        outputNames(r, ctx).filterNot(keys.contains)
+  }
+
+  private[ivm] def colName(c: Column): String = {
+    // Column#toString prints the unresolved expression; an alias prints as
+    // `expr AS name`. For bare attributes it is the attribute name.
+    val s = c.toString
+    val asIdx = s.lastIndexOf(" AS ")
+    if (asIdx >= 0) s.substring(asIdx + 4).stripPrefix("`").stripSuffix("`")
+    else s.stripPrefix("`").stripSuffix("`")
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** Stateful aggregate delta: merge signed child deltas into per-group
+    * adjustments, join against the old state, emit retraction (+w=-1) and
+    * assertion (w=+1) rows, and queue the state replacement. */
+  private def deltaAggregate(agg: Aggregate, ctx: Ctx, path: String): DataFrame = {
+    val Aggregate(child, keys, aggs) = agg
+    val d = delta(child, ctx, path + ".0")
+    val w = col(WEIGHT)
+
+    // Signed per-group adjustments of the physical state columns.
+    val adjExprs: Seq[Column] = aggs.flatMap {
+      case AggSpec.Sum(e, n) =>
+        Seq(sum(e * w).as(adj(Eval.physSum(n))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.Count(e, n) =>
+        Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.CountStar(n) =>
+        Seq(sum(w).as(adj(Eval.physNn(n))))
+      case AggSpec.Avg(e, n) =>
+        Seq(sum(e * w).as(adj(Eval.physSum(n))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+    } :+ sum(w).as(adj(HCOUNT))
+
+    val touched =
+      if (keys.isEmpty) d.agg(adjExprs.head, adjExprs.tail: _*)
+      else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*)
+
+    val old = ctx.state(path)
+
+    // Touched groups are few (≤ |Δ|). Two broadcast-friendly steps — Spark
+    // only supports BuildRight for LEFT outer/semi joins, so a plain
+    // right_outer(state, touched) could never broadcast the small side:
+    //   1. left_semi filter the (huge) state down to touched groups,
+    //      broadcasting the touched KEYS — state streams, no shuffle;
+    //   2. left_outer join touched × (now-small) old state, broadcasting
+    //      the filtered state.
+    def bcast(df: DataFrame): DataFrame =
+      if (ctx.broadcastDeltas) broadcast(df) else df
+    val joined = if (keys.isEmpty) {
+      // Global aggregate: single-row state, cross join is 1×1.
+      touched.crossJoin(old)
+    } else {
+      val oldTouched =
+        old.join(bcast(touched.select(keys.map(col): _*)), keys, "left_semi")
+      touched.join(bcast(oldTouched), keys, "left_outer")
+    }
+
+    val existed = col(HCOUNT).isNotNull
+    val physNames = aggs.flatMap(Eval.physicalNames) :+ HCOUNT
+
+    // New physical values = old (or 0) + adjustment.
+    val newPhys: Seq[Column] = physNames.map { p =>
+      (coalesce(col(p), lit(0)) + col(adj(p))).as(p)
+    }
+
+    val updated = joined.select((keys.map(col) ++ newPhys): _*)
+    ctx.updates += StateUpdate(path, keys, updated)
+
+    val outCols = aggs.map(Eval.stateOutput)
+
+    // Retractions: the group's previous output row, weight -1.
+    val retract = joined
+      .where(existed)
+      .select((keys.map(col) ++ outCols :+ lit(-1).as(WEIGHT)): _*)
+
+    // Assertions: the group's new output row, weight +1, if still alive.
+    // A global aggregate (no keys) is always alive: COUNT()=0 / SUM()=NULL
+    // over the empty input is still one output row.
+    val aliveNew = updated.where(if (keys.isEmpty) lit(true) else col(HCOUNT) > 0)
+    val assertNew = aliveNew
+      .select((keys.map(col) ++ outCols :+ lit(1).as(WEIGHT)): _*)
+
+    retract.unionByName(assertNew)
+  }
+
+  private def adj(phys: String) = s"__ivm_d_$phys"
+}
