@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ivm.IvmCore
+
+/** Shared table access + deterministic derived delta batches for the
+  * driver-contract queries. The delta tables are pure functions of the base
+  * parquet (modular predicates on keys), so the DuckDB oracle can construct
+  * byte-identical deltas from the same files — SQL in [[SparkEntry.oracleSql]]
+  * mirrors these expressions exactly.
+  */
+object Fixtures {
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** ~1% of lineitem rows; even line numbers are inserts, odd deletes.
+    * SQL mirror: WHERE l_orderkey % 97 = 0, mult = (l_linenumber % 2 = 0). */
+  def deltaLineitem(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .where(col("l_orderkey") % 97 === 0)
+      .withColumn(IvmCore.MULT, col("l_linenumber") % 2 === 0)
+
+  /** SQL mirror: WHERE o_orderkey % 53 = 0, mult = (o_orderkey % 2 = 0). */
+  def deltaOrders(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .where(col("o_orderkey") % 53 === 0)
+      .withColumn(IvmCore.MULT, col("o_orderkey") % 2 === 0)
+
+  /** Base resolver over the sf dir. */
+  def base(s: SparkSession, dir: String): String => DataFrame =
+    name => tbl(s, dir, name)
+
+  /** Delta resolver: only the tables above have deltas. */
+  def deltas(s: SparkSession, dir: String): String => Option[DataFrame] = {
+    case "lineitem" => Some(deltaLineitem(s, dir))
+    case "orders"   => Some(deltaOrders(s, dir))
+    case _          => None
+  }
+}
