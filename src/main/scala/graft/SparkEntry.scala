@@ -143,6 +143,58 @@ object SparkEntry {
 
     // Flagship batch eval through the AST: Q13-style nested aggregation.
     "q10_q13" -> ((s, dir) => q13(s, dir)),
+
+    // ------------------- training-data pipeline operators (graft.ops) ----
+
+    // Exact dedup: hash-groupBy on content digest.
+    "q20_dedup_exact" -> ((s, dir) =>
+      ops.Dedup.exact(tbl(s, dir, "documents"))),
+
+    // n-gram Jaccard near-dup pairs via inverted shingle index.
+    "q21_dedup_jaccard" -> ((s, dir) =>
+      ops.Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
+        n = 3, threshold = 0.5, maxShingleDf = 100)),
+
+    // MinHash + LSH banding candidate pairs.
+    "q22_dedup_minhash" -> ((s, dir) =>
+      ops.Dedup.minhashLshPairs(tbl(s, dir, "documents"), k = 8, bands = 4)),
+
+    // SimHash 32-bit fingerprints per document.
+    "q23_dedup_simhash" -> ((s, dir) =>
+      ops.Dedup.simhashDocs(tbl(s, dir, "documents"))),
+
+    // Embedding cosine near-dup pairs, label-blocked.
+    "q24_dedup_embedding" -> ((s, dir) =>
+      ops.Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))),
+
+    // Brute-force cosine top-k (ANN baseline).
+    "q25_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ops.Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+    // Sign-bucket LSH ANN (the scale path).
+    "q26_ann_bucketed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ops.Similarity.bucketedTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+    // Text analysis: token counts, quality, language-ID, fingerprint.
+    "q27_text_analyze" -> ((s, dir) =>
+      ops.TextOps.analyze(tbl(s, dir, "documents"))),
+
+    // Windowed event aggregation (batch form of the streaming op).
+    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos (legacy
+    // conf, set in our session builders) and converted with integer DIV —
+    // a double division would lose precision above 2^53 ns.
+    "q29_events_hourly" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", timestamp_micros(expr("ts DIV 1000")))
+          .as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))),
   )
 
   // ------------------------------------------------------------- oracles
@@ -220,5 +272,154 @@ object SparkEntry {
            FROM customer JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey
          ) GROUP BY c_count""",
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)""",
+
+    "q21_dedup_jaccard" ->
+      s"""$ShingleCte,
+          kept AS (SELECT sh.id, sh.shingle FROM sh JOIN (
+              SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100) f
+            USING (shingle)),
+          sizes AS (SELECT id, COUNT(*) AS c FROM kept GROUP BY id),
+          pairs AS (SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS inter
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY a.id, b.id)
+          SELECT a_id, b_id,
+            CAST(inter AS DOUBLE) / (na.c + nb.c - inter) AS jaccard
+          FROM pairs JOIN sizes na ON na.id = a_id JOIN sizes nb ON nb.id = b_id
+          WHERE CAST(inter AS DOUBLE) / (na.c + nb.c - inter) >= 0.5""",
+
+    "q22_dedup_minhash" -> {
+      val mhs = (0 until 8).map(s0 =>
+        s"MIN(substr(md5(concat('${s0 / 4}', '|', shingle)), ${1 + 8 * (s0 % 4)}, 8)) AS mh$s0")
+        .mkString(", ")
+      val bandKeys = (0 until 4).map(b =>
+        s"md5(concat_ws('|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")
+      s"""$ShingleCte,
+          sig AS (SELECT id, $mhs FROM sh GROUP BY id),
+          banded AS (SELECT id, unnest([0,1,2,3]) AS band,
+            unnest([$bandKeys]) AS band_key FROM sig)
+          SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM banded a
+          JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.id < b.id"""
+    },
+
+    "q23_dedup_simhash" ->
+      s"SELECT doc_id, ${simhashSql("text")} AS simhash FROM documents",
+
+    "q24_dedup_embedding" ->
+      s"""WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            ${cosineSql("a.embedding", "b.embedding")} AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT a_id, b_id, round(cosine, 6) AS cosine FROM p
+          WHERE cosine >= 0.35""",
+
+    "q25_ann_topk" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
+
+    "q26_ann_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+            ${signBucketSql("embedding", 8)} AS bucket FROM embeddings),
+          scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM e c JOIN e q ON c.bucket = q.bucket
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
+
+    "q27_text_analyze" -> textAnalyzeSql,
+
+    "q29_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS "hour", event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2""",
   )
+
+  // ---------------------------------------------- oracle SQL generators
+
+  /** Distinct 3-token shingles per doc — mirror of ops.Dedup.shingles.
+    * DuckDB lists are 1-based; out-of-range indexing yields NULL which
+    * concat_ws skips, exactly like Spark's element_at + concat_ws. */
+  private val ShingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT doc_id AS id, toks,
+         unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM t),
+       sh AS (SELECT DISTINCT id,
+         concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle FROM sh0
+         WHERE len(string_split(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]), ' ')) = 3)"""
+
+  /** Mirror of ops.Dedup.simhash: 32-bit fingerprint, all integer math. */
+  private def simhashSql(text: String): String = {
+    val bits = (0 until 32).map { b =>
+      val d = b / 4 + 1
+      val r = b % 4
+      val contrib =
+        s"""list_sum(list_transform(list_distinct(string_split($text, ' ')),
+            t -> ((strpos('0123456789abcdef', substr(md5(t), $d, 1)) - 1) // ${1 << r}) % 2 * 2 - 1))"""
+      s"(CASE WHEN $contrib > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Mirror of ops.Similarity.cosine: sequential-fold dot / (norm·norm). */
+  private def cosineSql(a: String, b: String): String = {
+    def sum2(x: String, y: String) =
+      s"""list_sum(list_transform(range(1, len($x) + 1),
+          i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"""
+    s"(${sum2(a, b)} / (sqrt(${sum2(a, a)}) * sqrt(${sum2(b, b)})))"
+  }
+
+  /** Mirror of ops.Similarity.signBucket. */
+  private def signBucketSql(v: String, nBits: Int): String =
+    (0 until nBits).map { i =>
+      s"(CASE WHEN $v[${i + 1}] >= 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Mirror of ops.TextOps.analyze. */
+  private def textAnalyzeSql: String = {
+    import ops.TextOps.{Stopwords, BpePattern, FpMod}
+    def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val langs = Stopwords.keys.toSeq.sorted
+    def hits(l: String) =
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), ${sqlList(Stopwords(l))}))"
+    // CASE chain with the same tiebreak as TextOps.langId
+    val cases = langs.init.map { l =>
+      val earlier = langs.takeWhile(_ != l).map(e => s"${hits(l)} > ${hits(e)}")
+      val later = langs.dropWhile(_ != l).drop(1).map(e => s"${hits(l)} >= ${hits(e)}")
+      s"WHEN ${(earlier ++ later).mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    val allStops = sqlList(Stopwords.values.flatten.toSeq.distinct.sorted)
+    val nTok = "len(string_split(text, ' '))"
+    val swr = s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($allStops, t))) AS DOUBLE) / $nTok"
+    val pr = s"CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+    s"""SELECT doc_id,
+        CAST($nTok AS INT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) AS n_bpe_tokens,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) / $nTok AS mean_token_len,
+        $swr AS stopword_ratio,
+        $pr AS punct_ratio,
+        (least(CAST($nTok AS DOUBLE) / 50.0, 1.0) + ($swr) + (1.0 - ($pr))) / 3 AS quality,
+        CASE $cases ELSE '${langs.last}' END AS pred_lang,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % $FpMod) AS fingerprint
+        FROM documents"""
+  }
 }
