@@ -95,6 +95,28 @@ object Demo {
     println(s"join-view refresh-vs-recompute diff rows = $diff2")
     require(diff2 == 0, "join view refresh must equal recompute")
 
+    // ---- 4. Streaming maintenance: delta batches arrive as files; each
+    // micro-batch folds into the materialized view (Trigger.AvailableNow
+    // drains whatever is there, then stops — the continuous form just
+    // leaves the query running).
+    import org.apache.spark.sql.streaming.Trigger
+    val streamDir = java.nio.file.Files.createTempDirectory("ivm-stream").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("ivm-ckpt").toString
+    deltaLineitem.write.mode("overwrite").parquet(s"$streamDir/batch0")
+    val deltaStream = spark.readStream
+      .schema(deltaLineitem.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$streamDir/batch0")
+    Ivm.create("flag_totals_s", viewQ, base, store)
+    val sq = graft.streaming.IvmStream.maintain(
+      "flag_totals_s", viewQ, "lineitem", base, store, deltaStream, ckptDir)
+    sq.awaitTermination(30000)
+    if (sq.isActive) { sq.processAllAvailable(); sq.stop() }
+    val gotS = Ivm.read("flag_totals_s", viewQ, store)
+    val diffS = gotS.exceptAll(want).count() + want.exceptAll(gotS).count()
+    println(s"streaming refresh-vs-recompute diff rows = $diffS")
+    require(diffS == 0, "streaming maintenance must equal recompute")
+
     println("DEMO OK")
     spark.stop()
   }

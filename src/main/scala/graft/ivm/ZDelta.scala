@@ -200,9 +200,12 @@ object ZDelta {
     val existed = col(HCOUNT).isNotNull
     val physNames = aggs.flatMap(Eval.physicalNames) :+ HCOUNT
 
-    // New physical values = old (or 0) + adjustment.
+    // New physical values = old (or 0) + adjustment. BOTH sides need
+    // coalesce: a group absent from the state starts at 0, and an
+    // adjustment can be NULL (sum() over an empty or all-null delta
+    // slice) which must read as "no change", not poison the state.
     val newPhys: Seq[Column] = physNames.map { p =>
-      (coalesce(col(p), lit(0)) + col(adj(p))).as(p)
+      (coalesce(col(p), lit(0)) + coalesce(col(adj(p)), lit(0))).as(p)
     }
 
     val updated = joined.select((keys.map(col) ++ newPhys): _*)

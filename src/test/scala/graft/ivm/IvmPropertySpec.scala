@@ -1,0 +1,97 @@
+package graft.ivm
+
+import graft.SparkTestBase
+import graft.ivm.AggSpec._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The IVM invariant (SURVEY.md §5.3, the poster's correctness property):
+  * for random base tables T, delta batches ΔT, and supported view shapes Q:
+  *
+  *     refresh(create(Q, T), ΔT)  ==  Q(T ⊎ ΔT)
+  *
+  * Deletes are sampled from existing base rows (the reference's update
+  * model — delete + insert of existing rows, README.md:10); phantom deletes
+  * are out of contract for both engines.
+  *
+  * Uses ScalaCheck generators with fixed seeds (deterministic, no
+  * scalatestplus bridge needed). Subsumes the golden tests across a far
+  * larger shape × data space, including joins and nested aggregates the
+  * reference never reaches.
+  */
+class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private val Cases = 10
+
+  private val keys = Gen.oneOf("a", "b", "c", "d")
+  private val genRow = for {
+    g <- keys; h <- Gen.choose(0, 2)
+    v <- Gen.oneOf(Gen.const(null), Gen.choose(-50, 50)) // null v exercises SUM/COUNT null rules
+  } yield Row(g, h, v)
+
+  private val genTable = Gen.resize(18, Gen.listOf(genRow))
+
+  /** Deltas: inserts are arbitrary rows; deletes are existing base rows. */
+  private def genDelta(baseRows: List[Row]): Gen[List[Row]] = for {
+    ins <- Gen.resize(10, Gen.listOf(genRow.map(r => Row(r(0), r(1), r(2), true))))
+    del <- if (baseRows.isEmpty) Gen.const(Nil)
+           else Gen.someOf(baseRows).map(_.toList.map(r => Row(r(0), r(1), r(2), false)))
+  } yield ins ++ del
+
+  private def mkDf(rows: Seq[Row], withMult: Boolean): DataFrame =
+    df(if (withMult) s"g STRING, h INT, v INT, ${IvmCore.MULT} BOOLEAN"
+       else "g STRING, h INT, v INT", rows)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val shapes: Seq[(String, IvmQuery)] = {
+    def sc = Scan("t")
+    Seq(
+      "scan" -> sc,
+      "filter" -> Filter(sc, col("v") > 0),
+      "project" -> Project(sc, Seq(col("g"), (col("v") * 2).as("v2"))),
+      "agg_g" -> Aggregate(sc, Seq("g"),
+        Seq(Sum(col("v"), "sum_v"), Count(col("v"), "cnt_v"), CountStar("n"))),
+      "agg_gh" -> Aggregate(sc, Seq("g", "h"),
+        Seq(Sum(col("v") + 1, "sum_v1"), Avg(col("v"), "avg_v"))),
+      "agg_global" -> Aggregate(sc, Seq.empty,
+        Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      "filter_agg" -> Aggregate(Filter(sc, col("v") =!= 0), Seq("g"),
+        Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      "nested_agg" -> Aggregate(
+        Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
+        Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),
+      "join_agg" -> Aggregate(
+        Join(Project(sc, Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+        Seq("h"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))))
+  }
+
+  for ((name, q) <- shapes)
+    test(s"refresh == recompute: $name") {
+      for (seed <- 1 to Cases) {
+        val tRows = sample(genTable, seed * 7919L)
+        val uRows = sample(genTable, seed * 104729L)
+        val dRows = sample(genDelta(tRows), seed * 1299709L)
+        val t = mkDf(tRows, withMult = false)
+        val u = mkDf(uRows, withMult = false).select(col("g"), col("h"))
+        val d = mkDf(dRows, withMult = true)
+        val base: String => DataFrame = { case "t" => t; case "u" => u }
+        val deltas: String => Option[DataFrame] =
+          nm => if (nm == "t") Some(d) else None
+
+        val store = new MemStore
+        Ivm.create(name, q, base, store)
+        Ivm.refresh(name, q, base, deltas, store)
+        val got = Ivm.read(name, q, store)
+        val want = Ivm.recompute(q, base, deltas)
+        withClue(s"$name seed=$seed |T|=${tRows.size} |Δ|=${dRows.size}: ") {
+          assertSameRows(got, want)
+        }
+      }
+    }
+}

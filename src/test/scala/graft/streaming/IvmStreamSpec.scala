@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ivm._
+import graft.ivm.AggSpec._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Streaming maintenance: micro-batches of delta rows fold into the
+  * materialized view; final state must equal a recompute over all deltas. */
+case class D(g: String, v: Int, _duckdb_ivm_multiplicity: Boolean)
+
+class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  test("maintain: foreachBatch refresh equals recompute after 3 batches") {
+    val s = spark
+    import s.implicits._
+
+    val baseRows = Seq(("a", 1), ("a", 2), ("b", 10)).toDF("g", "v")
+    val base: String => DataFrame = { case "t" => baseRows }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Sum(col("v"), "sum_v"), CountStar("cnt")))
+
+    val store = new MemStore
+    Ivm.create("sv", q, base, store)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val query = IvmStream.maintain("sv", q, "t", base, store,
+      mem.toDF(), Files.createTempDirectory("ivm-ckpt").toString)
+
+    val batches = Seq(
+      Seq(D("a", 5, true), D("c", 7, true)),          // insert existing+new group
+      Seq(D("a", 1, false), D("b", 10, false)),       // delete rows (b dies)
+      Seq(D("c", 7, false), D("c", 3, true)))         // update modeled as del+ins
+    batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val got = Ivm.read("sv", q, store)
+    // recompute over base ⊎ all deltas
+    val allDeltas = batches.flatten.toDS().toDF()
+      .withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT)
+    val want = Ivm.recompute(q, base, t => if (t == "t") Some(allDeltas) else None)
+    assertSameRows(got, want)
+    // group b must be gone (count reached 0), group c must exist with v=3
+    val m = got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!m.contains("b") && m("c") == 3L)
+  }
+
+  test("statefulAgg: update-mode changelog maintains weighted sums") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val agg = IvmStream.statefulAgg(
+      mem.toDF().withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT),
+      Seq("g"), Seq(Sum(col("v"), "sum_v"), CountStar("cnt")))
+    val query = agg.writeStream.format("memory")
+      .queryName("sv_stream").outputMode("update").start()
+
+    mem.addData(D("a", 5, true), D("a", 3, true), D("b", 4, true))
+    query.processAllAvailable()
+    mem.addData(D("a", 3, false)) // retraction
+    query.processAllAvailable()
+    query.stop()
+
+    // last emitted update per key = current state
+    val updates = s.table("sv_stream").collect()
+    val last = updates.zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+    assert(last("a").getLong(1) == 5L && last("a").getLong(2) == 1L)
+    assert(last("b").getLong(1) == 4L && last("b").getLong(2) == 1L)
+  }
+
+  test("windowedAgg: watermarked tumbling window over event stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = IvmStream.windowedAgg(df, "ts", "10 minutes", "1 hour",
+      Seq("event_type"),
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("sum_v")))
+    val query = agg.writeStream.format("memory")
+      .queryName("ev_stream").outputMode("update").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(1, 5), "click", 1.0), (ts(1, 40), "click", 2.0), (ts(2, 10), "view", 5.0))
+    query.processAllAvailable()
+    query.stop()
+    val rows = s.table("ev_stream")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_v"))
+      .collect().map(_.toSeq).toSet
+    assert(rows.contains(Seq("2026-01-01 01:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(Seq("2026-01-01 02:00:00", "view", 1L, 5.0)))
+  }
+}
