@@ -184,6 +184,17 @@ object SparkEntry {
     "q27_text_analyze" -> ((s, dir) =>
       ops.TextOps.analyze(tbl(s, dir, "documents"))),
 
+    // Multimodal plumbing (binary payload + typed metadata; STUB codec):
+    // batched per-partition feature extraction and frame sampling.
+    // Not SQL-expressible -> no oracleSql entry (rows-only check).
+    "q50_multimodal_features" -> ((s, dir) =>
+      ops.Multimodal.extractFeatures(
+        ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")))),
+
+    "q51_multimodal_frames" -> ((s, dir) =>
+      ops.Multimodal.sampleFrames(
+        ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")), everyN = 2)),
+
     // Windowed event aggregation (batch form of the streaming op).
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos (legacy
     // conf, set in our session builders) and converted with integer DIV —

@@ -49,6 +49,17 @@ object Demo {
     dv.show(20, truncate = false)
     require(dv.count() > 0, "parity delta_V must be non-empty")
 
+    // ---- 1b. Same view registered through the SQL surface (EP3 parity:
+    // the reference's CREATE IMMV, here actually functional).
+    SqlFrontend.createImmv(spark,
+      """CREATE IMMV flag_totals_sql AS
+         SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""")
+    val dvSql = Ivm.upsert(spark, "flag_totals_sql")
+    require(dvSql.collect().toSet == dv.collect().toSet,
+      "SQL-registered view must produce the same delta_V")
+    println("CREATE IMMV surface OK")
+
     // ---- 2. Materialize + incremental refresh (the missing half)
     val store = new MemStore
     val base: String => DataFrame = {

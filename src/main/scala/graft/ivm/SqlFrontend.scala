@@ -1,0 +1,109 @@
+package graft.ivm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.expr
+
+/** SQL front-end: `CREATE IMMV <name> AS <select>` → registered [[IvmQuery]].
+  *
+  * The reference recognizes this DDL in a parser extension but never wires
+  * it up (ivm_parser.cpp:14-84 parses, then returns an empty result with
+  * the real plumbing commented out). Here the intent is implemented: the
+  * statement body is parsed by Spark's own SQL parser and the unresolved
+  * logical plan is folded into the engine's restricted AST. Anything
+  * outside the supported surface (the reference's GET/FILTER/PROJECT/
+  * AGGREGATE plus our JOIN extension) raises with the same spirit as the
+  * reference's NotImplementedException (ivm_rewrite_rule.hpp:282-283).
+  *
+  * Expressions cross from Catalyst back to the public Column API via their
+  * SQL form (`Expression.sql` → `functions.expr`), so the engine keeps
+  * zero dependencies on Catalyst internals at execution time.
+  */
+object SqlFrontend {
+
+  private val CreateImmv = """(?is)\s*create\s+immv\s+(\w+)\s+as\s+(.*)""".r
+
+  /** Parse + register a `CREATE IMMV name AS select` statement (parity with
+    * the reference's trigger string match, ivm_parser.cpp:24-26). Returns
+    * the view name and its AST. */
+  def createImmv(spark: SparkSession, sql: String): (String, IvmQuery) =
+    sql match {
+      case CreateImmv(name, select) =>
+        val q = parseSelect(spark, select)
+        Ivm.createView(name, q)
+        (name, q)
+      case _ => throw new IllegalArgumentException(
+        s"not a CREATE IMMV statement: $sql")
+    }
+
+  /** Parse a SELECT into the engine AST. */
+  def parseSelect(spark: SparkSession, select: String): IvmQuery =
+    fold(spark.sessionState.sqlParser.parsePlan(select))
+
+  private def fold(plan: LogicalPlan): IvmQuery = plan match {
+    case Project(exprs, child) if exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
+      fold(child) // SELECT * — passthrough (reference tests/ivm.test:29)
+    case Project(exprs, child) => Filterable.project(exprs, fold(child))
+    case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
+    case Aggregate(grouping, aggExprs, child, _) =>
+      foldAggregate(grouping, aggExprs, fold(child))
+    case Join(l, r, UsingJoin(Inner, cols), None, _) =>
+      graft.ivm.Join(fold(l), fold(r), cols)
+    case Join(l, r, Inner, Some(cond), _) =>
+      graft.ivm.Join(fold(l), fold(r), equiKeys(cond))
+    case SubqueryAlias(_, child) => fold(child)
+    case u: UnresolvedRelation   => Scan(u.multipartIdentifier.last)
+    case other => throw new UnsupportedOperationException(
+      s"IVM SQL surface does not support ${other.nodeName} " +
+        "(supported: SELECT/WHERE/GROUP BY/inner JOIN over base tables)")
+  }
+
+  private object Filterable {
+    def project(exprs: Seq[NamedExpression], child: IvmQuery): IvmQuery =
+      graft.ivm.Project(child, exprs.map(e => expr(e.sql)))
+  }
+
+  /** Same-name equi-join keys from `a.k = b.k [AND ...]` conditions. */
+  private def equiKeys(cond: Expression): Seq[String] = cond match {
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last == b.nameParts.last =>
+      Seq(a.nameParts.last)
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      equiKeys(l) ++ equiKeys(r)
+    case other => throw new UnsupportedOperationException(
+      s"IVM joins require same-name equi conditions, got: ${other.sql}")
+  }
+
+  private def foldAggregate(
+      grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: IvmQuery): IvmQuery = {
+    val keys = grouping.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => throw new UnsupportedOperationException(
+        s"IVM GROUP BY supports plain columns, got: ${other.sql}")
+    }
+    val aggs = aggExprs.flatMap {
+      case a: UnresolvedAttribute if keys.contains(a.nameParts.last) => None
+      case Alias(UnresolvedFunction(fn, args, false, _, _, _, _), name) =>
+        Some(toAggSpec(fn.last.toLowerCase, args, name))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported select item in aggregate: ${other.sql}")
+    }
+    graft.ivm.Aggregate(child, keys, aggs)
+  }
+
+  private def toAggSpec(fn: String, args: Seq[Expression], name: String): AggSpec =
+    (fn, args) match {
+      case ("sum", Seq(e))              => AggSpec.Sum(expr(e.sql), name)
+      case ("count", Seq(_: UnresolvedStar)) => AggSpec.CountStar(name)
+      case ("count", Seq(e))            => AggSpec.Count(expr(e.sql), name)
+      case ("avg" | "mean", Seq(e))     => AggSpec.Avg(expr(e.sql), name)
+      case _ => throw new UnsupportedOperationException(
+        s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
+          " — README.md:35; extensions: COUNT(*), AVG)")
+    }
+}

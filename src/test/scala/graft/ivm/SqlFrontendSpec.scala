@@ -1,0 +1,66 @@
+package graft.ivm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CREATE IMMV DDL (EP3) end-to-end: statements in the reference's own SQL
+  * style register views whose delta pipelines match the golden results. */
+class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
+
+  private def fixtures(): Unit = {
+    df("a INT, b STRING, c STRING",
+      Seq(Row(3, "true", "blah"), Row(4, "false", "foo")))
+      .createOrReplaceTempView("hello")
+    df(s"a INT, b STRING, c STRING, ${IvmCore.MULT} BOOLEAN", Seq(
+      Row(1, "k", "Mark", true),
+      Row(2, "k", "Hannes", false)))
+      .createOrReplaceTempView("delta_hello")
+  }
+
+  test("CREATE IMMV ... GROUP BY (reference tests/ivm.test:76-82 via SQL)") {
+    fixtures()
+    val (name, _) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_v1 AS SELECT b, SUM(a) AS sum_a, COUNT(c) AS count_c FROM hello GROUP BY b")
+    assert(name == "sql_v1")
+    assertRows(Ivm.upsert(spark, "sql_v1"), Set(
+      Seq("k", 1, 1, true),
+      Seq("k", 2, 1, false)))
+  }
+
+  test("CREATE IMMV with WHERE and SELECT *") {
+    fixtures()
+    SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_v2 AS SELECT * FROM hello WHERE a > 1")
+    assertRows(Ivm.upsert(spark, "sql_v2"), Set(Seq(2, "k", "Hannes", false)))
+  }
+
+  test("CREATE IMMV with JOIN USING registers a Z-delta-capable view") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_v3 AS
+         SELECT g, SUM(v) AS sv, COUNT(*) AS n
+         FROM t JOIN u USING (g) GROUP BY g""")
+    q match {
+      case Aggregate(Join(Scan("t"), Scan("u"), Seq("g")), Seq("g"), aggs) =>
+        assert(aggs.map(_.name) == Seq("sv", "n"))
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
+  test("unsupported SQL raises like the reference's NotImplementedException") {
+    intercept[UnsupportedOperationException] {
+      SqlFrontend.createImmv(spark,
+        "CREATE IMMV bad AS SELECT b, MAX(a) AS m FROM hello GROUP BY b")
+    }
+    intercept[UnsupportedOperationException] {
+      SqlFrontend.createImmv(spark,
+        "CREATE IMMV bad2 AS SELECT * FROM hello ORDER BY a LIMIT 1")
+    }
+  }
+
+  test("non-IMMV statements are rejected") {
+    intercept[IllegalArgumentException] {
+      SqlFrontend.createImmv(spark, "SELECT 1")
+    }
+  }
+}

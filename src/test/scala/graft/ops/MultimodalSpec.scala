@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: schema, batch shape, and deterministic stub codec
+  * behavior over the real documents table. */
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val media = Multimodal.fakeMediaFromDocs(docs)
+
+  test("fake media table has the canonical media schema") {
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(f => (f.name, f.dataType)).toSeq == Multimodal.MetaType.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(media.count() == docs.count())
+  }
+
+  test("extractFeatures: fixed-dim L1-normalized histogram, payload dropped") {
+    val f = Multimodal.extractFeatures(media, batchSize = 7)
+    assert(!f.columns.contains("payload"))
+    val rows = f.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(feats.length == Multimodal.FakeCodec.FeatureDim)
+      assert(math.abs(feats.sum - 1f) < 1e-3, s"not normalized: ${feats.sum}")
+    }
+    // determinism: same doc -> same features on recompute
+    val again = Multimodal.extractFeatures(media, batchSize = 64).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features")).toMap
+      == again.map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("features")).toMap)
+  }
+
+  test("resize rewrites metadata and shrinks payloads") {
+    val r = Multimodal.resize(media, 8, 8)
+    val m = r.select("meta.width", "meta.height").distinct().collect()
+    assert(m.map(x => (x.getInt(0), x.getInt(1))).toSet == Set((8, 8)))
+    val shrunk = r.select(length(col("payload"))).agg(max("length(payload)"))
+    assert(shrunk.collect()(0).getInt(0) > 0)
+  }
+
+  test("sampleFrames: only every-Nth frame materializes, slices cover payload") {
+    val s = Multimodal.sampleFrames(media, everyN = 2)
+    val byDoc = s.groupBy("media_id").agg(count(lit(1)).as("n"),
+      collect_list("frame_idx").as("idxs"))
+      .join(media.select(col("media_id"), col("meta.n_frames")), "media_id")
+    byDoc.collect().foreach { r =>
+      val nFrames = r.getAs[Int]("n_frames")
+      val expected = (0 until nFrames by 2).toSeq
+      assert(r.getAs[scala.collection.Seq[Int]]("idxs").sorted.toSeq == expected,
+        s"media ${r.getLong(0)}: got ${r.getAs[scala.collection.Seq[Int]]("idxs")} want $expected")
+    }
+    // frame payloads are non-empty slices
+    assert(s.where(length(col("frame_payload")) === 0).count() == 0)
+  }
+}
