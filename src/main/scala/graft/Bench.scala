@@ -19,7 +19,34 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // IVM headline: incremental refresh vs full recompute of the same view
+    // over the same delta batch (~1% of lineitem), state on the versioned
+    // parquet store (the at-scale backend, write costs included).
+    val ivmJson = try {
+      import graft.ivm._
+      import graft.ivm.AggSpec._
+      import org.apache.spark.sql.functions._
+      val store = new ParquetStore(spark,
+        java.nio.file.Files.createTempDirectory("ivm-bench").toString)
+      val view = Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
+        Seq(Sum(col("l_extendedprice").cast("decimal(18,2)"), "sum_price"),
+          Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tCreate = time(Ivm.create("bench_v", view,
+        Fixtures.base(spark, sfDir), store))
+      val tRefresh = time(Ivm.refresh("bench_v", view,
+        Fixtures.base(spark, sfDir), Fixtures.deltas(spark, sfDir), store))
+      // Fair comparison: a non-incremental pipeline must also MATERIALIZE
+      // the recomputed view each cycle, so the write is part of its cost.
+      val tRecompute = time(store.put("bench_full", Ivm.recompute(view,
+        Fixtures.base(spark, sfDir), Fixtures.deltas(spark, sfDir))))
+      f"""{"create_sec":$tCreate%.3f,"refresh_sec":$tRefresh%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f}"""
+    } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,6 +169,7 @@ object Ivm {
         store.put(stateName(view, TOP), merged)
     }
     pinned.foreach(_.updated.unpersist())
+    ctx.pins.foreach(_.unpersist())
     dv
   }
 

@@ -44,7 +44,8 @@ object ZDelta {
       deltaOf: String => Option[DataFrame],
       state: String => DataFrame,
       broadcastDeltas: Boolean = true,
-      updates: mutable.Buffer[StateUpdate] = mutable.Buffer.empty)
+      updates: mutable.Buffer[StateUpdate] = mutable.Buffer.empty,
+      pins: mutable.Buffer[DataFrame] = mutable.Buffer.empty)
 
   /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
   def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
@@ -188,7 +189,7 @@ object ZDelta {
     //      the filtered state.
     def bcast(df: DataFrame): DataFrame =
       if (ctx.broadcastDeltas) broadcast(df) else df
-    val joined = if (keys.isEmpty) {
+    val joined0 = if (keys.isEmpty) {
       // Global aggregate: single-row state, cross join is 1×1.
       touched.crossJoin(old)
     } else {
@@ -196,6 +197,11 @@ object ZDelta {
         old.join(bcast(touched.select(keys.map(col): _*)), keys, "left_semi")
       touched.join(bcast(oldTouched), keys, "left_outer")
     }
+    // Three consumers (state update, retractions, assertions) would each
+    // recompute the state join; cache it once. O(touched groups) rows.
+    // Unpersisted by Ivm.refresh after commit.
+    val joined = joined0.cache()
+    ctx.pins += joined
 
     val existed = col(HCOUNT).isNotNull
     val physNames = aggs.flatMap(Eval.physicalNames) :+ HCOUNT

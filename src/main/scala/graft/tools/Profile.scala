@@ -12,7 +12,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val iters = args(1).toInt
-    val names = args.drop(2)
+    val names = args.drop(2).filterNot(_.startsWith("--"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
