@@ -69,6 +69,15 @@ case class VecDot(left: Expression, right: Expression)
 object VecDot {
   private val FnName = "graft_vec_dot"
 
+  /** Description triple for SparkSessionExtensions.injectFunction. */
+  def functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier(FnName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getCanonicalName, FnName),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
+
   /** Register `graft_vec_dot` in the session's function registry (idempotent)
     * so it is reachable from the public Column API via `call_function`. */
   def register(spark: SparkSession): Unit =

@@ -18,6 +18,7 @@ object Demo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-ivm-demo")
+      .withExtensions(new graft.plans.GraftSparkExtension)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -49,15 +50,21 @@ object Demo {
     dv.show(20, truncate = false)
     require(dv.count() > 0, "parity delta_V must be non-empty")
 
-    // ---- 1b. Same view registered through the SQL surface (EP3 parity:
-    // the reference's CREATE IMMV, here actually functional).
-    SqlFrontend.createImmv(spark,
+    // ---- 1b. Same view through the injected SQL surface (EP3 parity: the
+    // reference's CREATE IMMV parser extension, here actually functional,
+    // running as a first-class statement via SparkSessionExtensions).
+    spark.sql(
       """CREATE IMMV flag_totals_sql AS
          SELECT l_returnflag, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
          FROM lineitem GROUP BY l_returnflag""")
     val dvSql = Ivm.upsert(spark, "flag_totals_sql")
     require(dvSql.collect().toSet == dv.collect().toSet,
       "SQL-registered view must produce the same delta_V")
+    // PRAGMA-style read-back: upsert registered temp view delta_<name>
+    require(spark.sql("SELECT * FROM delta_flag_totals_sql").count() == dv.count())
+    // injected codegen'd function usable straight from SQL
+    spark.sql("SELECT graft_vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .collect().headOption.foreach(r => require(r.getDouble(0) == 11.0))
     println("CREATE IMMV surface OK")
 
     // ---- 2. Materialize + incremental refresh (the missing half)
