@@ -120,6 +120,19 @@ object SparkEntry {
           col("sum_qty"), col("cnt"))
     }),
 
+    // MIN/MAX maintained under deletion via auxiliary value-multiset state
+    // (the reference poster's named future work): materialize, fold the
+    // delta in (deletes can remove the current extremum), read back.
+    "q11_ivm_minmax_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+        Seq(Min(col("l_quantity"), "min_qty"), Max(col("l_quantity"), "max_qty"),
+          Min(col("l_shipdate"), "min_ship"), CountStar("cnt")))
+      Ivm.create("q11", v, base(s, dir), store)
+      Ivm.refresh("q11", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q11", v, store)
+    }),
+
     // Join delta: Δ(C⋈O) = ΔC⋈O ⊎ C⋈ΔO ⊎ ΔC⋈ΔO with weights multiplied
     // (poster math; reference code rejects joins).
     "q09_ivm_join_delta" -> ((s, dir) => {
@@ -201,7 +214,7 @@ object SparkEntry {
     // a double division would lose precision above 2^53 ns.
     "q29_events_hourly" -> ((s, dir) =>
       tbl(s, dir, "events")
-        .groupBy(date_trunc("hour", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(date_trunc("hour", timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
           .as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
@@ -261,6 +274,20 @@ object SparkEntry {
             SELECT l_returnflag, l_linestatus, l_extendedprice, l_quantity,
                    CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
           ) GROUP BY l_returnflag, l_linestatus HAVING SUM(w) > 0""",
+
+    "q11_ivm_minmax_apply" ->
+      s"""WITH applied AS (
+            SELECT l_returnflag, l_quantity, l_shipdate, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_quantity, l_shipdate, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity, l_shipdate,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+                 MAX(l_quantity) AS max_qty, MIN(l_shipdate) AS min_ship,
+                 CAST(SUM(c) AS BIGINT) AS cnt
+          FROM applied GROUP BY l_returnflag""",
 
     "q09_ivm_join_delta" ->
       s"""WITH dc AS ($DC), do_ AS ($DO_)

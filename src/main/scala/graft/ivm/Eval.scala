@@ -30,6 +30,8 @@ object Eval {
     case AggSpec.Count(e, n)  => count(e).as(n)
     case AggSpec.CountStar(n) => count(lit(1)).as(n)
     case AggSpec.Avg(e, n)    => avg(e).as(n)
+    case AggSpec.Min(e, n)    => min(e).as(n)
+    case AggSpec.Max(e, n)    => max(e).as(n)
   }
 
   /** Evaluate with the hidden bookkeeping columns a materialized aggregate
@@ -54,6 +56,10 @@ object Eval {
     case AggSpec.CountStar(n) => Seq(count(lit(1)).as(physNn(n)))
     case AggSpec.Avg(e, n) =>
       Seq(sum(e).as(physSum(n)), count(e).as(physNn(n)))
+    case AggSpec.Min(e, n) =>
+      Seq(min(e).as(physExt(n)), count(e).as(physNn(n)))
+    case AggSpec.Max(e, n) =>
+      Seq(max(e).as(physExt(n)), count(e).as(physNn(n)))
   }
 
   /** User-visible output column derived from the physical state columns. */
@@ -64,14 +70,36 @@ object Eval {
     case AggSpec.CountStar(n) => col(physNn(n)).as(n)
     case AggSpec.Avg(_, n) =>
       when(col(physNn(n)) > 0, col(physSum(n)) / col(physNn(n))).as(n)
+    case AggSpec.Min(_, n) =>
+      when(col(physNn(n)) > 0, col(physExt(n))).as(n)
+    case AggSpec.Max(_, n) =>
+      when(col(physNn(n)) > 0, col(physExt(n))).as(n)
   }
 
   private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
   private[ivm] def physNn(name: String)  = s"__ivm_nn_$name"
+  private[ivm] def physExt(name: String) = s"__ivm_ext_$name"
+  private[ivm] def auxVal(name: String)  = s"__ivm_val_$name"
   private[ivm] def physicalNames(a: AggSpec): Seq[String] = a match {
     case AggSpec.Sum(_, n)    => Seq(physSum(n), physNn(n))
     case AggSpec.Count(_, n)  => Seq(physNn(n))
     case AggSpec.CountStar(n) => Seq(physNn(n))
     case AggSpec.Avg(_, n)    => Seq(physSum(n), physNn(n))
+    case AggSpec.Min(_, n)    => Seq(physExt(n), physNn(n))
+    case AggSpec.Max(_, n)    => Seq(physExt(n), physNn(n))
+  }
+
+  /** Auxiliary value-multiset state for one MIN/MAX spec: per
+    * (group keys, value) count of non-null occurrences. The delta path
+    * adjusts these counts with signed weights; the new extremum of a
+    * touched group is the min/max over its alive (count>0) values. */
+  private[ivm] def evalAuxState(
+      q: Aggregate, a: AggSpec, resolve: String => DataFrame): DataFrame = {
+    val child = eval(q.child, resolve)
+    val v = AggSpec.expr(a).get.as(auxVal(a.name))
+    child.select((q.keys.map(col) :+ v): _*)
+      .where(col(auxVal(a.name)).isNotNull)
+      .groupBy((q.keys.map(col) :+ col(auxVal(a.name))): _*)
+      .agg(count(lit(1)).as(IvmCore.HCOUNT))
   }
 }

@@ -83,6 +83,10 @@ object Ivm {
       case a @ Aggregate(c, _, _) =>
         walk(c, path + ".0")
         store.put(stateName(view, path), Eval.evalState(a, base))
+        a.aggs.filter(AggSpec.needsAux).foreach { spec =>
+          store.put(stateName(view, s"$path.aux.${spec.name}"),
+            Eval.evalAuxState(a, spec, base))
+        }
       case Filter(c, _)  => walk(c, path + ".0")
       case Project(c, _) => walk(c, path + ".0")
       case Join(l, r, _) => walk(l, path + ".0"); walk(r, path + ".1")

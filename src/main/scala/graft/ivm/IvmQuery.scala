@@ -83,8 +83,11 @@ final case class Join(left: IvmQuery, right: IvmQuery, keys: Seq[String])
 /** Structured aggregate functions with known delta rules.
   * SUM and COUNT are the reference's declared surface (README.md:35);
   * COUNT(*) and AVG are self-maintainable extensions (AVG = SUM/COUNT).
-  * MIN/MAX are NOT self-maintainable under deletes (poster future work) and
-  * are intentionally absent from v1. */
+  * MIN/MAX are NOT self-maintainable under deletes — the poster lists
+  * "performant maintenance of intermediate results for … min/max
+  * processing" as future work; here they are maintained with an auxiliary
+  * per-(group, value) count state (a value multiset), so deleting the
+  * current extremum correctly falls back to the next one. */
 sealed trait AggSpec { def name: String }
 object AggSpec {
   /** SUM(expr) — null iff the group has no non-null expr values. */
@@ -95,4 +98,19 @@ object AggSpec {
   final case class CountStar(name: String) extends AggSpec
   /** AVG(expr) — maintained as (sum, non-null count). */
   final case class Avg(expr: Column, name: String) extends AggSpec
+  /** MIN(expr) — maintained via auxiliary value-multiset state. */
+  final case class Min(expr: Column, name: String) extends AggSpec
+  /** MAX(expr) — maintained via auxiliary value-multiset state. */
+  final case class Max(expr: Column, name: String) extends AggSpec
+
+  /** Specs needing the auxiliary (group, value) count state. */
+  def needsAux(a: AggSpec): Boolean = a match {
+    case _: Min | _: Max => true
+    case _               => false
+  }
+  def expr(a: AggSpec): Option[Column] = a match {
+    case Sum(e, _) => Some(e); case Count(e, _) => Some(e)
+    case Avg(e, _) => Some(e); case Min(e, _) => Some(e)
+    case Max(e, _) => Some(e); case CountStar(_) => None
+  }
 }

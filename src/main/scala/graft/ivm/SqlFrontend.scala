@@ -102,8 +102,10 @@ object SqlFrontend {
       case ("count", Seq(_: UnresolvedStar)) => AggSpec.CountStar(name)
       case ("count", Seq(e))            => AggSpec.Count(expr(e.sql), name)
       case ("avg" | "mean", Seq(e))     => AggSpec.Avg(expr(e.sql), name)
+      case ("min", Seq(e))              => AggSpec.Min(expr(e.sql), name)
+      case ("max", Seq(e))              => AggSpec.Max(expr(e.sql), name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
-          " — README.md:35; extensions: COUNT(*), AVG)")
+          " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX)")
     }
 }

@@ -157,10 +157,19 @@ object ZDelta {
     * assertion (w=+1) rows, and queue the state replacement. */
   private def deltaAggregate(agg: Aggregate, ctx: Ctx, path: String): DataFrame = {
     val Aggregate(child, keys, aggs) = agg
-    val d = delta(child, ctx, path + ".0")
+    val d0 = delta(child, ctx, path + ".0")
+    // Child delta feeds the main adjustment plus one aux pipeline per
+    // MIN/MAX spec — pin it once.
+    val d = if (aggs.exists(AggSpec.needsAux)) {
+      val c = d0.cache(); ctx.pins += c; c
+    } else d0
     val w = col(WEIGHT)
+    def bcast(df: DataFrame): DataFrame =
+      if (ctx.broadcastDeltas) broadcast(df) else df
 
     // Signed per-group adjustments of the physical state columns.
+    // MIN/MAX contribute only their non-null count here — the extremum
+    // itself is recomputed below from the auxiliary value multiset.
     val adjExprs: Seq[Column] = aggs.flatMap {
       case AggSpec.Sum(e, n) =>
         Seq(sum(e * w).as(adj(Eval.physSum(n))),
@@ -172,6 +181,10 @@ object ZDelta {
       case AggSpec.Avg(e, n) =>
         Seq(sum(e * w).as(adj(Eval.physSum(n))),
             sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.Min(e, n) =>
+        Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.Max(e, n) =>
+        Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
     } :+ sum(w).as(adj(HCOUNT))
 
     val touched =
@@ -180,6 +193,53 @@ object ZDelta {
 
     val old = ctx.state(path)
 
+    // ---- MIN/MAX auxiliary value-multiset maintenance (the reference
+    // poster's named future work). For each spec: adjust per-(group, value)
+    // counts with signed weights, queue the aux state replacement, and
+    // compute the group's NEW extremum over values still alive — so
+    // deleting the current extremum falls back to the runner-up without
+    // touching the base table. All frames here are O(touched) small and
+    // broadcast; the (possibly huge) aux state is only semi-filtered.
+    val newExtFrames: Seq[(AggSpec, DataFrame, String)] =
+      aggs.filter(AggSpec.needsAux).map { a =>
+        val n = a.name
+        val vCol = Eval.auxVal(n)
+        val auxPath = s"$path.aux.$n"
+        val auxKeys = keys :+ vCol
+        val e = AggSpec.expr(a).get
+        val dAux = d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
+          .where(col(vCol).isNotNull)
+          .groupBy(auxKeys.map(col): _*)
+          .agg(sum(w).as(adj(HCOUNT)))
+        val oldAux = ctx.state(auxPath)
+        val oldAuxTouched = oldAux.join(
+          bcast(dAux.select(auxKeys.map(col): _*)), auxKeys, "left_semi")
+        val updatedAux = dAux.join(bcast(oldAuxTouched), auxKeys, "left_outer")
+          .select((auxKeys.map(col) :+
+            (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
+              .as(HCOUNT)): _*)
+        ctx.updates += StateUpdate(auxPath, auxKeys, updatedAux)
+
+        // alive values of touched groups after this batch =
+        //   (old aux rows of touched groups) minus touched pairs,
+        //   plus updated pairs still alive
+        val touchedGroups =
+          if (keys.isEmpty) oldAux
+          else oldAux.join(bcast(touched.select(keys.map(col): _*)), keys, "left_semi")
+        val merged = touchedGroups
+          .join(bcast(updatedAux.select(auxKeys.map(col): _*)), auxKeys, "left_anti")
+          .unionByName(updatedAux.where(col(HCOUNT) > 0))
+        val extFn = a match {
+          case _: AggSpec.Min => min(col(vCol))
+          case _              => max(col(vCol))
+        }
+        val newName = s"__ivm_newext_$n"
+        val newExt =
+          if (keys.isEmpty) merged.agg(extFn.as(newName))
+          else merged.groupBy(keys.map(col): _*).agg(extFn.as(newName))
+        (a, newExt, newName)
+      }
+
     // Touched groups are few (≤ |Δ|). Two broadcast-friendly steps — Spark
     // only supports BuildRight for LEFT outer/semi joins, so a plain
     // right_outer(state, touched) could never broadcast the small side:
@@ -187,15 +247,20 @@ object ZDelta {
     //      broadcasting the touched KEYS — state streams, no shuffle;
     //   2. left_outer join touched × (now-small) old state, broadcasting
     //      the filtered state.
-    def bcast(df: DataFrame): DataFrame =
-      if (ctx.broadcastDeltas) broadcast(df) else df
-    val joined0 = if (keys.isEmpty) {
+    val joined1 = if (keys.isEmpty) {
       // Global aggregate: single-row state, cross join is 1×1.
       touched.crossJoin(old)
     } else {
       val oldTouched =
         old.join(bcast(touched.select(keys.map(col): _*)), keys, "left_semi")
       touched.join(bcast(oldTouched), keys, "left_outer")
+    }
+    // Attach the recomputed extrema (one tiny frame per MIN/MAX spec).
+    // A global newExt aggregate always yields exactly one row (possibly
+    // null extremum), so crossJoin is safe.
+    val joined0 = newExtFrames.foldLeft(joined1) { case (acc, (_, newExt, _)) =>
+      if (keys.isEmpty) acc.crossJoin(newExt)
+      else acc.join(bcast(newExt), keys, "left_outer")
     }
     // Three consumers (state update, retractions, assertions) would each
     // recompute the state join; cache it once. O(touched groups) rows.
@@ -204,15 +269,20 @@ object ZDelta {
     ctx.pins += joined
 
     val existed = col(HCOUNT).isNotNull
-    val physNames = aggs.flatMap(Eval.physicalNames) :+ HCOUNT
 
     // New physical values = old (or 0) + adjustment. BOTH sides need
     // coalesce: a group absent from the state starts at 0, and an
     // adjustment can be NULL (sum() over an empty or all-null delta
     // slice) which must read as "no change", not poison the state.
-    val newPhys: Seq[Column] = physNames.map { p =>
+    // MIN/MAX extrema come from the aux recomputation, not old + adj.
+    def accumulate(p: String): Column =
       (coalesce(col(p), lit(0)) + coalesce(col(adj(p)), lit(0))).as(p)
-    }
+    val newPhys: Seq[Column] = aggs.flatMap {
+      case a if AggSpec.needsAux(a) =>
+        Seq(col(s"__ivm_newext_${a.name}").as(Eval.physExt(a.name)),
+          accumulate(Eval.physNn(a.name)))
+      case a => Eval.physicalNames(a).map(accumulate)
+    } :+ accumulate(HCOUNT)
 
     val updated = joined.select((keys.map(col) ++ newPhys): _*)
     ctx.updates += StateUpdate(path, keys, updated)

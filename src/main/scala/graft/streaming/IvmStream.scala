@@ -73,6 +73,10 @@ object IvmStream {
       case AggSpec.Count(e, n)  => sum(when(e.isNotNull, w).otherwise(lit(0))).cast("long").as(n)
       case AggSpec.CountStar(n) => sum(w).cast("long").as(n)
       case AggSpec.Avg(e, n)    => (sum(e * w) / sum(when(e.isNotNull, w).otherwise(lit(0)))).as(n)
+      case AggSpec.Min(_, _) | AggSpec.Max(_, _) =>
+        throw new UnsupportedOperationException(
+          "MIN/MAX under retraction need multiset state; use the " +
+            "foreachBatch maintain() mode, which supports them")
     }
     if (keys.isEmpty) deltaStream.agg(exprs.head, exprs.tail: _*)
     else deltaStream.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)

@@ -62,6 +62,11 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
       "filter_agg" -> Aggregate(Filter(sc, col("v") =!= 0), Seq("g"),
         Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      "agg_minmax" -> Aggregate(sc, Seq("g"),
+        Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
+          Sum(col("v"), "sum_v"), CountStar("n"))),
+      "agg_minmax_global" -> Aggregate(sc, Seq.empty,
+        Seq(Min(col("v"), "min_v"), Max(col("v") + 1, "max_v1"))),
       "nested_agg" -> Aggregate(
         Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
         Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),

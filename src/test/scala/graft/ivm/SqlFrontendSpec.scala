@@ -50,7 +50,7 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
-        "CREATE IMMV bad AS SELECT b, MAX(a) AS m FROM hello GROUP BY b")
+        "CREATE IMMV bad AS SELECT b, MEDIAN(a) AS m FROM hello GROUP BY b")
     }
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
