@@ -197,6 +197,20 @@ object SparkEntry {
     "q27_text_analyze" -> ((s, dir) =>
       ops.TextOps.analyze(tbl(s, dir, "documents"))),
 
+    // Salted two-phase aggregation over a skewed key (event_type is a
+    // handful of hot values): result identical to a direct groupBy, but
+    // each hot key spreads over 32 reducers in phase 1.
+    "q28_skew_salted_agg" -> ((s, dir) =>
+      ops.Skew.saltedAggregate(
+        tbl(s, dir, "events"),
+        Seq("event_type"),
+        Seq(ops.Skew.SaltedAgg.sum_(col("value").cast("decimal(18,2)"), "sum_value"),
+          ops.Skew.SaltedAgg.countStar("n"),
+          ops.Skew.SaltedAgg.max_(col("value"), "max_value")),
+        salts = 32)
+        .select(col("event_type"), col("sum_value").cast("double").as("sum_value"),
+          col("n"), col("max_value"))),
+
     // Multimodal plumbing (binary payload + typed metadata; STUB codec):
     // batched per-partition feature extraction and frame sampling.
     // Not SQL-expressible -> no oracleSql entry (rows-only check).
@@ -380,6 +394,13 @@ object SparkEntry {
             FROM scored) WHERE rank <= 5""",
 
     "q27_text_analyze" -> textAnalyzeSql,
+
+    // Salting is invisible in the result — the oracle is the plain GROUP BY.
+    "q28_skew_salted_agg" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         CAST(COUNT(*) AS BIGINT) AS n, MAX(value) AS max_value
+         FROM events GROUP BY event_type""",
 
     "q29_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS "hour", event_type,
