@@ -37,13 +37,19 @@ object Bench {
       }
       val tCreate = time(Ivm.create("bench_v", view,
         Fixtures.base(spark, sfDir), store))
-      val tRefresh = time(Ivm.refresh("bench_v", view,
-        Fixtures.base(spark, sfDir), Fixtures.deltas(spark, sfDir), store))
+      def refreshOnce() = Ivm.refreshState("bench_v", view,
+        Fixtures.base(spark, sfDir), Fixtures.deltas(spark, sfDir), store)
       // Fair comparison: a non-incremental pipeline must also MATERIALIZE
       // the recomputed view each cycle, so the write is part of its cost.
-      val tRecompute = time(store.put("bench_full", Ivm.recompute(view,
-        Fixtures.base(spark, sfDir), Fixtures.deltas(spark, sfDir))))
-      f"""{"create_sec":$tCreate%.3f,"refresh_sec":$tRefresh%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f}"""
+      def recomputeOnce(tag: String) = store.put(s"bench_full$tag",
+        Ivm.recompute(view, Fixtures.base(spark, sfDir), Fixtures.deltas(spark, sfDir)))
+      // First iterations pay plan compilation/codegen; the steady-state
+      // (second) iteration is the per-batch cost that matters for IVM.
+      val tRefresh1 = time(refreshOnce())
+      val tRefresh2 = time(refreshOnce())
+      val tRecompute1 = time(recomputeOnce("1"))
+      val tRecompute2 = time(recomputeOnce("2"))
+      f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh2%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute2%.3f,"speedup":${tRecompute2 / tRefresh2}%.2f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"sf":"$sfDir"}""")

@@ -113,7 +113,7 @@ object SparkEntry {
     "q08_ivm_apply" -> ((s, dir) => {
       val store = new MemStore
       Ivm.create("q08", aggView, base(s, dir), store)
-      Ivm.refresh("q08", aggView, base(s, dir), deltas(s, dir), store)
+      Ivm.refreshState("q08", aggView, base(s, dir), deltas(s, dir), store)
       Ivm.read("q08", aggView, store)
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_price").cast("double").as("sum_price"),
@@ -129,7 +129,7 @@ object SparkEntry {
         Seq(Min(col("l_quantity"), "min_qty"), Max(col("l_quantity"), "max_qty"),
           Min(col("l_shipdate"), "min_ship"), CountStar("cnt")))
       Ivm.create("q11", v, base(s, dir), store)
-      Ivm.refresh("q11", v, base(s, dir), deltas(s, dir), store)
+      Ivm.refreshState("q11", v, base(s, dir), deltas(s, dir), store)
       Ivm.read("q11", v, store)
     }),
 

@@ -27,6 +27,22 @@ import scala.util.Try
 object Ivm {
   import IvmCore._
 
+  // State materializations (create seeds, refresh pins/commits) are
+  // independent per state path; running them as concurrent Spark jobs
+  // hides per-job scheduling latency — a view with MIN/MAX aux states
+  // otherwise serializes ~4x more tiny jobs per refresh.
+  private implicit val statePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "ivm-state"); t.setDaemon(true); t
+      }))
+
+  private def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+  }
+
   // ------------------------------------------------------------ catalog
 
   private val views = TrieMap.empty[String, IvmQuery]
@@ -78,21 +94,23 @@ object Ivm {
       q: IvmQuery,
       base: String => DataFrame,
       store: IvmStore): DataFrame = {
-    // materialize every aggregate node's state, bottom-up
-    def walk(node: IvmQuery, path: String): Unit = node match {
+    // Materialize every aggregate node's state. Seeds at one level are
+    // independent → parallel puts; levels still commit bottom-up (a level's
+    // eval only READS base tables, so even that ordering is conservative).
+    def walk(node: IvmQuery, path: String): Seq[(String, () => DataFrame)] = node match {
       case a @ Aggregate(c, _, _) =>
-        walk(c, path + ".0")
-        store.put(stateName(view, path), Eval.evalState(a, base))
-        a.aggs.filter(AggSpec.needsAux).foreach { spec =>
-          store.put(stateName(view, s"$path.aux.${spec.name}"),
-            Eval.evalAuxState(a, spec, base))
-        }
+        walk(c, path + ".0") ++
+          Seq((stateName(view, path), () => Eval.evalState(a, base))) ++
+          a.aggs.filter(AggSpec.needsAux).map { spec =>
+            (stateName(view, s"$path.aux.${spec.name}"),
+              () => Eval.evalAuxState(a, spec, base))
+          }
       case Filter(c, _)  => walk(c, path + ".0")
       case Project(c, _) => walk(c, path + ".0")
-      case Join(l, r, _) => walk(l, path + ".0"); walk(r, path + ".1")
-      case Scan(_)       => ()
+      case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
+      case Scan(_)       => Seq.empty
     }
-    walk(q, "r")
+    inParallel(walk(q, "r")) { case (name, mk) => store.put(name, mk()) }
     q match {
       case _: Aggregate => () // top state IS the view
       case _ =>
@@ -135,18 +153,48 @@ object Ivm {
       base: String => DataFrame,
       deltas: String => Option[DataFrame],
       store: IvmStore,
-      broadcastDeltas: Boolean = true): DataFrame = {
+      broadcastDeltas: Boolean = true): DataFrame =
+    doRefresh(view, q, base, deltas, store, broadcastDeltas, needDelta = true)
+
+  /** [[refresh]] without materializing ΔV — for callers that only read the
+    * maintained view afterwards (the common steady-state loop). For an
+    * Aggregate-top view the output changelog is pure derivation from the
+    * cached state join, so skipping it saves the largest job per batch.
+    * SPJ-top views still need ΔV (it IS the state merge input). */
+  def refreshState(
+      view: String,
+      q: IvmQuery,
+      base: String => DataFrame,
+      deltas: String => Option[DataFrame],
+      store: IvmStore,
+      broadcastDeltas: Boolean = true): Unit = {
+    doRefresh(view, q, base, deltas, store, broadcastDeltas,
+      needDelta = !q.isInstanceOf[Aggregate])
+    ()
+  }
+
+  private def doRefresh(
+      view: String,
+      q: IvmQuery,
+      base: String => DataFrame,
+      deltas: String => Option[DataFrame],
+      store: IvmStore,
+      broadcastDeltas: Boolean,
+      needDelta: Boolean): DataFrame = {
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
       broadcastDeltas)
-    val dv = ZDelta.delta(q, ctx).cache()
-    dv.count() // pin ΔV before any state mutates
+    val dv0 = ZDelta.delta(q, ctx)
+    val dv = if (needDelta) {
+      val c = dv0.cache(); c.count(); c // pin ΔV before any state mutates
+    } else dv0 // interior state updates are pinned below; ΔV never forced
 
     // Pin EVERY pending state update before committing ANY: all reads of
-    // old state must happen before the first write replaces it.
-    val pinned = ctx.updates.toSeq.map { u =>
+    // old state must happen before the first write replaces it. Pins are
+    // independent (distinct state paths) → concurrent jobs; ditto commits.
+    val pinned = inParallel(ctx.updates.toSeq) { u =>
       val c = u.updated.cache(); c.count(); u.copy(updated = c)
     }
-    pinned.foreach { u =>
+    inParallel(pinned) { u =>
       val old = store(stateName(view, u.path))
       val untouched =
         if (u.keys.isEmpty) old.limit(0)

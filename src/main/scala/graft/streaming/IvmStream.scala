@@ -53,8 +53,7 @@ object IvmStream {
         if (!batch.isEmpty) {
           val deltas: String => Option[DataFrame] =
             t => if (t == table) Some(batch) else None
-          Ivm.refresh(view, q, base, deltas, store)
-          ()
+          Ivm.refreshState(view, q, base, deltas, store)
         }
       }
       .start()
