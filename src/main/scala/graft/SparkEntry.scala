@@ -222,6 +222,34 @@ object SparkEntry {
       ops.Multimodal.sampleFrames(
         ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")), everyN = 2)),
 
+    // Sessionization: 30-minute-gap sessions per user via window functions
+    // (lag + running sum). ts stays integer nanos end-to-end; session
+    // bounds exported as epoch micros BIGINT for cross-engine parity.
+    "q30_events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      tbl(s, dir, "events")
+        .withColumn("new_s",
+          when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs || lag(col("ts"), 1).over(byUser).isNull, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          org.apache.spark.sql.functions.expr("min(ts) DIV 1000").as("start_us"),
+          org.apache.spark.sql.functions.expr("max(ts) DIV 1000").as("end_us"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
+    // JSON field extraction from the event payload column.
+    "q31_events_json" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"),
+          count(col("k")).as("n_k"),
+          max(col("k")).as("max_k"))),
+
     // Windowed event aggregation (batch form of the streaming op).
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos (legacy
     // conf, set in our session builders) and converted with integer DIV —
@@ -400,6 +428,32 @@ object SparkEntry {
       """SELECT event_type,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          CAST(COUNT(*) AS BIGINT) AS n, MAX(value) AS max_value
+         FROM events GROUP BY event_type""",
+
+    "q30_events_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), s AS (
+           SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+           FROM e
+         )
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, session_id""",
+
+    "q31_events_json" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
 
     "q29_events_hourly" ->
