@@ -73,6 +73,11 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "join_agg" -> Aggregate(
         Join(Project(sc, Seq(col("g"), col("v"))),
           Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+        Seq("h"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      // deltas arrive on BOTH join sides: all three ΔA⋈B/A⋈ΔB/ΔA⋈ΔB terms
+      "join_agg_2side" -> Aggregate(
+        Join(Project(sc, Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
         Seq("h"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))))
   }
 
@@ -86,8 +91,16 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         val u = mkDf(uRows, withMult = false).select(col("g"), col("h"))
         val d = mkDf(dRows, withMult = true)
         val base: String => DataFrame = { case "t" => t; case "u" => u }
-        val deltas: String => Option[DataFrame] =
-          nm => if (nm == "t") Some(d) else None
+        val twoSided = name.endsWith("_2side")
+        val dU =
+          if (!twoSided) None
+          else Some(mkDf(sample(genDelta(uRows), seed * 15485863L), withMult = true)
+            .select(col("g"), col("h"), col(IvmCore.MULT)))
+        val deltas: String => Option[DataFrame] = {
+          case "t" => Some(d)
+          case "u" => dU
+          case _   => None
+        }
 
         val store = new MemStore
         Ivm.create(name, q, base, store)
