@@ -133,6 +133,19 @@ object SparkEntry {
       Ivm.read("q11", v, store)
     }),
 
+    // DISTINCT as a maintainable view (dropDuplicates IVM-style): group
+    // liveness under inserts AND deletes is the distinct row set.
+    "q12_ivm_distinct_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = IvmQuery.distinct(
+        Project(Scan("lineitem"),
+          Seq(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))),
+        Seq("l_returnflag", "l_linestatus", "l_quantity"))
+      Ivm.create("q12", v, base(s, dir), store)
+      Ivm.refreshState("q12", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q12", v, store)
+    }),
+
     // Join delta: Δ(C⋈O) = ΔC⋈O ⊎ C⋈ΔO ⊎ ΔC⋈ΔO with weights multiplied
     // (poster math; reference code rejects joins).
     "q09_ivm_join_delta" -> ((s, dir) => {
@@ -330,6 +343,14 @@ object SparkEntry {
                  MAX(l_quantity) AS max_qty, MIN(l_shipdate) AS min_ship,
                  CAST(SUM(c) AS BIGINT) AS cnt
           FROM applied GROUP BY l_returnflag""",
+
+    "q12_ivm_distinct_apply" ->
+      s"""SELECT l_returnflag, l_linestatus, l_quantity FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+          ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0""",
 
     "q09_ivm_join_delta" ->
       s"""WITH dc AS ($DC), do_ AS ($DO_)

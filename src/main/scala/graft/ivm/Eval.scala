@@ -20,9 +20,12 @@ object Eval {
     case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
     case Aggregate(c, keys, aggs) =>
       val child = eval(c, resolve)
-      val exprs = aggs.map(evalAgg)
-      if (keys.isEmpty) child.agg(exprs.head, exprs.tail: _*)
-      else child.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+      if (aggs.isEmpty) child.select(keys.map(col): _*).distinct() // DISTINCT view
+      else {
+        val exprs = aggs.map(evalAgg)
+        if (keys.isEmpty) child.agg(exprs.head, exprs.tail: _*)
+        else child.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+      }
   }
 
   private def evalAgg(a: AggSpec): Column = a match {

@@ -68,8 +68,10 @@ final case class Project(child: IvmQuery, cols: Seq[Column]) extends IvmQuery
 
 /** GROUP BY over named key columns with structured aggregates
   * (reference O5/O6, ivm_rewrite_rule.hpp:221-253). Empty keys = global
-  * aggregate. Aggregates are structured (not opaque Columns) because the
-  * delta rules differ per function. */
+  * aggregate; empty aggs = DISTINCT over the keys (dropDuplicates as an
+  * IVM-able operator: group liveness IS the distinct row set). Aggregates
+  * are structured (not opaque Columns) because the delta rules differ per
+  * function. */
 final case class Aggregate(child: IvmQuery, keys: Seq[String], aggs: Seq[AggSpec])
     extends IvmQuery
 
@@ -79,6 +81,12 @@ final case class Aggregate(child: IvmQuery, keys: Seq[String], aggs: Seq[AggSpec
   * Δ(A⋈B) = ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB with weights multiplied). */
 final case class Join(left: IvmQuery, right: IvmQuery, keys: Seq[String])
     extends IvmQuery
+
+object IvmQuery {
+  /** DISTINCT over `cols` — `dropDuplicates` as a maintainable view. */
+  def distinct(child: IvmQuery, cols: Seq[String]): IvmQuery =
+    Aggregate(child, cols, Seq.empty)
+}
 
 /** Structured aggregate functions with known delta rules.
   * SUM and COUNT are the reference's declared surface (README.md:35);

@@ -49,6 +49,11 @@ object ParityDelta {
       // O4/O7: projection with the multiplicity column appended last.
       delta(c, resolveDelta).select(cols :+ col(MULT): _*)
 
+    case Aggregate(_, _, aggs) if aggs.isEmpty =>
+      throw new UnsupportedOperationException(
+        "DISTINCT views are outside the reference parity surface; " +
+          "maintain them via Ivm.refresh")
+
     case Aggregate(c, keys, aggs) =>
       // O5/O6: multiplicity joins the grouping keys; aggregate functions
       // themselves are reused unchanged (unsigned SUM/COUNT per (group, ±)).

@@ -54,6 +54,10 @@ object SqlFrontend {
       graft.ivm.Join(fold(l), fold(r), cols)
     case Join(l, r, Inner, Some(cond), _) =>
       graft.ivm.Join(fold(l), fold(r), equiKeys(cond))
+    case Distinct(Project(exprs, child))
+        if exprs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+      IvmQuery.distinct(fold(child),
+        exprs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last))
     case SubqueryAlias(_, child) => fold(child)
     case u: UnresolvedRelation   => Scan(u.multipartIdentifier.last)
     case other => throw new UnsupportedOperationException(

@@ -62,6 +62,7 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
       "filter_agg" -> Aggregate(Filter(sc, col("v") =!= 0), Seq("g"),
         Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      "distinct" -> IvmQuery.distinct(sc, Seq("g", "h")),
       "agg_minmax" -> Aggregate(sc, Seq("g"),
         Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
           Sum(col("v"), "sum_v"), CountStar("n"))),
