@@ -74,11 +74,51 @@ object IvmStream {
       case AggSpec.Avg(e, n)    => (sum(e * w) / sum(when(e.isNotNull, w).otherwise(lit(0)))).as(n)
       case AggSpec.Min(_, _) | AggSpec.Max(_, _) =>
         throw new UnsupportedOperationException(
-          "MIN/MAX under retraction need multiset state; use the " +
-            "foreachBatch maintain() mode, which supports them")
+          "MIN/MAX under retraction need multiset state; use " +
+            "statefulMinMax (flatMapGroupsWithState) or the foreachBatch " +
+            "maintain() mode, both of which support them")
     }
     if (keys.isEmpty) deltaStream.agg(exprs.head, exprs.tail: _*)
     else deltaStream.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Per-group output of [[statefulMinMax]]. */
+  final case class MinMaxUpdate(
+      key: String, min: Option[Double], max: Option[Double], count: Long)
+
+  /** Streaming MIN/MAX under retraction — the case [[statefulAgg]] cannot
+    * express with weighted sums: deleting the current extremum must fall
+    * back to the runner-up, which needs a value multiset per group. Uses
+    * `flatMapGroupsWithState` with a (value → count) map as custom state —
+    * the batch engine keeps this multiset in the [[graft.ivm.IvmStore]]
+    * (ZDelta aux state); here Spark's state store keeps it per group.
+    *
+    * Input schema: key STRING, v DOUBLE, `_duckdb_ivm_multiplicity` BOOL.
+    * Emits one [[MinMaxUpdate]] per touched group per micro-batch
+    * (count == 0 ⇒ the group died). Update output mode.
+    */
+  def statefulMinMax(deltaStream: DataFrame, keyCol: String, valCol: String): org.apache.spark.sql.Dataset[MinMaxUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = deltaStream.sparkSession
+    import spark.implicits._
+    val rows = deltaStream.select(
+      col(keyCol).cast("string"), col(valCol).cast("double"), col(MULT))
+      .as[(String, Double, Boolean)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Double, Long], MinMaxUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, batch, state: GroupState[Map[Double, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Double, Long])
+          batch.foreach { case (_, v, isInsert) =>
+            val d = if (isInsert) 1L else -1L
+            val n = m.getOrElse(v, 0L) + d
+            m = if (n == 0L) m - v else m.updated(v, n)
+          }
+          if (m.isEmpty) state.remove() else state.update(m)
+          val alive = m.filter(_._2 > 0L)
+          Iterator.single(MinMaxUpdate(key,
+            alive.keys.minOption, alive.keys.maxOption, alive.values.sum))
+      }
   }
 
   /** Event-time tumbling-window aggregation with watermark-bounded state —

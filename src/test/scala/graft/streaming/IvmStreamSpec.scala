@@ -76,6 +76,33 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(last("b").getLong(1) == 4L && last("b").getLong(2) == 1L)
   }
 
+  test("statefulMinMax: deleting the current extremum falls back to runner-up") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val updates = IvmStream.statefulMinMax(
+      mem.toDF().withColumn("v", col("v").cast("double"))
+        .withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT),
+      keyCol = "g", valCol = "v")
+    val query = updates.toDF().writeStream.format("memory")
+      .queryName("mm_stream").outputMode("update").start()
+
+    mem.addData(D("a", 5, true), D("a", 9, true), D("a", 2, true))
+    query.processAllAvailable()
+    mem.addData(D("a", 2, false)) // delete current MIN
+    query.processAllAvailable()
+    mem.addData(D("a", 9, false), D("a", 5, false)) // group dies
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = s.table("mm_stream").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    assert(rows(0) == ("a", Some(2.0), Some(9.0), 3L))
+    assert(rows(1) == ("a", Some(5.0), Some(9.0), 2L)) // min fell back to 5
+    assert(rows(2) == ("a", None, None, 0L))           // death emitted
+  }
+
   test("windowedAgg: watermarked tumbling window over event stream") {
     val s = spark
     import s.implicits._
