@@ -18,9 +18,9 @@ import graft.ivm._
   *     treated as one delta table (schema = base schema + boolean
   *     `_duckdb_ivm_multiplicity`), so the FULL engine surface (joins,
   *     multi-level aggregates, the store) works unchanged. State lives in
-  *     the [[IvmStore]] (versioned parquet at scale), checkpointing gives
-  *     at-least-once; refresh is idempotent per batch id when the caller
-  *     passes `dedupeBatches = true`.
+  *     the [[IvmStore]] (versioned parquet at scale). Checkpoint replay is
+  *     deduplicated: the last applied batch id is recorded in the store,
+  *     so a re-delivered micro-batch is skipped (effectively-once).
   *
   *  2. [[statefulAgg]] — pure Structured Streaming stateful aggregation
   *     for single-level Aggregate(Scan) views: `groupBy(keys).agg(sum(e*w))`
@@ -49,11 +49,19 @@ object IvmStream {
     deltaStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once under failure/restart; the store
+        // remembers the last applied id so replays are no-ops.
+        val marker = s"$view/_last_batch"
+        val last = store.get(marker)
+          .map(_.collect()(0).getLong(0)).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty) {
           val deltas: String => Option[DataFrame] =
             t => if (t == table) Some(batch) else None
           Ivm.refreshState(view, q, base, deltas, store)
+          val spark = batch.sparkSession
+          import spark.implicits._
+          store.put(marker, Seq(batchId).toDF("batch_id"))
         }
       }
       .start()
