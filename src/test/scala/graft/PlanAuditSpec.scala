@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the properties that make these operators viable at
+  * 100 TB, asserted so a refactor cannot silently regress them.
+  *
+  * (Executed plans are inspected as strings — the stable, version-tolerant
+  * way to assert "has a broadcast join" / "reads only these columns".)
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = {
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("delta aggregate (q04): pruned scan, partial+final agg, one exchange") {
+    val p = plan(q("q04_ivm_agg_groupby"))
+    assert(p.contains("HashAggregate"), p)
+    // column-pruned parquet scan: discount/tax/partkey/suppkey not read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_discount") && !p.contains("l_partkey"),
+      "delta agg scan must prune unused columns")
+  }
+
+  test("join delta (q09): every delta term is a broadcast join, base never shuffles") {
+    val p = plan(q("q09_ivm_join_delta"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected 3 broadcast delta-join terms:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "delta joins must not sort-merge (base side would shuffle)")
+  }
+
+  test("ANN brute force (q25): corpus side has no shuffle before ranking") {
+    val p = plan(q("q25_ann_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+
+  test("exact dedup (q20): partial aggregation before the exchange") {
+    val p = plan(q("q20_dedup_exact"))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, p)
+    // partial (map-side) aggregate appears below the exchange in the tree —
+    // string order: final agg, exchange, partial agg
+    assert(p.lastIndexOf("HashAggregate") > exchange,
+      "map-side partial aggregation must precede the shuffle")
+  }
+
+  test("text analysis (q27): single pass, no shuffle at all") {
+    val p = plan(q("q27_text_analyze"))
+    assert(!p.contains("Exchange"),
+      s"per-document analysis must be map-only:\n$p")
+  }
+
+  test("multimodal features (q50): payload dropped before output") {
+    val df = q("q50_multimodal_features")
+    assert(!df.columns.contains("payload"))
+  }
+}
