@@ -210,6 +210,21 @@ object SparkEntry {
     "q27_text_analyze" -> ((s, dir) =>
       ops.TextOps.analyze(tbl(s, dir, "documents"))),
 
+    // Grouping sets: ROLLUP over (returnflag, linestatus) — subtotals and
+    // grand total in one pass (Expand + single aggregate in Spark).
+    "q32_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))),
+
+    // Deterministic top-k: ORDER BY with an id tiebreak + LIMIT.
+    "q33_topk_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
     // Salted two-phase aggregation over a skewed key (event_type is a
     // handful of hot values): result identical to a direct groupBy, but
     // each hot key spreads over 32 reducers in phase 1.
@@ -443,6 +458,16 @@ object SparkEntry {
             FROM scored) WHERE rank <= 5""",
 
     "q27_text_analyze" -> textAnalyzeSql,
+
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q33_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 
     // Salting is invisible in the result — the oracle is the plain GROUP BY.
     "q28_skew_salted_agg" ->
