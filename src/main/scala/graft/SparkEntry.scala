@@ -146,6 +146,26 @@ object SparkEntry {
       Ivm.read("q12", v, store)
     }),
 
+    // REAL TPC-H Q13 (LEFT OUTER join + two-level aggregation — the
+    // poster's running example), maintained incrementally: customers with
+    // zero orders keep c_count = 0 through order deletions/insertions via
+    // the match-count state's 0↔>0 transitions.
+    "q14_ivm_q13_real_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(
+        Aggregate(
+          LeftJoin(
+            Project(Scan("customer"), Seq(col("c_custkey").as("custkey"))),
+            Project(Scan("orders"), Seq(col("o_custkey").as("custkey"),
+              col("o_orderkey"))),
+            Seq("custkey")),
+          Seq("custkey"), Seq(Count(col("o_orderkey"), "c_count"))),
+        Seq("c_count"), Seq(CountStar("custdist")))
+      Ivm.create("q14", v, base(s, dir), store)
+      Ivm.refreshState("q14", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q14", v, store)
+    }),
+
     // Join delta: Δ(C⋈O) = ΔC⋈O ⊎ C⋈ΔO ⊎ ΔC⋈ΔO with weights multiplied
     // (poster math; reference code rejects joins).
     "q09_ivm_join_delta" -> ((s, dir) => {
@@ -358,6 +378,24 @@ object SparkEntry {
                  MAX(l_quantity) AS max_qty, MIN(l_shipdate) AS min_ship,
                  CAST(SUM(c) AS BIGINT) AS cnt
           FROM applied GROUP BY l_returnflag""",
+
+    "q14_ivm_q13_real_apply" ->
+      s"""WITH o2 AS (
+            -- multiset apply: m = post-delta multiplicity per order row
+            -- (a derived "insert" duplicates an existing base row -> m = 2)
+            SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY o_orderkey, o_custkey HAVING SUM(w) > 0
+          ), c1 AS (
+            SELECT c_custkey, CAST(COALESCE(SUM(m), 0) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN o2 ON c_custkey = o_custkey
+            GROUP BY c_custkey
+          )
+          SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+          FROM c1 GROUP BY c_count""",
 
     "q12_ivm_distinct_apply" ->
       s"""SELECT l_returnflag, l_linestatus, l_quantity FROM (

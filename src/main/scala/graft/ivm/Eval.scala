@@ -18,6 +18,8 @@ object Eval {
     case Filter(c, pred)    => eval(c, resolve).filter(pred)
     case Project(c, cols)   => eval(c, resolve).select(cols: _*)
     case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
+    case LeftJoin(l, r, keys) =>
+      eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
     case Aggregate(c, keys, aggs) =>
       val child = eval(c, resolve)
       if (aggs.isEmpty) child.select(keys.map(col): _*).distinct() // DISTINCT view

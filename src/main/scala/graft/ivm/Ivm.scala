@@ -108,6 +108,11 @@ object Ivm {
       case Filter(c, _)  => walk(c, path + ".0")
       case Project(c, _) => walk(c, path + ".0")
       case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
+      case lj @ LeftJoin(l, r, keys) =>
+        walk(l, path + ".0") ++ walk(r, path + ".1") :+
+          ((stateName(view, s"$path.rcnt"), () =>
+            Eval.eval(r, base).groupBy(keys.map(col): _*)
+              .agg(count(lit(1)).as(HCOUNT))))
       case Scan(_)       => Seq.empty
     }
     inParallel(walk(q, "r")) { case (name, mk) => store.put(name, mk()) }
@@ -198,8 +203,8 @@ object Ivm {
       val old = store(stateName(view, u.path))
       val untouched =
         if (u.keys.isEmpty) old.limit(0)
-        else old.join(broadcast(u.updated.select(u.keys.map(col): _*)),
-          u.keys, "left_anti")
+        else ZDelta.filterByKeys(old, u.updated, u.keys,
+          anti = true, hint = broadcast) // null-safe: NULL group keys must match their state row
       val alive =
         if (u.keys.isEmpty) u.updated // global agg state always 1 row
         else u.updated.where(col(HCOUNT) > 0)

@@ -53,6 +53,7 @@ sealed trait IvmQuery {
     case Project(c, _)       => c.tables
     case Aggregate(c, _, _)  => c.tables
     case Join(l, r, _)       => l.tables ++ r.tables
+    case LeftJoin(l, r, _)   => l.tables ++ r.tables
   }
 }
 
@@ -81,6 +82,15 @@ final case class Aggregate(child: IvmQuery, keys: Seq[String], aggs: Seq[AggSpec
   * Δ(A⋈B) = ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB with weights multiplied). */
 final case class Join(left: IvmQuery, right: IvmQuery, keys: Seq[String])
     extends IvmQuery
+
+/** LEFT OUTER equi-join — the join the poster's actual TPC-H Q13 uses.
+  * Incremental maintenance needs one extra piece of state: the per-key
+  * match count of the right side, so right-side deltas can detect 0↔>0
+  * transitions (birth/death of null-extended left rows). */
+final case class LeftJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
+    extends IvmQuery {
+  require(keys.nonEmpty, "LeftJoin requires join keys")
+}
 
 object IvmQuery {
   /** DISTINCT over `cols` — `dropDuplicates` as a maintainable view. */

@@ -51,6 +51,39 @@ object ZDelta {
   def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
     q.tables.exists(t => ctx.deltaOf(t).isDefined)
 
+  // ---- null-safe state joins -------------------------------------------
+  // Group keys can be NULL (SQL GROUP BY treats NULL as a group), but an
+  // equi-join on the key columns would never match that group's state row
+  // (NULL != NULL in join conditions). Every join against keyed STATE must
+  // therefore use null-safe equality (<=>). Joins that implement actual
+  // SQL join semantics (LOJ matching, anti-row scans) stay equi — there
+  // NULL keys correctly never match.
+
+  private def nullSafeCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
+    keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+
+  /** left_semi / left_anti of `big` against `small`, null-safe on keys. */
+  private[ivm] def filterByKeys(
+      big: DataFrame, small: DataFrame, keys: Seq[String],
+      anti: Boolean = false,
+      hint: DataFrame => DataFrame = identity): DataFrame = {
+    val s = hint(small.select(keys.map(col): _*))
+    big.join(s, nullSafeCond(big, s, keys), if (anti) "left_anti" else "left_semi")
+  }
+
+  /** `drive LEFT OUTER other` null-safe on keys; result keeps `drive`'s key
+    * columns and `other`'s non-key columns (other's keys are dropped). */
+  private[ivm] def leftOuterByKeys(
+      drive: DataFrame, other: DataFrame, keys: Seq[String],
+      hint: DataFrame => DataFrame = identity): DataFrame = {
+    val renamed = hint(keys.foldLeft(other) { (df, k) =>
+      df.withColumnRenamed(k, s"__ivm_rk_$k")
+    })
+    val cond = keys.map(k => drive(k) <=> renamed(s"__ivm_rk_$k")).reduce(_ && _)
+    drive.join(renamed, cond, "left_outer")
+      .drop(keys.map(k => s"__ivm_rk_$k"): _*)
+  }
+
   /** Normalize a boolean-multiplicity delta table to signed-weight form. */
   def weighted(deltaTable: DataFrame): DataFrame =
     deltaTable
@@ -77,6 +110,9 @@ object ZDelta {
 
     case Join(l, r, keys) =>
       deltaJoin(l, r, keys, ctx, path)
+
+    case LeftJoin(l, r, keys) =>
+      deltaLeftJoin(l, r, keys, ctx, path)
 
     case agg @ Aggregate(_, _, _) =>
       deltaAggregate(agg, ctx, path)
@@ -139,6 +175,120 @@ object ZDelta {
     case Join(l, r, keys) =>
       keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
         outputNames(r, ctx).filterNot(keys.contains)
+    case LeftJoin(l, r, keys) =>
+      keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
+        outputNames(r, ctx).filterNot(keys.contains)
+  }
+
+  // ------------------------------------------------------ left outer join
+
+  /** Δ(A LEFT OUTER JOIN B):
+    *
+    *   LOJ(A,B) = Inner(A,B) ⊎ anti(A,B)×nulls,
+    *   anti(A,B) = rows of A whose key has matchCount_B = 0.
+    *
+    * The inner part deltas exactly like [[deltaJoin]]. The anti part is
+    * driven by the maintained per-key match count of B (state `path.rcnt`):
+    *
+    *   (i)   ΔA rows whose post-batch count is 0 → null-extended, weight w
+    *   (ii)  keys whose count died  (>0 → 0): A's rows re-enter anti, +1
+    *   (iii) keys whose count was born (0 → >0): A's rows leave anti, −1
+    *
+    * (ii)/(iii) scan A only for transitioned keys (broadcast semi-join —
+    * pushdown-friendly, O(touched keys) selectivity at any scale), and ΔA
+    * rows on those keys are covered by (i) since it uses POST-batch counts.
+    */
+  private def deltaLeftJoin(
+      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
+    val lHas = hasDelta(l, ctx)
+    val rHas = hasDelta(r, ctx)
+    require(lHas || rHas, s"delta of left join with no deltas on either side at $path")
+    def bcast(df: DataFrame): DataFrame =
+      if (ctx.broadcastDeltas) broadcast(df) else df
+
+    lazy val dl0 = delta(l, ctx, path + ".0")
+    lazy val dl = { val c = dl0.cache(); ctx.pins += c; c }
+    lazy val dr0 = delta(r, ctx, path + ".1")
+    lazy val dr = { val c = dr0.cache(); ctx.pins += c; c }
+    lazy val bl = Eval.eval(l, ctx.base)
+    lazy val br = Eval.eval(r, ctx.base)
+
+    val outCols = joinOut(l, r, keys, ctx)
+    // typed NULLs for the right side's non-key columns
+    val rSchema = Eval.eval(r, ctx.base).schema
+    val rNonKey = outputNames(r, ctx).filterNot(keys.contains)
+    val nullR: Seq[Column] = rNonKey.map(n =>
+      lit(null).cast(rSchema(n).dataType).as(n))
+    def nullExtended(aSide: DataFrame, weight: Column): DataFrame = {
+      val lCols = outputNames(l, ctx).filterNot(keys.contains).map(col)
+      aSide.select((keys.map(col) ++ lCols ++ nullR :+ weight.as(WEIGHT)): _*)
+        .select(outCols :+ col(WEIGHT): _*)
+    }
+
+    // ---- inner-join delta terms (same as deltaJoin)
+    val innerTerms = mutable.Buffer.empty[DataFrame]
+    if (lHas)
+      innerTerms += bcast(dl).join(br, keys).select(outCols :+ col(WEIGHT): _*)
+    if (rHas)
+      innerTerms += bl.join(bcast(dr), keys).select(outCols :+ col(WEIGHT): _*)
+    if (lHas && rHas) {
+      val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
+      val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
+      innerTerms += dl2.join(bcast(dr2), keys)
+        .withColumn(WEIGHT, col("__ivm_wl") * col("__ivm_wr"))
+        .select(outCols :+ col(WEIGHT): _*)
+    }
+
+    // ---- match-count state maintenance + key transitions
+    val cntPath = s"$path.rcnt"
+    val oldCnt = ctx.state(cntPath)
+    val terms = mutable.Buffer.empty[DataFrame] ++= innerTerms
+    // new count per key = old + Σw over ΔB, for ΔB-touched keys
+    val touchedNew: Option[DataFrame] = if (rHas) {
+      val adj = dr.groupBy(keys.map(col): _*).agg(sum(col(WEIGHT)).as("__ivm_adj"))
+      val oldTouched = filterByKeys(oldCnt, adj, keys, hint = bcast)
+      val upd = leftOuterByKeys(adj, oldTouched, keys, hint = bcast)
+        .select((keys.map(col) :+
+          (coalesce(col(HCOUNT), lit(0)) + coalesce(col("__ivm_adj"), lit(0)))
+            .as(HCOUNT) :+
+          coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
+      val updC = upd.cache(); ctx.pins += updC
+      ctx.updates += StateUpdate(cntPath, keys,
+        updC.select((keys.map(col) :+ col(HCOUNT)): _*))
+      // (ii) died keys: A's rows re-enter anti (+1 each)
+      val died = updC.where(col("__ivm_oldcnt") > 0 && col(HCOUNT) <= 0)
+        .select(keys.map(col): _*)
+      terms += nullExtended(bl.join(bcast(died), keys, "left_semi"), lit(1))
+      // (iii) born keys: A's rows leave anti (−1 each)
+      val born = updC.where(col("__ivm_oldcnt") <= 0 && col(HCOUNT) > 0)
+        .select(keys.map(col): _*)
+      terms += nullExtended(bl.join(bcast(born), keys, "left_semi"), lit(-1))
+      Some(updC)
+    } else None
+
+    // (i) ΔA rows with POST-batch count 0 (incl. keys absent from state)
+    if (lHas) {
+      val cntForDl = touchedNew match {
+        case Some(upd) =>
+          // post-batch count: updated value for ΔB-touched keys, else old
+          dl.join(bcast(upd.select((keys.map(col) :+ col(HCOUNT).as("__ivm_newc")): _*)),
+              keys, "left_outer")
+            .join(bcast(oldCnt.withColumnRenamed(HCOUNT, "__ivm_oldc")
+              .join(bcast(dl.select(keys.map(col): _*).distinct()), keys, "left_semi")),
+              keys, "left_outer")
+            .withColumn("__ivm_cnt",
+              coalesce(col("__ivm_newc"), col("__ivm_oldc"), lit(0)))
+        case None =>
+          dl.join(bcast(oldCnt.withColumnRenamed(HCOUNT, "__ivm_oldc")
+              .join(bcast(dl.select(keys.map(col): _*).distinct()), keys, "left_semi")),
+              keys, "left_outer")
+            .withColumn("__ivm_cnt", coalesce(col("__ivm_oldc"), lit(0)))
+      }
+      terms += nullExtended(
+        cntForDl.where(col("__ivm_cnt") <= 0), col(WEIGHT))
+    }
+
+    terms.reduce(_.unionByName(_))
   }
 
   private[ivm] def colName(c: Column): String = {
@@ -212,9 +362,8 @@ object ZDelta {
           .groupBy(auxKeys.map(col): _*)
           .agg(sum(w).as(adj(HCOUNT)))
         val oldAux = ctx.state(auxPath)
-        val oldAuxTouched = oldAux.join(
-          bcast(dAux.select(auxKeys.map(col): _*)), auxKeys, "left_semi")
-        val updatedAux = dAux.join(bcast(oldAuxTouched), auxKeys, "left_outer")
+        val oldAuxTouched = filterByKeys(oldAux, dAux, auxKeys, hint = bcast)
+        val updatedAux = leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
           .select((auxKeys.map(col) :+
             (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
               .as(HCOUNT)): _*)
@@ -225,9 +374,9 @@ object ZDelta {
         //   plus updated pairs still alive
         val touchedGroups =
           if (keys.isEmpty) oldAux
-          else oldAux.join(bcast(touched.select(keys.map(col): _*)), keys, "left_semi")
-        val merged = touchedGroups
-          .join(bcast(updatedAux.select(auxKeys.map(col): _*)), auxKeys, "left_anti")
+          else filterByKeys(oldAux, touched, keys, hint = bcast)
+        val merged = filterByKeys(touchedGroups, updatedAux, auxKeys,
+            anti = true, hint = bcast)
           .unionByName(updatedAux.where(col(HCOUNT) > 0))
         val extFn = a match {
           case _: AggSpec.Min => min(col(vCol))
@@ -251,16 +400,15 @@ object ZDelta {
       // Global aggregate: single-row state, cross join is 1×1.
       touched.crossJoin(old)
     } else {
-      val oldTouched =
-        old.join(bcast(touched.select(keys.map(col): _*)), keys, "left_semi")
-      touched.join(bcast(oldTouched), keys, "left_outer")
+      val oldTouched = filterByKeys(old, touched, keys, hint = bcast)
+      leftOuterByKeys(touched, oldTouched, keys, hint = bcast)
     }
     // Attach the recomputed extrema (one tiny frame per MIN/MAX spec).
     // A global newExt aggregate always yields exactly one row (possibly
     // null extremum), so crossJoin is safe.
     val joined0 = newExtFrames.foldLeft(joined1) { case (acc, (_, newExt, _)) =>
       if (keys.isEmpty) acc.crossJoin(newExt)
-      else acc.join(bcast(newExt), keys, "left_outer")
+      else leftOuterByKeys(acc, newExt, keys, hint = bcast)
     }
     // Three consumers (state update, retractions, assertions) would each
     // recompute the state join; cache it once. O(touched groups) rows.

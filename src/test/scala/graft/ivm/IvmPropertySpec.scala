@@ -26,7 +26,9 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
 
   private val Cases = 10
 
-  private val keys = Gen.oneOf("a", "b", "c", "d")
+  private val keys = Gen.frequency(
+    8 -> Gen.oneOf("a", "b", "c", "d"),
+    1 -> Gen.const(null.asInstanceOf[String])) // NULL group/join keys
   private val genRow = for {
     g <- keys; h <- Gen.choose(0, 2)
     v <- Gen.oneOf(Gen.const(null), Gen.choose(-50, 50)) // null v exercises SUM/COUNT null rules
@@ -79,7 +81,19 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "join_agg_2side" -> Aggregate(
         Join(Project(sc, Seq(col("g"), col("v"))),
           Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
-        Seq("h"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))))
+        Seq("h"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      // LEFT OUTER join: null-extension birth/death on 0<->HCOUNT transitions
+      "loj" -> LeftJoin(Project(sc, Seq(col("g"), col("v"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+      "loj_2side" -> LeftJoin(Project(sc, Seq(col("g"), col("v"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+      // the REAL TPC-H Q13 shape: LOJ + two-level aggregation
+      "loj_q13_2side" -> Aggregate(
+        Aggregate(
+          LeftJoin(Project(sc, Seq(col("g"), col("v"))),
+            Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+          Seq("g", "v"), Seq(Count(col("h"), "c_count"))),
+        Seq("c_count"), Seq(CountStar("custdist"))))
   }
 
   for ((name, q) <- shapes)
