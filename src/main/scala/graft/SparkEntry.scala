@@ -21,17 +21,19 @@ object SparkEntry {
   private val M = IvmCore.MULT
   private val W = IvmCore.WEIGHT
 
-  /** Flagship: TPC-H Q13-style two-level aggregate over customer⋈orders,
-    * evaluated through the engine's AST (driver smoke-checks rows>0). */
+  /** Flagship: the poster's running example — REAL TPC-H Q13 (left outer
+    * join + two-level aggregation) evaluated through the engine's AST
+    * (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    q13(spark, "/root/testdata/sf0.001")
+    Eval.eval(q13RealView, base(spark, "/root/testdata/sf0.001"))
 
   // ---------------------------------------------------------------- views
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
-  /** Q13-ish: SELECT c_count, count(*) FROM (SELECT c_custkey, count(*)
-    * FROM customer JOIN orders GROUP BY c_custkey) GROUP BY c_count. */
+  /** Q13-ish (inner-join variant): SELECT c_count, count(*) FROM (SELECT
+    * c_custkey, count(*) FROM customer JOIN orders GROUP BY c_custkey)
+    * GROUP BY c_count. The REAL Q13 (left outer join) is [[q13RealView]]. */
   private val q13View: IvmQuery =
     Aggregate(
       Aggregate(
@@ -40,6 +42,19 @@ object SparkEntry {
           Project(Scan("orders"), Seq(col("o_custkey").as("custkey"))),
           Seq("custkey")),
         Seq("custkey"), Seq(CountStar("c_count"))),
+      Seq("c_count"), Seq(CountStar("custdist")))
+
+  /** The poster's actual running example: customers with zero orders are
+    * counted in the c_count = 0 bucket (LEFT OUTER join). */
+  private[graft] val q13RealView: IvmQuery =
+    Aggregate(
+      Aggregate(
+        LeftJoin(
+          Project(Scan("customer"), Seq(col("c_custkey").as("custkey"))),
+          Project(Scan("orders"), Seq(col("o_custkey").as("custkey"),
+            col("o_orderkey"))),
+          Seq("custkey")),
+        Seq("custkey"), Seq(Count(col("o_orderkey"), "c_count"))),
       Seq("c_count"), Seq(CountStar("custdist")))
 
   private def q13(s: SparkSession, dir: String): DataFrame =
@@ -152,15 +167,7 @@ object SparkEntry {
     // the match-count state's 0↔>0 transitions.
     "q14_ivm_q13_real_apply" -> ((s, dir) => {
       val store = new MemStore
-      val v = Aggregate(
-        Aggregate(
-          LeftJoin(
-            Project(Scan("customer"), Seq(col("c_custkey").as("custkey"))),
-            Project(Scan("orders"), Seq(col("o_custkey").as("custkey"),
-              col("o_orderkey"))),
-            Seq("custkey")),
-          Seq("custkey"), Seq(Count(col("o_orderkey"), "c_count"))),
-        Seq("c_count"), Seq(CountStar("custdist")))
+      val v = q13RealView
       Ivm.create("q14", v, base(s, dir), store)
       Ivm.refreshState("q14", v, base(s, dir), deltas(s, dir), store)
       Ivm.read("q14", v, store)

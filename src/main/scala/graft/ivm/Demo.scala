@@ -135,6 +135,16 @@ object Demo {
     println(s"streaming refresh-vs-recompute diff rows = $diffS")
     require(diffS == 0, "streaming maintenance must equal recompute")
 
+    // ---- 5. REAL TPC-H Q13 (LEFT OUTER join) maintained incrementally
+    val q13 = graft.SparkEntry.q13RealView
+    Ivm.create("q13_real", q13, base, store)
+    Ivm.refresh("q13_real", q13, base, deltas2, store)
+    val gotQ = Ivm.read("q13_real", q13, store)
+    val wantQ = Ivm.recompute(q13, base, deltas2)
+    val diffQ = gotQ.exceptAll(wantQ).count() + wantQ.exceptAll(gotQ).count()
+    println(s"real-Q13 refresh-vs-recompute diff rows = $diffQ")
+    require(diffQ == 0, "real Q13 refresh must equal recompute")
+
     println("DEMO OK")
     spark.stop()
   }
