@@ -128,12 +128,22 @@ object Demo {
     Ivm.create("flag_totals_s", viewQ, base, store)
     val sq = graft.streaming.IvmStream.maintain(
       "flag_totals_s", viewQ, "lineitem", base, store, deltaStream, ckptDir)
+    // (micro-batch 0 of this query applies the whole delta file)
     sq.awaitTermination(30000)
     if (sq.isActive) { sq.processAllAvailable(); sq.stop() }
     val gotS = Ivm.read("flag_totals_s", viewQ, store)
     val diffS = gotS.exceptAll(want).count() + want.exceptAll(gotS).count()
     println(s"streaming refresh-vs-recompute diff rows = $diffS")
     require(diffS == 0, "streaming maintenance must equal recompute")
+
+    // ---- 4b. replay safety: re-delivering an already-applied micro-batch
+    // must be a no-op (batch-id dedupe in the store)
+    val before = Ivm.read("flag_totals_s", viewQ, store).collect().toSet
+    graft.streaming.IvmStream.applyBatch(
+      "flag_totals_s", viewQ, "lineitem", base, store)(deltaLineitem, 0L)
+    val after = Ivm.read("flag_totals_s", viewQ, store).collect().toSet
+    require(before == after, "replayed batch id must be skipped")
+    println("replay dedupe OK")
 
     // ---- 5. REAL TPC-H Q13 (LEFT OUTER join) maintained incrementally
     val q13 = graft.SparkEntry.q13RealView

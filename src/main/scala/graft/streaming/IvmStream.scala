@@ -49,22 +49,31 @@ object IvmStream {
     deltaStream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch is at-least-once under failure/restart; the store
-        // remembers the last applied id so replays are no-ops.
-        val marker = s"$view/_last_batch"
-        val last = store.get(marker)
-          .map(_.collect()(0).getLong(0)).getOrElse(-1L)
-        if (batchId > last && !batch.isEmpty) {
-          val deltas: String => Option[DataFrame] =
-            t => if (t == table) Some(batch) else None
-          Ivm.refreshState(view, q, base, deltas, store)
-          val spark = batch.sparkSession
-          import spark.implicits._
-          store.put(marker, Seq(batchId).toDF("batch_id"))
-        }
-      }
+      .foreachBatch(applyBatch(view, q, table, base, store) _)
       .start()
+
+  /** One micro-batch application with replay dedupe — foreachBatch is
+    * at-least-once under failure/restart; the store remembers the last
+    * applied id so a re-delivered batch is a no-op. Public so replay
+    * behavior is testable without engineering a mid-batch crash. */
+  def applyBatch(
+      view: String,
+      q: IvmQuery,
+      table: String,
+      base: String => DataFrame,
+      store: IvmStore)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = s"$view/_last_batch"
+    val last = store.get(marker)
+      .map(_.collect()(0).getLong(0)).getOrElse(-1L)
+    if (batchId > last && !batch.isEmpty) {
+      val deltas: String => Option[DataFrame] =
+        t => if (t == table) Some(batch) else None
+      Ivm.refreshState(view, q, base, deltas, store)
+      val spark = batch.sparkSession
+      import spark.implicits._
+      store.put(marker, Seq(batchId).toDF("batch_id"))
+    }
+  }
 
   /** Weighted stateful streaming aggregation: the update-mode changelog of
     * the maintained view for a single-level aggregate over one stream.
