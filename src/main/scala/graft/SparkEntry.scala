@@ -161,6 +161,18 @@ object SparkEntry {
       Ivm.read("q12", v, store)
     }),
 
+    // COUNT(DISTINCT) maintained under deletion (distinct aggregation via
+    // the same value-multiset state as MIN/MAX).
+    "q15_ivm_count_distinct_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+        Seq(CountDistinct(col("l_quantity"), "nd_qty"),
+          CountDistinct(col("l_suppkey"), "nd_supp"), CountStar("cnt")))
+      Ivm.create("q15", v, base(s, dir), store)
+      Ivm.refreshState("q15", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q15", v, store)
+    }),
+
     // REAL TPC-H Q13 (LEFT OUTER join + two-level aggregation — the
     // poster's running example), maintained incrementally: customers with
     // zero orders keep c_count = 0 through order deletions/insertions via
@@ -385,6 +397,21 @@ object SparkEntry {
                  MAX(l_quantity) AS max_qty, MIN(l_shipdate) AS min_ship,
                  CAST(SUM(c) AS BIGINT) AS cnt
           FROM applied GROUP BY l_returnflag""",
+
+    "q15_ivm_count_distinct_apply" ->
+      s"""WITH a AS (
+            SELECT l_returnflag, l_quantity, l_suppkey, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_quantity, l_suppkey, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity, l_suppkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag,
+            CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+            CAST(SUM(c) AS BIGINT) AS cnt
+          FROM a GROUP BY l_returnflag""",
 
     "q14_ivm_q13_real_apply" ->
       s"""WITH o2 AS (

@@ -37,6 +37,7 @@ object Eval {
     case AggSpec.Avg(e, n)    => avg(e).as(n)
     case AggSpec.Min(e, n)    => min(e).as(n)
     case AggSpec.Max(e, n)    => max(e).as(n)
+    case AggSpec.CountDistinct(e, n) => count_distinct(e).as(n)
   }
 
   /** Evaluate with the hidden bookkeeping columns a materialized aggregate
@@ -65,6 +66,8 @@ object Eval {
       Seq(min(e).as(physExt(n)), count(e).as(physNn(n)))
     case AggSpec.Max(e, n) =>
       Seq(max(e).as(physExt(n)), count(e).as(physNn(n)))
+    case AggSpec.CountDistinct(e, n) =>
+      Seq(count_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
   }
 
   /** User-visible output column derived from the physical state columns. */
@@ -79,6 +82,8 @@ object Eval {
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
     case AggSpec.Max(_, n) =>
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
+    case AggSpec.CountDistinct(_, n) => // 0 (not NULL) over empty input
+      when(col(physNn(n)) > 0, col(physExt(n))).otherwise(lit(0L)).as(n)
   }
 
   private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
@@ -92,6 +97,7 @@ object Eval {
     case AggSpec.Avg(_, n)    => Seq(physSum(n), physNn(n))
     case AggSpec.Min(_, n)    => Seq(physExt(n), physNn(n))
     case AggSpec.Max(_, n)    => Seq(physExt(n), physNn(n))
+    case AggSpec.CountDistinct(_, n) => Seq(physExt(n), physNn(n))
   }
 
   /** Auxiliary value-multiset state for one MIN/MAX spec: per

@@ -98,6 +98,9 @@ object SqlFrontend {
       case a: UnresolvedAttribute if keys.contains(a.nameParts.last) => None
       case Alias(UnresolvedFunction(fn, args, false, _, _, _, _), name) =>
         Some(toAggSpec(fn.last.toLowerCase, args, name))
+      case Alias(UnresolvedFunction(fn, Seq(e), true, _, _, _, _), name)
+          if fn.last.toLowerCase == "count" => // COUNT(DISTINCT e)
+        Some(AggSpec.CountDistinct(expr(e.sql), name))
       case other => throw new UnsupportedOperationException(
         s"unsupported select item in aggregate: ${other.sql}")
     }

@@ -335,6 +335,8 @@ object ZDelta {
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
       case AggSpec.Max(e, n) =>
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.CountDistinct(e, n) =>
+        Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
     } :+ sum(w).as(adj(HCOUNT))
 
     val touched =
@@ -379,8 +381,10 @@ object ZDelta {
             anti = true, hint = bcast)
           .unionByName(updatedAux.where(col(HCOUNT) > 0))
         val extFn = a match {
-          case _: AggSpec.Min => min(col(vCol))
-          case _              => max(col(vCol))
+          case _: AggSpec.Min           => min(col(vCol))
+          case _: AggSpec.Max           => max(col(vCol))
+          case _: AggSpec.CountDistinct => count(lit(1)) // alive values
+          case other => sys.error(s"no aux extremum for $other")
         }
         val newName = s"__ivm_newext_$n"
         val newExt =

@@ -68,6 +68,9 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "agg_minmax" -> Aggregate(sc, Seq("g"),
         Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
           Sum(col("v"), "sum_v"), CountStar("n"))),
+      "agg_count_distinct" -> Aggregate(sc, Seq("g"),
+        Seq(CountDistinct(col("v"), "nd_v"), CountDistinct(col("h"), "nd_h"),
+          CountStar("n"))),
       "agg_minmax_global" -> Aggregate(sc, Seq.empty,
         Seq(Min(col("v"), "min_v"), Max(col("v") + 1, "max_v1"))),
       "nested_agg" -> Aggregate(
