@@ -161,6 +161,18 @@ object SparkEntry {
       Ivm.read("q12", v, store)
     }),
 
+    // AVG maintained as (sum, non-null count); quantity is integer-valued
+    // double so the maintained sum stays exact and the final division is
+    // bit-identical across engines.
+    "q16_ivm_avg_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
+        Seq(Avg(col("l_quantity"), "avg_qty"), CountStar("cnt")))
+      Ivm.create("q16", v, base(s, dir), store)
+      Ivm.refreshState("q16", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q16", v, store)
+    }),
+
     // COUNT(DISTINCT) maintained under deletion (distinct aggregation via
     // the same value-multiset state as MIN/MAX).
     "q15_ivm_count_distinct_apply" -> ((s, dir) => {
@@ -397,6 +409,17 @@ object SparkEntry {
                  MAX(l_quantity) AS max_qty, MIN(l_shipdate) AS min_ship,
                  CAST(SUM(c) AS BIGINT) AS cnt
           FROM applied GROUP BY l_returnflag""",
+
+    "q16_ivm_avg_apply" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          SUM(l_quantity * w) / SUM(w) AS avg_qty,
+          CAST(SUM(w) AS BIGINT) AS cnt
+          FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+          ) GROUP BY l_returnflag, l_linestatus HAVING SUM(w) > 0""",
 
     "q15_ivm_count_distinct_apply" ->
       s"""WITH a AS (
