@@ -25,17 +25,23 @@ trait IvmStore {
 }
 
 /** In-memory store for tests and per-session pipelines: put() materializes
-  * eagerly (cache + count), so later reads never chase mutated inputs. */
+  * eagerly via `localCheckpoint`, which BOTH snapshots the data (later
+  * reads never chase mutated inputs) AND truncates the logical plan.
+  *
+  * The truncation is load-bearing: a committed state's plan otherwise
+  * embeds the full plan of the previous refresh, so over k sequential
+  * batches plans grow multiplicatively and Catalyst analysis time explodes
+  * (observed: a MIN/MAX view became minutes-per-batch by batch 3 with
+  * cache()-based puts). The parquet store truncates naturally by writing
+  * files; localCheckpoint is the in-memory equivalent. */
 final class MemStore extends IvmStore {
   private val m = TrieMap.empty[String, DataFrame]
   override def get(name: String): Option[DataFrame] = m.get(name)
   override def put(name: String, df: DataFrame): Unit = {
-    val cached = df.cache()
-    cached.count() // materialize before anything it reads is replaced
-    // NOTE: the previous version is intentionally NOT unpersisted — pending
-    // lazy plans captured it (snapshot isolation); session-lifetime leak is
-    // the documented trade-off of the in-memory store.
-    m.put(name, cached)
+    // NOTE: previous versions are intentionally never unpersisted — pending
+    // lazy plans may still read them (snapshot isolation); session-lifetime
+    // leak is the documented trade-off of the in-memory store.
+    m.put(name, df.localCheckpoint(true))
   }
 }
 

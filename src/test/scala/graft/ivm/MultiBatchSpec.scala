@@ -1,0 +1,93 @@
+package graft.ivm
+
+import graft.SparkTestBase
+import graft.ivm.AggSpec._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** State evolution over a SEQUENCE of delta batches — the steady-state IVM
+  * loop: after k refreshes the maintained view must equal a recompute over
+  * base ⊎ Δ₁ ⊎ … ⊎ Δₖ. Batch i's deletes are sampled from rows live after
+  * batch i−1 (inserts from earlier batches can be deleted later), so state
+  * transitions chain: groups/extrema/anti-rows born in one batch can die in
+  * the next.
+  */
+class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Batches = 3
+  private val Seeds = 2
+
+  private val keyGen = Gen.frequency(
+    8 -> Gen.oneOf("a", "b", "c"),
+    1 -> Gen.const(null.asInstanceOf[String]))
+  private val genRow = for {
+    g <- keyGen; h <- Gen.choose(0, 2)
+    v <- Gen.oneOf(Gen.const(null), Gen.choose(-9, 9))
+  } yield Row(g, h, v)
+  private val genTable = Gen.resize(12, Gen.listOf(genRow))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def mkDf(rows: Seq[Row], withMult: Boolean): DataFrame =
+    df(if (withMult) s"g STRING, h INT, v INT, ${IvmCore.MULT} BOOLEAN"
+       else "g STRING, h INT, v INT", rows)
+
+  /** One batch: inserts + deletes of currently-live rows; returns the batch
+    * and the new live multiset. */
+  private def nextBatch(live: List[Row], seed: Long): (List[Row], List[Row]) = {
+    val ins = sample(Gen.resize(6, Gen.listOf(genRow)), seed)
+    val dels = sample(
+      if (live.isEmpty) Gen.const(List.empty[Row])
+      else Gen.someOf(live).map(_.toList), seed * 31 + 7)
+    val batch = ins.map(r => Row(r(0), r(1), r(2), true)) ++
+      dels.map(r => Row(r(0), r(1), r(2), false))
+    (batch, live.diff(dels) ++ ins)
+  }
+
+  private val shapes: Seq[(String, IvmQuery)] = Seq(
+    "minmax_cd" -> Aggregate(Scan("t"), Seq("g"),
+      Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
+        CountDistinct(col("v"), "nd_v"), Sum(col("v"), "sum_v"), CountStar("n"))),
+    "q13_loj" -> Aggregate(
+      Aggregate(
+        LeftJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+        Seq("g", "v"), Seq(Count(col("h"), "c_count"))),
+      Seq("c_count"), Seq(CountStar("custdist"))),
+    "distinct" -> IvmQuery.distinct(Scan("t"), Seq("g", "h")))
+
+  for ((name, q) <- shapes)
+    test(s"$Batches sequential refreshes == recompute: $name") {
+      for (seed <- 1 to Seeds) {
+        val t0 = sample(genTable, seed * 7919L)
+        val uRows = sample(genTable, seed * 104729L)
+        val t = mkDf(t0, withMult = false)
+        val u = mkDf(uRows, withMult = false).select(col("g"), col("h"))
+        val base: String => DataFrame = { case "t" => t; case "u" => u }
+
+        val store = new MemStore
+        Ivm.create(name, q, base, store)
+
+        var live = t0
+        var allDeltas = List.empty[Row]
+        for (b <- 1 to Batches) {
+          val (batch, newLive) = nextBatch(live, seed * 1000L + b)
+          live = newLive
+          allDeltas = allDeltas ++ batch
+          Ivm.refreshState(name, q, base,
+            nm => if (nm == "t") Some(mkDf(batch, withMult = true)) else None,
+            store)
+        }
+        val got = Ivm.read(name, q, store)
+        val want = Ivm.recompute(q, base,
+          nm => if (nm == "t") Some(mkDf(allDeltas, withMult = true)) else None)
+        withClue(s"$name seed=$seed after $Batches batches: ") {
+          assertSameRows(got, want)
+        }
+      }
+    }
+}
