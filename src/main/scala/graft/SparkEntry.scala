@@ -269,6 +269,13 @@ object SparkEntry {
         .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price"),
           count(lit(1)).as("n"))),
 
+    // CUBE: all grouping-set combinations in one pass.
+    "q34_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec("o_totalprice")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))),
+
     // Deterministic top-k: ORDER BY with an id tiebreak + LIMIT.
     "q33_topk_orders" -> ((s, dir) =>
       tbl(s, dir, "orders")
@@ -563,6 +570,12 @@ object SparkEntry {
     "q33_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q34_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     // Salting is invisible in the result — the oracle is the plain GROUP BY.
     "q28_skew_salted_agg" ->
