@@ -24,6 +24,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
 
+  // Soak knob: -Divm.seedBase=N shifts the deterministic seed window so CI
+  // stays reproducible while ad-hoc soaks explore fresh cases.
+  private val SeedBase = sys.props.getOrElse("ivm.seedBase", "0").toLong
   private val Cases = 10
 
   private val keys = Gen.frequency(
@@ -101,7 +104,8 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
 
   for ((name, q) <- shapes)
     test(s"refresh == recompute: $name") {
-      for (seed <- 1 to Cases) {
+      for (seed0 <- 1 to Cases) {
+        val seed = seed0 + SeedBase
         val tRows = sample(genTable, seed * 7919L)
         val uRows = sample(genTable, seed * 104729L)
         val dRows = sample(genDelta(tRows), seed * 1299709L)
