@@ -94,35 +94,47 @@ object Ivm {
       q: IvmQuery,
       base: String => DataFrame,
       store: IvmStore): DataFrame = {
-    // Materialize every aggregate node's state. Seeds at one level are
-    // independent → parallel puts; levels still commit bottom-up (a level's
-    // eval only READS base tables, so even that ordering is conservative).
-    def walk(node: IvmQuery, path: String): Seq[(String, () => DataFrame)] = node match {
-      case a @ Aggregate(c, _, _) =>
-        walk(c, path + ".0") ++
-          Seq((stateName(view, path), () => Eval.evalState(a, base))) ++
-          a.aggs.filter(AggSpec.needsAux).map { spec =>
-            (stateName(view, s"$path.aux.${spec.name}"),
-              () => Eval.evalAuxState(a, spec, base))
-          }
-      case Filter(c, _)  => walk(c, path + ".0")
-      case Project(c, _) => walk(c, path + ".0")
-      case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
-      case lj @ LeftJoin(l, r, keys) =>
-        walk(l, path + ".0") ++ walk(r, path + ".1") :+
-          ((stateName(view, s"$path.rcnt"), () =>
-            Eval.eval(r, base).groupBy(keys.map(col): _*)
-              .agg(count(lit(1)).as(HCOUNT))))
-      case Scan(_)       => Seq.empty
-    }
-    inParallel(walk(q, "r")) { case (name, mk) => store.put(name, mk()) }
-    q match {
-      case _: Aggregate => () // top state IS the view
-      case _ =>
-        // SPJ view: store rows + multiset count (Z-set canonical form).
-        val rows = Eval.eval(q, base)
-        store.put(stateName(view, TOP),
-          rows.groupBy(rows.columns.map(col): _*).agg(count(lit(1)).as(HCOUNT)))
+    // Materialize every aggregate node's state, declaring each state's
+    // bucketing keys so the store lays it out for bucket-pruned refresh.
+    // Seeds at one level are independent → parallel puts; levels still
+    // commit bottom-up (a level's eval only READS base tables, so even
+    // that ordering is conservative).
+    def walk(node: IvmQuery, path: String): Seq[(String, Seq[String], () => DataFrame)] =
+      node match {
+        case a @ Aggregate(c, keys, _) =>
+          walk(c, path + ".0") ++
+            Seq((stateName(view, path), keys, () => Eval.evalState(a, base))) ++
+            a.aggs.filter(AggSpec.needsAux).map { spec =>
+              // aux value-multiset buckets by group keys (value-hash for a
+              // global aggregate), so group-sliced reads prune
+              val bKeys = if (keys.nonEmpty) keys else Seq(Eval.auxVal(spec.name))
+              (stateName(view, s"$path.aux.${spec.name}"), bKeys,
+                () => Eval.evalAuxState(a, spec, base))
+            }
+        case Filter(c, _)  => walk(c, path + ".0")
+        case Project(c, _) => walk(c, path + ".0")
+        case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
+        case lj @ LeftJoin(l, r, keys) =>
+          walk(l, path + ".0") ++ walk(r, path + ".1") :+
+            ((stateName(view, s"$path.rcnt"), keys, () =>
+              Eval.eval(r, base).groupBy(keys.map(col): _*)
+                .agg(count(lit(1)).as(HCOUNT))))
+        case Scan(_)       => Seq.empty
+      }
+    store.transaction {
+      inParallel(walk(q, "r")) { case (name, keys, mk) =>
+        store.putKeyed(name, mk(), keys)
+      }
+      q match {
+        case _: Aggregate => () // top state IS the view
+        case _ =>
+          // SPJ view: store rows + multiset count (Z-set canonical form),
+          // bucketed on the full row (the multiset's key).
+          val rows = Eval.eval(q, base)
+          store.putKeyed(stateName(view, TOP),
+            rows.groupBy(rows.columns.map(col): _*).agg(count(lit(1)).as(HCOUNT)),
+            rows.columns.toSeq)
+      }
     }
     read(view, q, store)
   }
@@ -137,11 +149,17 @@ object Ivm {
       expandMultiset(st, HCOUNT)
   }
 
-  /** Expand (row, count) back into `count` copies of `row`. */
+  /** Expand (row, count) back into `count` copies of `row`. Counts beyond
+    * Int.MaxValue would silently truncate through the int cast (negative
+    * repeat → rows dropped) — fail loudly instead; a multiset row with
+    * billions of duplicates should be consumed in counted form. */
   private def expandMultiset(df: DataFrame, countCol: String): DataFrame = {
     val cols = df.columns.filterNot(_ == countCol).toSeq
-    df.withColumn("__ivm_dup",
-        explode(array_repeat(lit(1), col(countCol).cast("int"))))
+    val n = col(countCol).cast("long")
+    val guarded = when(n <= Int.MaxValue, n.cast("int")).otherwise(
+      raise_error(concat(lit("IVM: multiset count overflows row expansion: "),
+        n.cast("string"))))
+    df.withColumn("__ivm_dup", explode(array_repeat(lit(1), guarded)))
       .select(cols.map(col): _*)
   }
 
@@ -174,9 +192,19 @@ object Ivm {
       store: IvmStore,
       broadcastDeltas: Boolean = true): Unit = {
     doRefresh(view, q, base, deltas, store, broadcastDeltas,
-      needDelta = !q.isInstanceOf[Aggregate])
+      needDelta = !q.isInstanceOf[Aggregate], releaseDelta = true)
     ()
   }
+
+  // temporary instrumentation (enable with -Dgraft.timing=true)
+  private[ivm] def timed[A](tag: String)(f: => A): A =
+    if (!sys.props.get("graft.timing").contains("true")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"      [t] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
 
   private def doRefresh(
       view: String,
@@ -185,48 +213,60 @@ object Ivm {
       deltas: String => Option[DataFrame],
       store: IvmStore,
       broadcastDeltas: Boolean,
-      needDelta: Boolean): DataFrame = {
+      needDelta: Boolean,
+      releaseDelta: Boolean = false): DataFrame = {
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
-      broadcastDeltas)
-    val dv0 = ZDelta.delta(q, ctx)
+      broadcastDeltas,
+      sliceFn = (p, kdf, ks) =>
+        timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)))
+    val dv0 = timed("plan-delta")(ZDelta.delta(q, ctx))
+    // Pin ΔV before commits when the caller (or the SPJ top merge) reads
+    // it: the pinned frame survives the pins-unpersist below, and forcing
+    // it here also warms the shared state-join caches the merges reuse.
     val dv = if (needDelta) {
-      val c = dv0.cache(); c.count(); c // pin ΔV before any state mutates
-    } else dv0 // interior state updates are pinned below; ΔV never forced
+      val c = dv0.cache(); c.count(); c
+    } else dv0
 
-    // Pin EVERY pending state update before committing ANY: all reads of
-    // old state must happen before the first write replaces it. Pins are
-    // independent (distinct state paths) → concurrent jobs; ditto commits.
-    val pinned = inParallel(ctx.updates.toSeq) { u =>
-      val c = u.updated.cache(); c.count(); u.copy(updated = c)
-    }
-    inParallel(pinned) { u =>
-      val old = store(stateName(view, u.path))
-      val untouched =
-        if (u.keys.isEmpty) old.limit(0)
-        else ZDelta.filterByKeys(old, u.updated, u.keys,
-          anti = true, hint = broadcast) // null-safe: NULL group keys must match their state row
-      val alive =
-        if (u.keys.isEmpty) u.updated // global agg state always 1 row
-        else u.updated.where(col(HCOUNT) > 0)
-      store.put(stateName(view, u.path),
-        untouched.unionByName(alive.select(old.columns.map(col): _*)))
-    }
+    // Commit every pending state update. No pin barrier is needed: state
+    // reads resolved their (immutable) snapshot at plan-build time —
+    // MemStore hands out localCheckpointed frames, ParquetStore resolves
+    // manifest paths — so a commit can never be observed by a sibling's
+    // plan. Inside store.transaction the flips publish atomically at the
+    // end. Commits are independent per state path → concurrent jobs.
+    store.transaction {
+      inParallel(ctx.updates.toSeq) { u =>
+        val name = stateName(view, u.path)
+        if (u.keys.isEmpty)
+          store.put(name, u.updated) // global agg state: always one live row
+        else
+          timed(s"merge ${u.path}")(store.merge(name, u.updated, u.keys,
+            _.where(col(HCOUNT) > 0), u.bucketKeys, u.keyHint))
+      }
 
-    // SPJ views: fold ΔV into the stored multiset.
-    q match {
-      case _: Aggregate => ()
-      case _ =>
-        val st = store(stateName(view, TOP))
-        val cols = st.columns.filterNot(_ == HCOUNT).toSeq
-        val merged = st
-          .unionByName(dv.withColumnRenamed(WEIGHT, HCOUNT))
-          .groupBy(cols.map(col): _*)
-          .agg(sum(HCOUNT).as(HCOUNT))
-          .where(col(HCOUNT) > 0)
-        store.put(stateName(view, TOP), merged)
+      // SPJ views: fold ΔV into the stored multiset — per-key count
+      // adjustments over touched rows only (never a full-state groupBy).
+      q match {
+        case _: Aggregate => ()
+        case _ =>
+          val topName = stateName(view, TOP)
+          val st = store(topName) // schema only
+          val cols = st.columns.filterNot(_ == HCOUNT).toSeq
+          val adjCol = "__ivm_adj"
+          val dvAgg = dv.groupBy(cols.map(col): _*)
+            .agg(sum(WEIGHT).as(adjCol)).cache()
+          try {
+            val oldTouched = store.slice(topName, dvAgg, cols)
+            val updatedTop = ZDelta.leftOuterByKeys(dvAgg, oldTouched, cols,
+              hint = broadcast)
+              .select((cols.map(col) :+
+                (coalesce(col(HCOUNT), lit(0L)) + col(adjCol)).as(HCOUNT)): _*)
+            store.merge(topName, updatedTop, cols, _.where(col(HCOUNT) > 0),
+              keyHint = dvAgg)
+          } finally dvAgg.unpersist()
+      }
     }
-    pinned.foreach(_.updated.unpersist())
     ctx.pins.foreach(_.unpersist())
+    if (needDelta && releaseDelta) dv.unpersist()
     dv
   }
 

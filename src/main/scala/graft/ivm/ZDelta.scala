@@ -36,8 +36,15 @@ object ZDelta {
 
   /** One pending aggregate-state replacement discovered during delta
     * computation: `updated` holds the post-delta rows for every touched
-    * group (including dead ones, HCOUNT = 0). Commit order is bottom-up. */
-  final case class StateUpdate(path: String, keys: Seq[String], updated: DataFrame)
+    * group (including dead ones, HCOUNT = 0). `bucketKeys` (empty = same
+    * as `keys`) is the state's storage layout key — an aux value-multiset
+    * merges on (group, value) but is bucketed on group alone. */
+  final case class StateUpdate(
+      path: String, keys: Seq[String], updated: DataFrame,
+      bucketKeys: Seq[String] = Seq.empty,
+      /** small cached frame covering `updated`'s bucket keys — lets the
+        * store find touched buckets without re-running `updated`'s plan */
+      keyHint: DataFrame = null)
 
   final case class Ctx(
       base: String => DataFrame,
@@ -45,7 +52,16 @@ object ZDelta {
       state: String => DataFrame,
       broadcastDeltas: Boolean = true,
       updates: mutable.Buffer[StateUpdate] = mutable.Buffer.empty,
-      pins: mutable.Buffer[DataFrame] = mutable.Buffer.empty)
+      pins: mutable.Buffer[DataFrame] = mutable.Buffer.empty,
+      sliceFn: (String, DataFrame, Seq[String]) => DataFrame = null) {
+    /** State rows for the touched keys in `keyDf` — bucket-pruned when the
+      * backing store supports it ([[IvmStore.slice]]), else a broadcast
+      * semi-join over the full state. NOTE: the bucketed path evaluates
+      * `keyDf` eagerly — pass a cached frame. */
+    def slice(path: String, keyDf: DataFrame, keys: Seq[String]): DataFrame =
+      if (sliceFn == null) StoreOps.semiByKeys(state(path), keyDf, keys)
+      else sliceFn(path, keyDf, keys)
+  }
 
   /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
   def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
@@ -241,12 +257,15 @@ object ZDelta {
 
     // ---- match-count state maintenance + key transitions
     val cntPath = s"$path.rcnt"
-    val oldCnt = ctx.state(cntPath)
     val terms = mutable.Buffer.empty[DataFrame] ++= innerTerms
     // new count per key = old + Σw over ΔB, for ΔB-touched keys
     val touchedNew: Option[DataFrame] = if (rHas) {
-      val adj = dr.groupBy(keys.map(col): _*).agg(sum(col(WEIGHT)).as("__ivm_adj"))
-      val oldTouched = filterByKeys(oldCnt, adj, keys, hint = bcast)
+      val adj = {
+        val c = dr.groupBy(keys.map(col): _*)
+          .agg(sum(col(WEIGHT)).as("__ivm_adj")).cache()
+        ctx.pins += c; c
+      }
+      val oldTouched = ctx.slice(cntPath, adj, keys) // bucket-pruned state read
       val upd = leftOuterByKeys(adj, oldTouched, keys, hint = bcast)
         .select((keys.map(col) :+
           (coalesce(col(HCOUNT), lit(0)) + coalesce(col("__ivm_adj"), lit(0)))
@@ -254,7 +273,7 @@ object ZDelta {
           coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
       val updC = upd.cache(); ctx.pins += updC
       ctx.updates += StateUpdate(cntPath, keys,
-        updC.select((keys.map(col) :+ col(HCOUNT)): _*))
+        updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
       // (ii) died keys: A's rows re-enter anti (+1 each)
       val died = updC.where(col("__ivm_oldcnt") > 0 && col(HCOUNT) <= 0)
         .select(keys.map(col): _*)
@@ -268,20 +287,22 @@ object ZDelta {
 
     // (i) ΔA rows with POST-batch count 0 (incl. keys absent from state)
     if (lHas) {
+      // old counts restricted to ΔA's keys — bucket-pruned slice instead
+      // of a full state scan (dl is pinned, so the eager key collect is
+      // cheap). Keys stay equi (not null-safe) below: NULL left keys never
+      // match in SQL LOJ and correctly fall through to count 0 → anti.
+      val oldForDl = ctx.slice(cntPath, dl.select(keys.map(col): _*).distinct(), keys)
+        .withColumnRenamed(HCOUNT, "__ivm_oldc")
       val cntForDl = touchedNew match {
         case Some(upd) =>
           // post-batch count: updated value for ΔB-touched keys, else old
           dl.join(bcast(upd.select((keys.map(col) :+ col(HCOUNT).as("__ivm_newc")): _*)),
               keys, "left_outer")
-            .join(bcast(oldCnt.withColumnRenamed(HCOUNT, "__ivm_oldc")
-              .join(bcast(dl.select(keys.map(col): _*).distinct()), keys, "left_semi")),
-              keys, "left_outer")
+            .join(bcast(oldForDl), keys, "left_outer")
             .withColumn("__ivm_cnt",
               coalesce(col("__ivm_newc"), col("__ivm_oldc"), lit(0)))
         case None =>
-          dl.join(bcast(oldCnt.withColumnRenamed(HCOUNT, "__ivm_oldc")
-              .join(bcast(dl.select(keys.map(col): _*).distinct()), keys, "left_semi")),
-              keys, "left_outer")
+          dl.join(bcast(oldForDl), keys, "left_outer")
             .withColumn("__ivm_cnt", coalesce(col("__ivm_oldc"), lit(0)))
       }
       terms += nullExtended(
@@ -291,14 +312,10 @@ object ZDelta {
     terms.reduce(_.unionByName(_))
   }
 
-  private[ivm] def colName(c: Column): String = {
-    // Column#toString prints the unresolved expression; an alias prints as
-    // `expr AS name`. For bare attributes it is the attribute name.
-    val s = c.toString
-    val asIdx = s.lastIndexOf(" AS ")
-    if (asIdx >= 0) s.substring(asIdx + 4).stripPrefix("`").stripSuffix("`")
-    else s.stripPrefix("`").stripSuffix("`")
-  }
+  private[ivm] def colName(c: Column): String =
+    // Resolve structurally from the Catalyst expression — string-parsing
+    // Column#toString mis-handles expressions containing a literal " AS ".
+    org.apache.spark.sql.GraftColumnOps.outputName(c)
 
   // ----------------------------------------------------------- aggregates
 
@@ -339,11 +356,15 @@ object ZDelta {
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
     } :+ sum(w).as(adj(HCOUNT))
 
-    val touched =
-      if (keys.isEmpty) d.agg(adjExprs.head, adjExprs.tail: _*)
-      else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*)
-
-    val old = ctx.state(path)
+    // Touched-group adjustments are consumed several times (state slice
+    // key set, the state join, aux group filters) and the bucketed slice
+    // evaluates them eagerly — pin once.
+    val touched = {
+      val t =
+        if (keys.isEmpty) d.agg(adjExprs.head, adjExprs.tail: _*)
+        else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*)
+      val c = t.cache(); ctx.pins += c; c
+    }
 
     // ---- MIN/MAX auxiliary value-multiset maintenance (the reference
     // poster's named future work). For each spec: adjust per-(group, value)
@@ -359,24 +380,35 @@ object ZDelta {
         val auxPath = s"$path.aux.$n"
         val auxKeys = keys :+ vCol
         val e = AggSpec.expr(a).get
-        val dAux = d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
-          .where(col(vCol).isNotNull)
-          .groupBy(auxKeys.map(col): _*)
-          .agg(sum(w).as(adj(HCOUNT)))
-        val oldAux = ctx.state(auxPath)
-        val oldAuxTouched = filterByKeys(oldAux, dAux, auxKeys, hint = bcast)
-        val updatedAux = leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
-          .select((auxKeys.map(col) :+
-            (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
-              .as(HCOUNT)): _*)
-        ctx.updates += StateUpdate(auxPath, auxKeys, updatedAux)
+        val dAux = {
+          val c = d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
+            .where(col(vCol).isNotNull)
+            .groupBy(auxKeys.map(col): _*)
+            .agg(sum(w).as(adj(HCOUNT)))
+            .cache()
+          ctx.pins += c; c
+        }
+        // group-bucketed layout (value-bucketed for a global aggregate) so
+        // BOTH slices below prune to touched buckets
+        val auxBucketKeys = if (keys.nonEmpty) keys else auxKeys
+        val oldAuxTouched = ctx.slice(auxPath, dAux, auxKeys)
+        val updatedAux = {
+          val c = leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
+            .select((auxKeys.map(col) :+
+              (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
+                .as(HCOUNT)): _*)
+            .cache()
+          ctx.pins += c; c
+        }
+        ctx.updates += StateUpdate(auxPath, auxKeys, updatedAux, auxBucketKeys,
+          keyHint = if (keys.nonEmpty) touched else dAux)
 
         // alive values of touched groups after this batch =
         //   (old aux rows of touched groups) minus touched pairs,
         //   plus updated pairs still alive
         val touchedGroups =
-          if (keys.isEmpty) oldAux
-          else filterByKeys(oldAux, touched, keys, hint = bcast)
+          if (keys.isEmpty) ctx.state(auxPath) // global: all values feed the extremum
+          else ctx.slice(auxPath, touched, keys)
         val merged = filterByKeys(touchedGroups, updatedAux, auxKeys,
             anti = true, hint = bcast)
           .unionByName(updatedAux.where(col(HCOUNT) > 0))
@@ -402,9 +434,10 @@ object ZDelta {
     //      the filtered state.
     val joined1 = if (keys.isEmpty) {
       // Global aggregate: single-row state, cross join is 1×1.
-      touched.crossJoin(old)
+      touched.crossJoin(ctx.state(path))
     } else {
-      val oldTouched = filterByKeys(old, touched, keys, hint = bcast)
+      // bucket-pruned read: only the state buckets touched groups hash to
+      val oldTouched = ctx.slice(path, touched, keys)
       leftOuterByKeys(touched, oldTouched, keys, hint = bcast)
     }
     // Attach the recomputed extrema (one tiny frame per MIN/MAX spec).
@@ -437,7 +470,7 @@ object ZDelta {
     } :+ accumulate(HCOUNT)
 
     val updated = joined.select((keys.map(col) ++ newPhys): _*)
-    ctx.updates += StateUpdate(path, keys, updated)
+    ctx.updates += StateUpdate(path, keys, updated, keyHint = touched)
 
     val outCols = aggs.map(Eval.stateOutput)
 

@@ -55,7 +55,14 @@ object IvmStream {
   /** One micro-batch application with replay dedupe — foreachBatch is
     * at-least-once under failure/restart; the store remembers the last
     * applied id so a re-delivered batch is a no-op. Public so replay
-    * behavior is testable without engineering a mid-batch crash. */
+    * behavior is testable without engineering a mid-batch crash.
+    *
+    * Crash consistency: the batch-id marker is a store TAG set inside the
+    * same [[IvmStore.transaction]] as the refresh, so on [[ParquetStore]]
+    * the marker and every state flip publish in ONE atomic manifest
+    * rename. A crash mid-refresh leaves the previous manifest current —
+    * the replayed batch re-applies onto untouched state, never onto a
+    * partial commit. */
   def applyBatch(
       view: String,
       q: IvmQuery,
@@ -63,15 +70,14 @@ object IvmStream {
       base: String => DataFrame,
       store: IvmStore)(batch: DataFrame, batchId: Long): Unit = {
     val marker = s"$view/_last_batch"
-    val last = store.get(marker)
-      .map(_.collect()(0).getLong(0)).getOrElse(-1L)
+    val last = store.getTag(marker).map(_.toLong).getOrElse(-1L)
     if (batchId > last && !batch.isEmpty) {
       val deltas: String => Option[DataFrame] =
         t => if (t == table) Some(batch) else None
-      Ivm.refreshState(view, q, base, deltas, store)
-      val spark = batch.sparkSession
-      import spark.implicits._
-      store.put(marker, Seq(batchId).toDF("batch_id"))
+      store.transaction {
+        Ivm.refreshState(view, q, base, deltas, store)
+        store.setTag(marker, batchId.toString)
+      }
     }
   }
 

@@ -6,16 +6,20 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
-/** The versioned parquet store — the at-scale state backend: refresh must
-  * work identically to MemStore, old versions must stay readable during a
-  * refresh (snapshot isolation), and pruning must bound disk usage. */
+/** The bucketed, manifest-versioned parquet store — the at-scale state
+  * backend: refresh must work identically to MemStore, old versions must
+  * stay readable during a refresh (snapshot isolation), merges must rewrite
+  * only touched buckets, transactions must publish atomically, and pruning
+  * must bound disk usage. */
 class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
 
-  private def mkStore(keep: Int = 2) =
+  private def mkStore(keep: Int = 2, buckets: Int = 16, smallBytes: Long = -1) =
     (Files.createTempDirectory("ivm-pq").toString,
-      (root: String) => new ParquetStore(spark, root, keepVersions = keep))
+      (root: String) => new ParquetStore(spark, root, keepVersions = keep,
+        buckets = buckets,
+        smallStateBytes = if (smallBytes >= 0) smallBytes else 64L << 20))
 
   test("create + two refreshes over ParquetStore equal recompute") {
     val (root, f) = mkStore()
@@ -45,27 +49,122 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     val (root, f) = mkStore(keep = 3)
     val store = f(root)
     store.put("s", df("x INT", Seq(Row(1))))
-    val oldView = store("s") // resolves v1
+    val oldView = store("s") // resolves segment of manifest v1
     store.put("s", df("x INT", Seq(Row(2))))
     assert(oldView.collect().map(_.getInt(0)).toSeq == Seq(1))
     assert(store("s").collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
-  test("version pruning keeps only keepVersions directories") {
+  test("pruning keeps only segments referenced by retained manifests") {
     val (root, f) = mkStore(keep = 2)
     val store = f(root)
     (1 to 5).foreach(i => store.put("s", df("x INT", Seq(Row(i)))))
-    val dirs = new java.io.File(s"$root/s").listFiles()
-      .filter(_.getName.startsWith("v")).map(_.getName).sorted.toSeq
-    assert(dirs == Seq("v4", "v5"), s"got $dirs")
+    val segs = new java.io.File(s"$root/s").listFiles()
+      .filter(_.getName.startsWith("seg")).map(_.getName).toSeq
+    assert(segs.size <= 2, s"expected <=2 retained segments, got $segs")
     assert(store("s").collect().map(_.getInt(0)).toSeq == Seq(5))
   }
 
-  test("a fresh store instance recovers current versions from the _current pointer") {
+  test("a fresh store instance recovers current state from the manifest") {
     val (root, f) = mkStore()
     val s1 = f(root)
     s1.put("s", df("x INT", Seq(Row(42))))
-    val s2 = f(root) // new instance, same root — reads pointer from disk
+    s1.setTag("k", "v1")
+    val s2 = f(root) // new instance, same root — reads _current from disk
     assert(s2("s").collect().map(_.getInt(0)).toSeq == Seq(42))
+    assert(s2.getTag("k").contains("v1"))
+  }
+
+  test("merge rewrites only touched buckets; untouched bucket dirs survive") {
+    // smallBytes = 0 forces the bucketed layout regardless of state size
+    val (root, f) = mkStore(buckets = 8, smallBytes = 0)
+    val store = f(root)
+    val rows = (0 until 64).map(i => Row(s"k$i", i.toLong))
+    store.putKeyed("st", df("g STRING, __ivm_count BIGINT", rows), Seq("g"))
+
+    def bucketDirs() = {
+      val d = Paths.get(s"$root/st")
+      Files.walk(d).filter(p => p.getFileName.toString.startsWith("__ivm_bucket="))
+        .map[String](_.toString).sorted.toArray.toSeq
+    }
+    val before = bucketDirs()
+    assert(before.nonEmpty)
+
+    // touch exactly one key: k3 gets count 99, k1 dies
+    val upd = df("g STRING, __ivm_count BIGINT", Seq(Row("k3", 99L), Row("k1", 0L)))
+    store.merge("st", upd, Seq("g"), _.where(col("__ivm_count") > 0))
+
+    val after = bucketDirs()
+    val got = store("st").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("k3") == 99L)
+    assert(!got.contains("k1"))
+    assert(got("k10") == 10L) // untouched key intact
+    assert(got.size == 63)
+    // at most 2 buckets were rewritten (k1, k3); the rest must be the
+    // identical old paths
+    val surviving = before.toSet.intersect(after.toSet)
+    assert(surviving.size >= before.size - 2,
+      s"merge rewrote too many buckets: before=$before after=$after")
+  }
+
+  test("slice prunes to touched buckets and filters null-safely") {
+    val (root, f) = mkStore(buckets = 8, smallBytes = 0)
+    val store = f(root)
+    val rows = (0 until 32).map(i => Row(s"k$i", i.toLong)) :+ Row(null, 99L)
+    store.putKeyed("st", df("g STRING, c BIGINT", rows), Seq("g"))
+    val keyDf = df("g STRING", Seq(Row("k5"), Row(null)))
+    val got = store.slice("st", keyDf, Seq("g")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == Set((Some("k5"), 5L), (None, 99L)))
+  }
+
+  test("transaction publishes state + tag atomically; abort publishes nothing") {
+    val (root, f) = mkStore()
+    val store = f(root)
+    store.put("s", df("x INT", Seq(Row(1))))
+
+    // abort: an exception inside the txn must leave everything unchanged
+    intercept[RuntimeException] {
+      store.transaction {
+        store.put("s", df("x INT", Seq(Row(2))))
+        store.setTag("batch", "7")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(store("s").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(store.getTag("batch").isEmpty)
+
+    // commit: both visible after, and a reloaded instance agrees
+    store.transaction {
+      store.put("s", df("x INT", Seq(Row(3))))
+      store.setTag("batch", "8")
+      // read-your-writes inside the txn
+      assert(store("s").collect().map(_.getInt(0)).toSeq == Seq(3))
+    }
+    assert(store("s").collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(store.getTag("batch").contains("8"))
+    val reloaded = f(root)
+    assert(reloaded("s").collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(reloaded.getTag("batch").contains("8"))
+  }
+
+  test("MIN/MAX view with aux state refreshes correctly on the bucketed store") {
+    val (root, f) = mkStore(buckets = 4, smallBytes = 0)
+    val store = f(root)
+    val base: String => DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 1), Row("a", 5), Row("b", 10), Row(null, 3)))
+    }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"), CountStar("cnt")))
+    Ivm.create("mv", q, base, store)
+    // delete the current max of a → falls back to 1; null group gains a row
+    val d = df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("a", 5, false), Row(null, 8, true)))
+    Ivm.refreshState("mv", q, base, t => if (t == "t") Some(d) else None, store)
+    val got = Ivm.read("mv", q, store).collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (Some("a"), 1, 1, 1L), (Some("b"), 10, 10, 1L), (None, 3, 8, 2L)))
   }
 }
