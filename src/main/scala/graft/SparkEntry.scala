@@ -298,15 +298,26 @@ object SparkEntry {
           col("n"), col("max_value"))),
 
     // Multimodal plumbing (binary payload + typed metadata; STUB codec):
-    // batched per-partition feature extraction and frame sampling.
-    // Not SQL-expressible -> no oracleSql entry (rows-only check).
+    // batched per-partition feature extraction and frame sampling. The
+    // library API returns a typed float feature vector; the GATED query
+    // emits the histogram as exploded exact integer bin counts
+    // (round(f·n_bytes) is exact for counts ≪ 2^23) so the driver can
+    // sort/hash it and DuckDB can mirror it from the ASCII document bytes.
     "q50_multimodal_features" -> ((s, dir) =>
       ops.Multimodal.extractFeatures(
-        ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")))),
+        ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")))
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("bin", "f")))
+        .select(col("media_id"), col("format"), col("n_bytes"), col("bin"),
+          round(col("f") * col("n_bytes")).cast("long").as("bin_count"))),
 
+    // Frame payloads are ASCII slices here, so the gated query exports them
+    // as STRING for a cross-engine (DuckDB substr) hash match; library
+    // callers keep the binary column.
     "q51_multimodal_frames" -> ((s, dir) =>
       ops.Multimodal.sampleFrames(
-        ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")), everyN = 2)),
+        ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")), everyN = 2)
+        .withColumn("frame_payload", col("frame_payload").cast("string"))),
 
     // Sessionization: 30-minute-gap sessions per user via window functions
     // (lag + running sum). ts stays integer nanos end-to-end; session
@@ -560,6 +571,36 @@ object SparkEntry {
             FROM scored) WHERE rank <= 5""",
 
     "q27_text_analyze" -> textAnalyzeSql,
+
+    // FakeCodec mirror: 16-bin byte histogram of the UTF-8 payload. The
+    // corpus is ASCII (verified), so byte == character code and DuckDB can
+    // recompute the exact integer bin counts from the text.
+    "q50_multimodal_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'wav' END AS format,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes, text
+           FROM documents),
+         b AS (SELECT media_id, format, n_bytes, text,
+           unnest(range(0, 16)) AS bin FROM m)
+         SELECT media_id, format, n_bytes, CAST(bin AS INT) AS bin,
+           CAST(len(list_filter(
+             list_transform(string_split(text, ''), c -> ascii(c)),
+             x -> x // 16 = bin)) AS BIGINT) AS bin_count
+         FROM b""",
+
+    // sampleFrames mirror: slice arithmetic over the ASCII payload.
+    "q51_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+           CAST(doc_id % 7 + 1 AS INT) AS n_frames,
+           octet_length(encode(text)) AS plen FROM documents),
+         f AS (SELECT media_id, text,
+           greatest(plen // n_frames, 1) AS flen,
+           unnest(range(0, n_frames, 2)) AS frame_idx FROM m)
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           substr(text, CAST(frame_idx * flen + 1 AS INT), CAST(flen AS INT))
+             AS frame_payload
+         FROM f""",
 
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

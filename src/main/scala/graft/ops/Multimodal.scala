@@ -99,20 +99,24 @@ object Multimodal {
       .toDF("media_id", "format", "n_bytes", "features")
   }
 
-  /** STUB resize: rewrites payload + metadata to the target box. */
+  /** STUB resize: rewrites payload + metadata to the target box.
+    * Typed mapPartitions (not .rdd): rows stay Tungsten-encoded with no
+    * Row-boxing round trip, matching [[extractFeatures]]. */
   def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload", "meta").rdd
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.format"),
+        col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .as[(Long, Array[Byte], String, Int, Int, Int)]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap(_.map { r =>
-          val meta = r.getStruct(2)
-          val resized = FakeCodec.resize(r.getAs[Array[Byte]]("payload"),
-            meta.getInt(1), meta.getInt(2), w, h)
-          Row(r.getLong(0), resized,
-            Row(meta.getString(0), w, h, meta.getInt(3)))
+        it.grouped(batchSize).flatMap(_.map { case (id, payload, fmt, w0, h0, nf) =>
+          (id, FakeCodec.resize(payload, w0, h0, w, h), fmt, nf)
         })
       }
-    spark.createDataFrame(rdd, MediaSchema)
+      .toDF("media_id", "payload", "format", "n_frames")
+      .select(col("media_id"), col("payload"),
+        struct(col("format"), lit(w).as("width"), lit(h).as("height"),
+          col("n_frames")).as("meta"))
   }
 
   /** Frame sampling for video-ish payloads: one output row per sampled
