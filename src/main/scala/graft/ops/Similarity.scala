@@ -41,14 +41,40 @@ object Similarity {
   /** Cosine similarity, deterministic evaluation order. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Two-phase deterministic top-k: a PARTIAL top-k per (query, salt)
+    * group, then the global ranking over the union of partials.
+    *
+    * The naive single window `partitionBy(q_id)` funnels every scored
+    * (query, corpus) row for one query through ONE reducer — O(|corpus|)
+    * rows per task at scale. Salting by hash(n_id) spreads each query's
+    * candidates over `salts` reducers first; only salts×k survivors per
+    * query reach the global window. The global top-k of the per-salt
+    * top-ks IS the overall top-k (every global winner wins its own salt
+    * group), and (cosine desc, n_id asc) ordering keeps ranking
+    * deterministic across partitionings. */
+  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPart = Window.partitionBy(col("q_id"), pmod(hash(col("n_id")), lit(salts)))
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    val wGlobal = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id").asc)
+    scored
+      .withColumn("__ann_pr", row_number().over(wPart))
+      .where(col("__ann_pr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "cosine", "rank")
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k nearest
     * corpus vectors (excluding itself). The query side is broadcast — the
-    * corpus streams from parquet, no shuffle until the per-query top-k,
-    * which aggregates only queries×k rows.
+    * corpus streams from parquet with no shuffle until the two-phase
+    * per-query top-k ([[topKPerQuery]]), which shuffles only salts×k rows
+    * per query into the final ranking.
     * Deterministic ranking: (cosine rounded to 6 dp desc, id asc). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
     val nDot = fastDot(corpus)
     // Norms are precomputed per vector BEFORE the join (norm(v) is the same
     // fold either way, so results are bit-identical) — at n queries × m
@@ -61,10 +87,7 @@ object Similarity {
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cosine",
         round(nDot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "n_id", "cosine", "rank")
+    topKPerQuery(scored, k, salts)
   }
 
   /** Sign-bit LSH bucket from the first `nBits` dimensions: bit i set iff
@@ -75,10 +98,12 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Bucketed ANN top-k: queries only scan corpus vectors in their own
-    * sign-bucket. Same ranking rule as brute force; recall < 1 by design. */
+    * sign-bucket. Same ranking rule as brute force; recall < 1 by design.
+    * Candidate sets are bucket-bounded, but a hot bucket still benefits
+    * from the same two-phase top-k. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      nBits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
     val nDot = fastDot(corpus)
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
       signBucket(col(vecCol), nBits).as("bucket"),
@@ -90,9 +115,6 @@ object Similarity {
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cosine",
         round(nDot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm")), 6))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "n_id", "cosine", "rank")
+    topKPerQuery(scored, k, salts)
   }
 }

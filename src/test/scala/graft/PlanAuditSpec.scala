@@ -41,6 +41,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"query side must broadcast:\n$p")
   }
 
+  test("ANN top-k (q25/q26): partial per-salt top-k precedes the global window") {
+    // two Window operators: the salted partial rank bounds what the global
+    // per-query ranking shuffles to salts×k rows per query
+    for (name <- Seq("q25_ann_topk", "q26_ann_bucketed")) {
+      val p = plan(q(name))
+      val windows = "RunningWindowFunction|Window".r.findAllIn(p).length
+      assert(windows >= 2, s"$name: expected partial+global windows:\n$p")
+    }
+  }
+
   test("exact dedup (q20): partial aggregation before the exchange") {
     val p = plan(q("q20_dedup_exact"))
     val firstAgg = p.indexOf("HashAggregate")
