@@ -197,6 +197,54 @@ object SparkEntry {
       Ivm.read("q14", v, store)
     }),
 
+    // RIGHT OUTER join maintained incrementally: the preserved side is
+    // customer; order deletions drive 0<->n match-count transitions that
+    // (un)null-extend customer rows, observable through COUNT(o_totalprice)
+    // vs COUNT(*) per market segment.
+    "q17_ivm_right_join_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(
+        RightJoin(
+          Project(Scan("orders"),
+            Seq(col("o_custkey").as("custkey"), col("o_totalprice"))),
+          Project(Scan("customer"),
+            Seq(col("c_custkey").as("custkey"), col("c_mktsegment"))),
+          Seq("custkey")),
+        Seq("c_mktsegment"),
+        Seq(Count(col("o_totalprice"), "cnt_orders"), CountStar("n")))
+      Ivm.create("q17", v, base(s, dir), store)
+      Ivm.refreshState("q17", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q17", v, store)
+    }),
+
+    // FULL OUTER join with deltas on BOTH sides: customer deletions orphan
+    // their orders (left-null rows born), order deletions orphan customers
+    // (right-null rows born); both match-count states exercise 0<->n.
+    "q18_ivm_full_join_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val deltaCustomer = tbl(s, dir, "customer")
+        .where(col("c_custkey") % 29 === 0)
+        .withColumn(M, col("c_custkey") % 2 === 0)
+      val ds: String => Option[DataFrame] = {
+        case "customer" => Some(deltaCustomer)
+        case "orders"   => Some(deltaOrders(s, dir))
+        case _          => None
+      }
+      val v = Aggregate(
+        FullJoin(
+          Project(Scan("customer"),
+            Seq(col("c_custkey").as("ck"), col("c_acctbal"))),
+          Project(Scan("orders"),
+            Seq(col("o_custkey").as("ck"), col("o_totalprice"))),
+          Seq("ck")),
+        Seq.empty,
+        Seq(Count(col("c_acctbal"), "n_c"), Count(col("o_totalprice"), "n_o"),
+          CountStar("n")))
+      Ivm.create("q18", v, base(s, dir), store)
+      Ivm.refreshState("q18", v, base(s, dir), ds, store)
+      Ivm.read("q18", v, store)
+    }),
+
     // Join delta: Δ(C⋈O) = ΔC⋈O ⊎ C⋈ΔO ⊎ ΔC⋈ΔO with weights multiplied
     // (poster math; reference code rejects joins).
     "q09_ivm_join_delta" -> ((s, dir) => {
@@ -479,6 +527,51 @@ object SparkEntry {
             SELECT l_returnflag, l_linestatus, l_quantity,
                    CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
           ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0""",
+
+    "q17_ivm_right_join_apply" ->
+      s"""WITH o2 AS (
+            SELECT o_custkey, o_totalprice, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY o_orderkey, o_custkey, o_totalprice HAVING SUM(w) > 0
+          ), oe AS (
+            SELECT o_custkey, o_totalprice FROM
+              (SELECT o_custkey, o_totalprice, unnest(range(m)) FROM o2)
+          )
+          SELECT c_mktsegment, CAST(COUNT(o_totalprice) AS BIGINT) AS cnt_orders,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM oe RIGHT JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment""",
+
+    "q18_ivm_full_join_apply" ->
+      s"""WITH dc AS ($DC),
+          c2 AS (
+            SELECT c_custkey, c_acctbal, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT c_custkey, c_acctbal, 1 AS w FROM customer
+              UNION ALL
+              SELECT c_custkey, c_acctbal,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM dc
+            ) GROUP BY c_custkey, c_acctbal HAVING SUM(w) > 0
+          ), ce AS (
+            SELECT c_custkey, c_acctbal FROM
+              (SELECT c_custkey, c_acctbal, unnest(range(m)) FROM c2)
+          ), o2 AS (
+            SELECT o_custkey, o_totalprice, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY o_orderkey, o_custkey, o_totalprice HAVING SUM(w) > 0
+          ), oe AS (
+            SELECT o_custkey, o_totalprice FROM
+              (SELECT o_custkey, o_totalprice, unnest(range(m)) FROM o2)
+          )
+          SELECT CAST(COUNT(c_acctbal) AS BIGINT) AS n_c,
+                 CAST(COUNT(o_totalprice) AS BIGINT) AS n_o,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ce FULL OUTER JOIN oe ON c_custkey = o_custkey""",
 
     "q09_ivm_join_delta" ->
       s"""WITH dc AS ($DC), do_ AS ($DO_)

@@ -20,6 +20,10 @@ object Eval {
     case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
     case LeftJoin(l, r, keys) =>
       eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
+    case RightJoin(l, r, keys) =>
+      eval(l, resolve).join(eval(r, resolve), keys, "right_outer")
+    case FullJoin(l, r, keys) =>
+      eval(l, resolve).join(eval(r, resolve), keys, "full_outer")
     case Aggregate(c, keys, aggs) =>
       val child = eval(c, resolve)
       if (aggs.isEmpty) child.select(keys.map(col): _*).distinct() // DISTINCT view

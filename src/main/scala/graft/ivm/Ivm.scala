@@ -114,13 +114,22 @@ object Ivm {
         case Filter(c, _)  => walk(c, path + ".0")
         case Project(c, _) => walk(c, path + ".0")
         case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
-        case lj @ LeftJoin(l, r, keys) =>
+        case LeftJoin(l, r, keys) =>
           walk(l, path + ".0") ++ walk(r, path + ".1") :+
-            ((stateName(view, s"$path.rcnt"), keys, () =>
-              Eval.eval(r, base).groupBy(keys.map(col): _*)
-                .agg(count(lit(1)).as(HCOUNT))))
+            matchCount(s"$path.rcnt", r, keys)
+        case RightJoin(l, r, keys) =>
+          walk(l, path + ".0") ++ walk(r, path + ".1") :+
+            matchCount(s"$path.lcnt", l, keys)
+        case FullJoin(l, r, keys) =>
+          walk(l, path + ".0") ++ walk(r, path + ".1") :+
+            matchCount(s"$path.rcnt", r, keys) :+
+            matchCount(s"$path.lcnt", l, keys)
         case Scan(_)       => Seq.empty
       }
+    def matchCount(path: String, side: IvmQuery, keys: Seq[String]) =
+      (stateName(view, path), keys, () =>
+        Eval.eval(side, base).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(HCOUNT)))
     store.transaction {
       inParallel(walk(q, "r")) { case (name, keys, mk) =>
         store.putKeyed(name, mk(), keys)

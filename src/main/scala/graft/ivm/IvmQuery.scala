@@ -54,6 +54,8 @@ sealed trait IvmQuery {
     case Aggregate(c, _, _)  => c.tables
     case Join(l, r, _)       => l.tables ++ r.tables
     case LeftJoin(l, r, _)   => l.tables ++ r.tables
+    case RightJoin(l, r, _)  => l.tables ++ r.tables
+    case FullJoin(l, r, _)   => l.tables ++ r.tables
   }
 }
 
@@ -90,6 +92,22 @@ final case class Join(left: IvmQuery, right: IvmQuery, keys: Seq[String])
 final case class LeftJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
     extends IvmQuery {
   require(keys.nonEmpty, "LeftJoin requires join keys")
+}
+
+/** RIGHT OUTER equi-join — the mirror of [[LeftJoin]]: the preserved side
+  * is `right`, so the maintained match count is of the LEFT side (state
+  * `.lcnt`), detecting birth/death of null-extended right rows. */
+final case class RightJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
+    extends IvmQuery {
+  require(keys.nonEmpty, "RightJoin requires join keys")
+}
+
+/** FULL OUTER equi-join — both sides preserved; maintains BOTH per-key
+  * match counts (`.rcnt` of the right side for left anti-rows, `.lcnt` of
+  * the left side for right anti-rows). */
+final case class FullJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
+    extends IvmQuery {
+  require(keys.nonEmpty, "FullJoin requires join keys")
 }
 
 object IvmQuery {

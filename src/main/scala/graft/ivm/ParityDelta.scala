@@ -76,12 +76,7 @@ object ParityDelta {
         .agg(exprs.head, exprs.tail: _*)
         .select((keys.map(col) ++ aggs.map(a => col(a.name)) :+ col(MULT)): _*)
 
-    case LeftJoin(_, _, _) =>
-      throw new UnsupportedOperationException(
-        "IVM parity mode does not support joins (reference " +
-          "ivm_rewrite_rule.hpp:282-283); use ZDelta / Ivm.refresh")
-
-    case Join(_, _, _) =>
+    case _: Join | _: LeftJoin | _: RightJoin | _: FullJoin =>
       throw new UnsupportedOperationException(
         "IVM parity mode does not support joins (reference " +
           "ivm_rewrite_rule.hpp:282-283); use ZDelta / Ivm.refresh")

@@ -3,7 +3,7 @@ package graft.ivm
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.expr
 
@@ -58,6 +58,14 @@ object SqlFrontend {
       graft.ivm.LeftJoin(fold(l), fold(r), cols)
     case Join(l, r, LeftOuter, Some(cond), _) =>
       graft.ivm.LeftJoin(fold(l), fold(r), equiKeys(cond))
+    case Join(l, r, UsingJoin(RightOuter, cols), None, _) =>
+      graft.ivm.RightJoin(fold(l), fold(r), cols)
+    case Join(l, r, RightOuter, Some(cond), _) =>
+      graft.ivm.RightJoin(fold(l), fold(r), equiKeys(cond))
+    case Join(l, r, UsingJoin(FullOuter, cols), None, _) =>
+      graft.ivm.FullJoin(fold(l), fold(r), cols)
+    case Join(l, r, FullOuter, Some(cond), _) =>
+      graft.ivm.FullJoin(fold(l), fold(r), equiKeys(cond))
     case Distinct(Project(exprs, child))
         if exprs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
       IvmQuery.distinct(fold(child),

@@ -128,7 +128,13 @@ object ZDelta {
       deltaJoin(l, r, keys, ctx, path)
 
     case LeftJoin(l, r, keys) =>
-      deltaLeftJoin(l, r, keys, ctx, path)
+      deltaOuterJoin(l, r, keys, ctx, path, preserveL = true, preserveR = false)
+
+    case RightJoin(l, r, keys) =>
+      deltaOuterJoin(l, r, keys, ctx, path, preserveL = false, preserveR = true)
+
+    case FullJoin(l, r, keys) =>
+      deltaOuterJoin(l, r, keys, ctx, path, preserveL = true, preserveR = true)
 
     case agg @ Aggregate(_, _, _) =>
       deltaAggregate(agg, ctx, path)
@@ -194,31 +200,45 @@ object ZDelta {
     case LeftJoin(l, r, keys) =>
       keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
         outputNames(r, ctx).filterNot(keys.contains)
+    case RightJoin(l, r, keys) =>
+      keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
+        outputNames(r, ctx).filterNot(keys.contains)
+    case FullJoin(l, r, keys) =>
+      keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
+        outputNames(r, ctx).filterNot(keys.contains)
   }
 
-  // ------------------------------------------------------ left outer join
+  // ----------------------------------------------------------- outer joins
 
-  /** Δ(A LEFT OUTER JOIN B):
+  /** Δ of an outer equi-join, parameterized by which side(s) are preserved
+    * (LEFT = A, RIGHT = B, FULL = both):
     *
-    *   LOJ(A,B) = Inner(A,B) ⊎ anti(A,B)×nulls,
-    *   anti(A,B) = rows of A whose key has matchCount_B = 0.
+    *   OJ(A,B) = Inner(A,B) ⊎ [preserve A] anti_A×nulls ⊎ [preserve B] nulls×anti_B,
+    *   anti_A = rows of A whose key has matchCount_B = 0 (and mirrored).
     *
-    * The inner part deltas exactly like [[deltaJoin]]. The anti part is
-    * driven by the maintained per-key match count of B (state `path.rcnt`):
+    * The inner part deltas exactly like [[deltaJoin]]. Each preserved
+    * side's anti part is driven by a maintained per-key match count of the
+    * OTHER side (state `path.rcnt` counts B for A's anti rows, `path.lcnt`
+    * counts A for B's):
     *
-    *   (i)   ΔA rows whose post-batch count is 0 → null-extended, weight w
-    *   (ii)  keys whose count died  (>0 → 0): A's rows re-enter anti, +1
-    *   (iii) keys whose count was born (0 → >0): A's rows leave anti, −1
+    *   (i)   Δ(preserved) rows whose post-batch other-count is 0 →
+    *         null-extended, weight w
+    *   (ii)  keys whose count died  (>0 → 0): preserved rows re-enter anti, +1
+    *   (iii) keys whose count was born (0 → >0): preserved rows leave anti, −1
     *
-    * (ii)/(iii) scan A only for transitioned keys (broadcast semi-join —
-    * pushdown-friendly, O(touched keys) selectivity at any scale), and ΔA
-    * rows on those keys are covered by (i) since it uses POST-batch counts.
+    * (ii)/(iii) scan the preserved base only for transitioned keys
+    * (broadcast semi-join — pushdown-friendly, O(touched keys) selectivity
+    * at any scale), and Δ rows on those keys are covered by (i) since it
+    * uses POST-batch counts. NULL join keys never match in SQL, so they
+    * fall through to count 0 → permanently anti (the equi-joins below keep
+    * that semantics; only the state maintenance joins are null-safe).
     */
-  private def deltaLeftJoin(
-      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
+  private def deltaOuterJoin(
+      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String,
+      preserveL: Boolean, preserveR: Boolean): DataFrame = {
     val lHas = hasDelta(l, ctx)
     val rHas = hasDelta(r, ctx)
-    require(lHas || rHas, s"delta of left join with no deltas on either side at $path")
+    require(lHas || rHas, s"delta of outer join with no deltas on either side at $path")
     def bcast(df: DataFrame): DataFrame =
       if (ctx.broadcastDeltas) broadcast(df) else df
 
@@ -230,84 +250,98 @@ object ZDelta {
     lazy val br = Eval.eval(r, ctx.base)
 
     val outCols = joinOut(l, r, keys, ctx)
-    // typed NULLs for the right side's non-key columns
-    val rSchema = Eval.eval(r, ctx.base).schema
+    val lNonKey = outputNames(l, ctx).filterNot(keys.contains)
     val rNonKey = outputNames(r, ctx).filterNot(keys.contains)
-    val nullR: Seq[Column] = rNonKey.map(n =>
-      lit(null).cast(rSchema(n).dataType).as(n))
-    def nullExtended(aSide: DataFrame, weight: Column): DataFrame = {
-      val lCols = outputNames(l, ctx).filterNot(keys.contains).map(col)
-      aSide.select((keys.map(col) ++ lCols ++ nullR :+ weight.as(WEIGHT)): _*)
+    // typed NULLs for the non-preserved side's non-key columns
+    val lSchema = Eval.eval(l, ctx.base).schema
+    val rSchema = Eval.eval(r, ctx.base).schema
+    val nullL: Seq[Column] = lNonKey.map(n => lit(null).cast(lSchema(n).dataType).as(n))
+    val nullR: Seq[Column] = rNonKey.map(n => lit(null).cast(rSchema(n).dataType).as(n))
+    def nullExtendR(aSide: DataFrame, weight: Column): DataFrame =
+      aSide.select((keys.map(col) ++ lNonKey.map(col) ++ nullR :+ weight.as(WEIGHT)): _*)
         .select(outCols :+ col(WEIGHT): _*)
-    }
+    def nullExtendL(bSide: DataFrame, weight: Column): DataFrame =
+      bSide.select((keys.map(col) ++ nullL ++ rNonKey.map(col) :+ weight.as(WEIGHT)): _*)
+        .select(outCols :+ col(WEIGHT): _*)
 
     // ---- inner-join delta terms (same as deltaJoin)
-    val innerTerms = mutable.Buffer.empty[DataFrame]
+    val terms = mutable.Buffer.empty[DataFrame]
     if (lHas)
-      innerTerms += bcast(dl).join(br, keys).select(outCols :+ col(WEIGHT): _*)
+      terms += bcast(dl).join(br, keys).select(outCols :+ col(WEIGHT): _*)
     if (rHas)
-      innerTerms += bl.join(bcast(dr), keys).select(outCols :+ col(WEIGHT): _*)
+      terms += bl.join(bcast(dr), keys).select(outCols :+ col(WEIGHT): _*)
     if (lHas && rHas) {
       val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
       val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
-      innerTerms += dl2.join(bcast(dr2), keys)
+      terms += dl2.join(bcast(dr2), keys)
         .withColumn(WEIGHT, col("__ivm_wl") * col("__ivm_wr"))
         .select(outCols :+ col(WEIGHT): _*)
     }
 
-    // ---- match-count state maintenance + key transitions
-    val cntPath = s"$path.rcnt"
-    val terms = mutable.Buffer.empty[DataFrame] ++= innerTerms
-    // new count per key = old + Σw over ΔB, for ΔB-touched keys
-    val touchedNew: Option[DataFrame] = if (rHas) {
-      val adj = {
-        val c = dr.groupBy(keys.map(col): _*)
-          .agg(sum(col(WEIGHT)).as("__ivm_adj")).cache()
-        ctx.pins += c; c
-      }
-      val oldTouched = ctx.slice(cntPath, adj, keys) // bucket-pruned state read
-      val upd = leftOuterByKeys(adj, oldTouched, keys, hint = bcast)
-        .select((keys.map(col) :+
-          (coalesce(col(HCOUNT), lit(0)) + coalesce(col("__ivm_adj"), lit(0)))
-            .as(HCOUNT) :+
-          coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
-      val updC = upd.cache(); ctx.pins += updC
-      ctx.updates += StateUpdate(cntPath, keys,
-        updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
-      // (ii) died keys: A's rows re-enter anti (+1 each)
-      val died = updC.where(col("__ivm_oldcnt") > 0 && col(HCOUNT) <= 0)
-        .select(keys.map(col): _*)
-      terms += nullExtended(bl.join(bcast(died), keys, "left_semi"), lit(1))
-      // (iii) born keys: A's rows leave anti (−1 each)
-      val born = updC.where(col("__ivm_oldcnt") <= 0 && col(HCOUNT) > 0)
-        .select(keys.map(col): _*)
-      terms += nullExtended(bl.join(bcast(born), keys, "left_semi"), lit(-1))
-      Some(updC)
-    } else None
+    /** Anti terms for one preserved side. `driveBase`/`dDrive` = the
+      * preserved side; `dOther` = the delta of the counted side; `cntPath`
+      * = the match-count state of the counted side. */
+    def preservedTerms(
+        cntPath: String,
+        driveBase: => DataFrame, dDrive: => DataFrame, driveHas: Boolean,
+        dOther: => DataFrame, otherHas: Boolean,
+        nullExtend: (DataFrame, Column) => DataFrame): Unit = {
+      // new count per key = old + Σw over Δ(other), for touched keys
+      val touchedNew: Option[DataFrame] = if (otherHas) {
+        val adj = {
+          val c = dOther.groupBy(keys.map(col): _*)
+            .agg(sum(col(WEIGHT)).as("__ivm_adj")).cache()
+          ctx.pins += c; c
+        }
+        val oldTouched = ctx.slice(cntPath, adj, keys) // bucket-pruned read
+        val upd = leftOuterByKeys(adj, oldTouched, keys, hint = bcast)
+          .select((keys.map(col) :+
+            (coalesce(col(HCOUNT), lit(0)) + coalesce(col("__ivm_adj"), lit(0)))
+              .as(HCOUNT) :+
+            coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
+        val updC = upd.cache(); ctx.pins += updC
+        ctx.updates += StateUpdate(cntPath, keys,
+          updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
+        // (ii) died keys: preserved rows re-enter anti (+1 each)
+        val died = updC.where(col("__ivm_oldcnt") > 0 && col(HCOUNT) <= 0)
+          .select(keys.map(col): _*)
+        terms += nullExtend(driveBase.join(bcast(died), keys, "left_semi"), lit(1))
+        // (iii) born keys: preserved rows leave anti (−1 each)
+        val born = updC.where(col("__ivm_oldcnt") <= 0 && col(HCOUNT) > 0)
+          .select(keys.map(col): _*)
+        terms += nullExtend(driveBase.join(bcast(born), keys, "left_semi"), lit(-1))
+        Some(updC)
+      } else None
 
-    // (i) ΔA rows with POST-batch count 0 (incl. keys absent from state)
-    if (lHas) {
-      // old counts restricted to ΔA's keys — bucket-pruned slice instead
-      // of a full state scan (dl is pinned, so the eager key collect is
-      // cheap). Keys stay equi (not null-safe) below: NULL left keys never
-      // match in SQL LOJ and correctly fall through to count 0 → anti.
-      val oldForDl = ctx.slice(cntPath, dl.select(keys.map(col): _*).distinct(), keys)
-        .withColumnRenamed(HCOUNT, "__ivm_oldc")
-      val cntForDl = touchedNew match {
-        case Some(upd) =>
-          // post-batch count: updated value for ΔB-touched keys, else old
-          dl.join(bcast(upd.select((keys.map(col) :+ col(HCOUNT).as("__ivm_newc")): _*)),
-              keys, "left_outer")
-            .join(bcast(oldForDl), keys, "left_outer")
-            .withColumn("__ivm_cnt",
-              coalesce(col("__ivm_newc"), col("__ivm_oldc"), lit(0)))
-        case None =>
-          dl.join(bcast(oldForDl), keys, "left_outer")
-            .withColumn("__ivm_cnt", coalesce(col("__ivm_oldc"), lit(0)))
+      // (i) Δ(preserved) rows with POST-batch count 0 (incl. absent keys)
+      if (driveHas) {
+        // old counts restricted to Δ's keys — bucket-pruned slice instead
+        // of a full state scan (dDrive is pinned, so the eager key collect
+        // is cheap)
+        val oldForD = ctx.slice(cntPath,
+            dDrive.select(keys.map(col): _*).distinct(), keys)
+          .withColumnRenamed(HCOUNT, "__ivm_oldc")
+        val cntForD = touchedNew match {
+          case Some(upd) =>
+            // post-batch count: updated value for touched keys, else old
+            dDrive.join(
+                bcast(upd.select((keys.map(col) :+ col(HCOUNT).as("__ivm_newc")): _*)),
+                keys, "left_outer")
+              .join(bcast(oldForD), keys, "left_outer")
+              .withColumn("__ivm_cnt",
+                coalesce(col("__ivm_newc"), col("__ivm_oldc"), lit(0)))
+          case None =>
+            dDrive.join(bcast(oldForD), keys, "left_outer")
+              .withColumn("__ivm_cnt", coalesce(col("__ivm_oldc"), lit(0)))
+        }
+        terms += nullExtend(cntForD.where(col("__ivm_cnt") <= 0), col(WEIGHT))
       }
-      terms += nullExtended(
-        cntForDl.where(col("__ivm_cnt") <= 0), col(WEIGHT))
     }
+
+    if (preserveL)
+      preservedTerms(s"$path.rcnt", bl, dl, lHas, dr, rHas, nullExtendR)
+    if (preserveR)
+      preservedTerms(s"$path.lcnt", br, dr, rHas, dl, lHas, nullExtendL)
 
     terms.reduce(_.unionByName(_))
   }

@@ -99,7 +99,18 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
           LeftJoin(Project(sc, Seq(col("g"), col("v"))),
             Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
           Seq("g", "v"), Seq(Count(col("h"), "c_count"))),
-        Seq("c_count"), Seq(CountStar("custdist"))))
+        Seq("c_count"), Seq(CountStar("custdist"))),
+      // RIGHT OUTER: preserved side is the right; mirrors loj transitions
+      "roj_2side" -> RightJoin(Project(sc, Seq(col("g"), col("v"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+      // FULL OUTER: both sides preserved, both match-count states live
+      "foj_2side" -> FullJoin(Project(sc, Seq(col("g"), col("v"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+      "foj_agg_2side" -> Aggregate(
+        FullJoin(Project(sc, Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+        Seq.empty,
+        Seq(Count(col("v"), "n_v"), Count(col("h"), "n_h"), CountStar("n"))))
   }
 
   for ((name, q) <- shapes)

@@ -58,7 +58,11 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
           Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
         Seq("g", "v"), Seq(Count(col("h"), "c_count"))),
       Seq("c_count"), Seq(CountStar("custdist"))),
-    "distinct" -> IvmQuery.distinct(Scan("t"), Seq("g", "h")))
+    "distinct" -> IvmQuery.distinct(Scan("t"), Seq("g", "h")),
+    // FULL OUTER: anti-row births/deaths on both sides must chain correctly
+    // across batches (a key born in batch 1 can die in batch 3)
+    "foj" -> FullJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
+      Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")))
 
   for ((name, q) <- shapes)
     test(s"$Batches sequential refreshes == recompute: $name") {

@@ -47,6 +47,18 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE IMMV with LEFT/RIGHT/FULL OUTER JOIN folds to the outer-join nodes") {
+    val (_, ql) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_loj AS SELECT * FROM t LEFT OUTER JOIN u USING (g)")
+    assert(ql == LeftJoin(Scan("t"), Scan("u"), Seq("g")), ql)
+    val (_, qr) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_roj AS SELECT * FROM t RIGHT OUTER JOIN u USING (g)")
+    assert(qr == RightJoin(Scan("t"), Scan("u"), Seq("g")), qr)
+    val (_, qf) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_foj AS SELECT * FROM t FULL OUTER JOIN u ON t.g = u.g")
+    assert(qf == FullJoin(Scan("t"), Scan("u"), Seq("g")), qf)
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
