@@ -197,6 +197,20 @@ object SparkEntry {
       Ivm.read("q14", v, store)
     }),
 
+    // HAVING over a maintained aggregate (unsupported in BOTH reference
+    // engines, README.md:34): the delta batch moves groups across the
+    // parity predicate, so membership enters/leaves incrementally.
+    "q19_ivm_having_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Filter(
+        Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
+          Seq(Sum(col("l_quantity"), "sum_qty"), CountStar("cnt"))),
+        col("cnt") % 2 === 0)
+      Ivm.create("q19", v, base(s, dir), store)
+      Ivm.refreshState("q19", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q19", v, store)
+    }),
+
     // RIGHT OUTER join maintained incrementally: the preserved side is
     // customer; order deletions drive 0<->n match-count transitions that
     // (un)null-extend customer rows, observable through COUNT(o_totalprice)
@@ -527,6 +541,17 @@ object SparkEntry {
             SELECT l_returnflag, l_linestatus, l_quantity,
                    CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
           ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0""",
+
+    "q19_ivm_having_apply" ->
+      s"""SELECT l_returnflag, l_linestatus, SUM(l_quantity * w) AS sum_qty,
+          CAST(SUM(w) AS BIGINT) AS cnt
+          FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_quantity,
+                   CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+          ) GROUP BY l_returnflag, l_linestatus
+          HAVING SUM(w) > 0 AND SUM(w) % 2 = 0""",
 
     "q17_ivm_right_join_apply" ->
       s"""WITH o2 AS (

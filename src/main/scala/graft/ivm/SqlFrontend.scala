@@ -1,7 +1,7 @@
 package graft.ivm
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -50,6 +50,31 @@ object SqlFrontend {
     case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
     case Aggregate(grouping, aggExprs, child, _) =>
       foldAggregate(grouping, aggExprs, fold(child))
+    // HAVING: a Filter over the aggregate's OUTPUT — the delta rule is the
+    // existing σ∘Δγ composition (retraction/assertion rows filter alike; a
+    // group entering/leaving the HAVING set is exactly retract-only /
+    // assert-only). Unsupported in BOTH engines of the reference pair
+    // (reference README.md:34) — this is a capability extension. Aggregate
+    // calls in the predicate (HAVING COUNT(*) > 2) are rewritten to the
+    // select list's matching output alias.
+    case UnresolvedHaving(cond, Aggregate(grouping, aggExprs, child, _)) =>
+      val folded = foldAggregate(grouping, aggExprs, fold(child))
+      val bySql: Map[String, String] = aggExprs.collect {
+        case Alias(fn: UnresolvedFunction, name) => fn.sql -> name
+      }.toMap
+      val cond2 = cond.transform {
+        case fn: UnresolvedFunction if bySql.contains(fn.sql) =>
+          UnresolvedAttribute(bySql(fn.sql))
+      }
+      val aggFns = Set("sum", "count", "avg", "mean", "min", "max")
+      cond2.collectFirst {
+        case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
+      }.foreach { fn =>
+        throw new UnsupportedOperationException(
+          s"HAVING aggregate ${fn.sql} must also appear (aliased) in the " +
+            "select list so the maintained view carries it")
+      }
+      graft.ivm.Filter(folded, expr(cond2.sql))
     case Join(l, r, UsingJoin(Inner, cols), None, _) =>
       graft.ivm.Join(fold(l), fold(r), cols)
     case Join(l, r, Inner, Some(cond), _) =>

@@ -110,7 +110,17 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         FullJoin(Project(sc, Seq(col("g"), col("v"))),
           Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
         Seq.empty,
-        Seq(Count(col("v"), "n_v"), Count(col("h"), "n_h"), CountStar("n"))))
+        Seq(Count(col("v"), "n_v"), Count(col("h"), "n_h"), CountStar("n"))),
+      // HAVING = Filter over aggregate OUTPUT: groups enter/leave the
+      // filtered set as deltas move them across the predicate boundary
+      "having" -> Filter(
+        Aggregate(sc, Seq("g"),
+          Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+        col("n") % 2 === 0),
+      "having_minmax" -> Filter(
+        Aggregate(sc, Seq("g"),
+          Seq(Min(col("v"), "min_v"), CountStar("n"))),
+        coalesce(col("min_v"), lit(0)) <= 0))
   }
 
   for ((name, q) <- shapes)

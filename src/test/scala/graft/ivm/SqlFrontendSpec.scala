@@ -59,6 +59,23 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assert(qf == FullJoin(Scan("t"), Scan("u"), Seq("g")), qf)
   }
 
+  test("CREATE IMMV with HAVING folds to Filter over the aggregate output") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_hav AS
+         SELECT g, SUM(v) AS sv, COUNT(*) AS n
+         FROM t GROUP BY g HAVING COUNT(*) > 2 AND n < 100""")
+    q match {
+      case Filter(Aggregate(Scan("t"), Seq("g"), aggs), _) =>
+        assert(aggs.map(_.name) == Seq("sv", "n"))
+      case other => fail(s"unexpected AST: $other")
+    }
+    // HAVING aggregate not in the select list is rejected loudly
+    intercept[UnsupportedOperationException] {
+      SqlFrontend.createImmv(spark,
+        "CREATE IMMV bad_hav AS SELECT g, COUNT(*) AS n FROM t GROUP BY g HAVING SUM(v) > 0")
+    }
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
