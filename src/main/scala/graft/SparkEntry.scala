@@ -319,6 +319,16 @@ object SparkEntry {
       ops.Similarity.bucketedTopK(emb, emb.where(col("vec_id") < 8), k = 5)
     }),
 
+    // IVF-ANN with LEARNED centroids (k-means-lite), exhaustive probing:
+    // scanning all cells is exactly brute force, which is the DuckDB
+    // oracle; the recall/probe-budget trade-off is measured in IvfSpec.
+    "q52_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = ops.Ivf.train(emb, k = 16, iters = 3)
+      ops.Ivf.topK(emb, emb.where(col("vec_id") < 8), k = 5, model,
+        nprobe = model.nCells)
+    }),
+
     // Text analysis: token counts, quality, language-ID, fingerprint.
     "q27_text_analyze" -> ((s, dir) =>
       ops.TextOps.analyze(tbl(s, dir, "documents"))),
@@ -665,6 +675,18 @@ object SparkEntry {
           WHERE cosine >= 0.35""",
 
     "q25_ann_topk" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
+
+    // exhaustive-probe IVF == brute force, so the oracle is q25's query
+    "q52_ann_ivf" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
               round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine

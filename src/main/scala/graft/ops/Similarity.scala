@@ -52,7 +52,7 @@ object Similarity {
     * top-ks IS the overall top-k (every global winner wins its own salt
     * group), and (cosine desc, n_id asc) ordering keeps ranking
     * deterministic across partitionings. */
-  private def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame = {
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int, salts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wPart = Window.partitionBy(col("q_id"), pmod(hash(col("n_id")), lit(salts)))
       .orderBy(col("cosine").desc, col("n_id").asc)
