@@ -94,58 +94,73 @@ object Ivm {
       q: IvmQuery,
       base: String => DataFrame,
       store: IvmStore): DataFrame = {
-    // Materialize every aggregate node's state, declaring each state's
-    // bucketing keys so the store lays it out for bucket-pruned refresh.
-    // Seeds at one level are independent → parallel puts; levels still
-    // commit bottom-up (a level's eval only READS base tables, so even
-    // that ordering is conservative).
+    store.transaction {
+      createStates(q, base, store, (_, p) => stateName(view, p),
+        topName = stateName(view, TOP), skipExisting = false)
+    }
+    read(view, q, store)
+  }
+
+  /** Materialize every interior state of `q` (bottom-up), naming each
+    * stateful node via `nameOf` and declaring its bucketing keys so the
+    * store lays it out for bucket-pruned refresh. Seeds at one level are
+    * independent → parallel puts; levels still commit bottom-up (a level's
+    * eval only READS base tables, so even that ordering is conservative).
+    * `skipExisting` lets content-addressed (shared) states be reused
+    * across views instead of recomputed. */
+  private def createStates(
+      q: IvmQuery,
+      base: String => DataFrame,
+      store: IvmStore,
+      nameOf: (IvmQuery, String) => String,
+      topName: String,
+      skipExisting: Boolean): Unit = {
+    def matchCount(name: String, side: IvmQuery, keys: Seq[String]) =
+      (name, keys, () =>
+        Eval.eval(side, base).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(HCOUNT)))
     def walk(node: IvmQuery, path: String): Seq[(String, Seq[String], () => DataFrame)] =
       node match {
         case a @ Aggregate(c, keys, _) =>
+          val name = nameOf(a, path)
           walk(c, path + ".0") ++
-            Seq((stateName(view, path), keys, () => Eval.evalState(a, base))) ++
+            Seq((name, keys, () => Eval.evalState(a, base))) ++
             a.aggs.filter(AggSpec.needsAux).map { spec =>
               // aux value-multiset buckets by group keys (value-hash for a
               // global aggregate), so group-sliced reads prune
               val bKeys = if (keys.nonEmpty) keys else Seq(Eval.auxVal(spec.name))
-              (stateName(view, s"$path.aux.${spec.name}"), bKeys,
+              (s"$name.aux.${spec.name}", bKeys,
                 () => Eval.evalAuxState(a, spec, base))
             }
         case Filter(c, _)  => walk(c, path + ".0")
         case Project(c, _) => walk(c, path + ".0")
         case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
-        case LeftJoin(l, r, keys) =>
+        case lj @ LeftJoin(l, r, keys) =>
           walk(l, path + ".0") ++ walk(r, path + ".1") :+
-            matchCount(s"$path.rcnt", r, keys)
-        case RightJoin(l, r, keys) =>
+            matchCount(nameOf(lj, path) + ".rcnt", r, keys)
+        case rj @ RightJoin(l, r, keys) =>
           walk(l, path + ".0") ++ walk(r, path + ".1") :+
-            matchCount(s"$path.lcnt", l, keys)
-        case FullJoin(l, r, keys) =>
+            matchCount(nameOf(rj, path) + ".lcnt", l, keys)
+        case fj @ FullJoin(l, r, keys) =>
           walk(l, path + ".0") ++ walk(r, path + ".1") :+
-            matchCount(s"$path.rcnt", r, keys) :+
-            matchCount(s"$path.lcnt", l, keys)
+            matchCount(nameOf(fj, path) + ".rcnt", r, keys) :+
+            matchCount(nameOf(fj, path) + ".lcnt", l, keys)
         case Scan(_)       => Seq.empty
       }
-    def matchCount(path: String, side: IvmQuery, keys: Seq[String]) =
-      (stateName(view, path), keys, () =>
-        Eval.eval(side, base).groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as(HCOUNT)))
-    store.transaction {
-      inParallel(walk(q, "r")) { case (name, keys, mk) =>
-        store.putKeyed(name, mk(), keys)
-      }
-      q match {
-        case _: Aggregate => () // top state IS the view
-        case _ =>
-          // SPJ view: store rows + multiset count (Z-set canonical form),
-          // bucketed on the full row (the multiset's key).
-          val rows = Eval.eval(q, base)
-          store.putKeyed(stateName(view, TOP),
-            rows.groupBy(rows.columns.map(col): _*).agg(count(lit(1)).as(HCOUNT)),
-            rows.columns.toSeq)
-      }
+    val states = walk(q, "r").distinctBy(_._1)
+      .filterNot { case (name, _, _) => skipExisting && store.get(name).isDefined }
+    inParallel(states) { case (name, keys, mk) => store.putKeyed(name, mk(), keys) }
+    q match {
+      case _: Aggregate => () // top state IS the view
+      case _ if skipExisting && store.get(topName).isDefined => ()
+      case _ =>
+        // SPJ view: store rows + multiset count (Z-set canonical form),
+        // bucketed on the full row (the multiset's key).
+        val rows = Eval.eval(q, base)
+        store.putKeyed(topName,
+          rows.groupBy(rows.columns.map(col): _*).agg(count(lit(1)).as(HCOUNT)),
+          rows.columns.toSeq)
     }
-    read(view, q, store)
   }
 
   /** Current contents of a materialized view. */
@@ -244,39 +259,115 @@ object Ivm {
     // end. Commits are independent per state path → concurrent jobs.
     store.transaction {
       inParallel(ctx.updates.toSeq) { u =>
-        val name = stateName(view, u.path)
-        if (u.keys.isEmpty)
-          store.put(name, u.updated) // global agg state: always one live row
-        else
-          timed(s"merge ${u.path}")(store.merge(name, u.updated, u.keys,
-            _.where(col(HCOUNT) > 0), u.bucketKeys, u.keyHint))
+        timed(s"merge ${u.path}")(
+          commitUpdate(store, stateName(view, u.path), u))
       }
-
-      // SPJ views: fold ΔV into the stored multiset — per-key count
-      // adjustments over touched rows only (never a full-state groupBy).
+      // SPJ views: fold ΔV into the stored multiset.
       q match {
         case _: Aggregate => ()
-        case _ =>
-          val topName = stateName(view, TOP)
-          val st = store(topName) // schema only
-          val cols = st.columns.filterNot(_ == HCOUNT).toSeq
-          val adjCol = "__ivm_adj"
-          val dvAgg = dv.groupBy(cols.map(col): _*)
-            .agg(sum(WEIGHT).as(adjCol)).cache()
-          try {
-            val oldTouched = store.slice(topName, dvAgg, cols)
-            val updatedTop = ZDelta.leftOuterByKeys(dvAgg, oldTouched, cols,
-              hint = broadcast)
-              .select((cols.map(col) :+
-                (coalesce(col(HCOUNT), lit(0L)) + col(adjCol)).as(HCOUNT)): _*)
-            store.merge(topName, updatedTop, cols, _.where(col(HCOUNT) > 0),
-              keyHint = dvAgg)
-          } finally dvAgg.unpersist()
+        case _            => mergeTop(store, stateName(view, TOP), dv)
       }
     }
     ctx.pins.foreach(_.unpersist())
     if (needDelta && releaseDelta) dv.unpersist()
     dv
+  }
+
+  private def commitUpdate(store: IvmStore, name: String, u: ZDelta.StateUpdate): Unit =
+    if (u.keys.isEmpty)
+      store.put(name, u.updated) // global agg state: always one live row
+    else
+      store.merge(name, u.updated, u.keys,
+        _.where(col(HCOUNT) > 0), u.bucketKeys, u.keyHint)
+
+  /** Fold ΔV into an SPJ view's stored multiset — per-key count
+    * adjustments over touched rows only (never a full-state groupBy). */
+  private def mergeTop(store: IvmStore, topName: String, dv: DataFrame): Unit = {
+    val st = store(topName) // schema only
+    val cols = st.columns.filterNot(_ == HCOUNT).toSeq
+    val adjCol = "__ivm_adj"
+    val dvAgg = dv.groupBy(cols.map(col): _*)
+      .agg(sum(WEIGHT).as(adjCol)).cache()
+    try {
+      val oldTouched = store.slice(topName, dvAgg, cols)
+      val updatedTop = ZDelta.leftOuterByKeys(dvAgg, oldTouched, cols,
+        hint = broadcast)
+        .select((cols.map(col) :+
+          (coalesce(col(HCOUNT), lit(0L)) + col(adjCol)).as(HCOUNT)): _*)
+      store.merge(topName, updatedTop, cols, _.where(col(HCOUNT) > 0),
+        keyHint = dvAgg)
+    } finally dvAgg.unpersist()
+  }
+
+  // ------------------------------------------------- multi-view sharing
+
+  /** Content-addressed state path of a (sub)query: views containing
+    * IDENTICAL subtrees share one interior state. Case-class toString is
+    * deterministic (Column pretty-prints its expression), so equal ASTs
+    * hash equal. */
+  private[ivm] def sharedPath(q: IvmQuery): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(q.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"shared/${h.take(16)}"
+  }
+  private val sharedNamer: (IvmQuery, String) => String = (n, _) => sharedPath(n)
+
+  /** Materialize a SET of views with content-addressed interior states: a
+    * subtree appearing in several views (the poster's "IVM transforms
+    * should be composable" goal) is materialized ONCE and reused — e.g.
+    * two Q13 variants over the same per-customer order counts share that
+    * interior aggregate's state directory. */
+  def createShared(
+      views: Map[String, IvmQuery],
+      base: String => DataFrame,
+      store: IvmStore): Unit =
+    store.transaction {
+      for (q <- views.values.toSeq.distinctBy(_.toString))
+        createStates(q, base, store, sharedNamer,
+          topName = sharedPath(q) + "/top", skipExisting = true)
+    }
+
+  /** Refresh a SET of shared-state views against one delta batch: each
+    * shared subtree's delta is computed once (ZDelta memo) and each shared
+    * state is committed once, all inside ONE store transaction. Views must
+    * be refreshed TOGETHER — refreshing one view of a shared group alone
+    * would advance shared states under its siblings. */
+  def refreshShared(
+      views: Map[String, IvmQuery],
+      base: String => DataFrame,
+      deltas: String => Option[DataFrame],
+      store: IvmStore): Unit = {
+    val ctx = ZDelta.Ctx(base, deltas, p => store(p),
+      sliceFn = (p, kdf, ks) => store.slice(p, kdf, ks),
+      namer = sharedNamer)
+    val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
+    store.transaction {
+      for (q <- views.values.toSeq.distinctBy(_.toString))
+        q match {
+          case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
+          case _ =>
+            val c = ZDelta.delta(q, ctx).cache()
+            c.count() // pin ΔV before any commit
+            spjTops += ((q, c))
+        }
+      inParallel(ctx.updates.toSeq.distinctBy(_.path)) { u =>
+        commitUpdate(store, u.path, u)
+      }
+      spjTops.foreach { case (q, dv) =>
+        mergeTop(store, sharedPath(q) + "/top", dv)
+      }
+    }
+    ctx.pins.foreach(_.unpersist())
+    spjTops.foreach(_._2.unpersist())
+  }
+
+  /** Current contents of a shared-state view. */
+  def readShared(q: IvmQuery, store: IvmStore): DataFrame = q match {
+    case Aggregate(_, keys, aggs) =>
+      store(sharedPath(q))
+        .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)
+    case _ =>
+      expandMultiset(store(sharedPath(q) + "/top"), HCOUNT)
   }
 
   /** Full-recompute equivalent of the maintained view — used by tests and

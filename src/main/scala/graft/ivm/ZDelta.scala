@@ -53,7 +53,14 @@ object ZDelta {
       broadcastDeltas: Boolean = true,
       updates: mutable.Buffer[StateUpdate] = mutable.Buffer.empty,
       pins: mutable.Buffer[DataFrame] = mutable.Buffer.empty,
-      sliceFn: (String, DataFrame, Seq[String]) => DataFrame = null) {
+      sliceFn: (String, DataFrame, Seq[String]) => DataFrame = null,
+      /** Maps a stateful node to its state path. Default: the positional
+        * path (private per-view state). [[Ivm.refreshShared]] supplies a
+        * content-addressed namer so identical subtrees across views hit
+        * the SAME state, and [[memo]] then computes each shared subtree's
+        * delta (and queues its StateUpdate) exactly once per batch. */
+      namer: (IvmQuery, String) => String = (_, p) => p,
+      memo: mutable.Map[String, DataFrame] = mutable.Map.empty) {
     /** State rows for the touched keys in `keyDf` — bucket-pruned when the
       * backing store supports it ([[IvmStore.slice]]), else a broadcast
       * semi-join over the full state. NOTE: the bucketed path evaluates
@@ -128,16 +135,29 @@ object ZDelta {
       deltaJoin(l, r, keys, ctx, path)
 
     case LeftJoin(l, r, keys) =>
-      deltaOuterJoin(l, r, keys, ctx, path, preserveL = true, preserveR = false)
+      memoized(ctx, q, path)(p =>
+        deltaOuterJoin(l, r, keys, ctx, p, preserveL = true, preserveR = false))
 
     case RightJoin(l, r, keys) =>
-      deltaOuterJoin(l, r, keys, ctx, path, preserveL = false, preserveR = true)
+      memoized(ctx, q, path)(p =>
+        deltaOuterJoin(l, r, keys, ctx, p, preserveL = false, preserveR = true))
 
     case FullJoin(l, r, keys) =>
-      deltaOuterJoin(l, r, keys, ctx, path, preserveL = true, preserveR = true)
+      memoized(ctx, q, path)(p =>
+        deltaOuterJoin(l, r, keys, ctx, p, preserveL = true, preserveR = true))
 
     case agg @ Aggregate(_, _, _) =>
-      deltaAggregate(agg, ctx, path)
+      memoized(ctx, q, path)(p => deltaAggregate(agg, ctx, p))
+  }
+
+  /** Stateful nodes resolve their state path through the ctx namer and
+    * compute once per resolved name: under a content-addressed namer,
+    * identical subtrees in different views share one state AND one delta
+    * computation (whose StateUpdate is queued exactly once). */
+  private def memoized(ctx: Ctx, node: IvmQuery, path: String)(
+      f: String => DataFrame): DataFrame = {
+    val name = ctx.namer(node, path)
+    ctx.memo.getOrElseUpdate(name, f(name))
   }
 
   // ---------------------------------------------------------------- joins
