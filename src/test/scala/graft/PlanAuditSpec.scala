@@ -51,6 +51,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("outer-join deltas (q17/q18 shape): broadcast terms, base never sort-merges") {
+    // audit the DELTA PLAN of a right-outer view directly (the gated
+    // queries wrap it in create/refresh; the delta plan is the hot loop)
+    import graft.ivm._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val base = graft.Fixtures.base(spark, dir)
+    val deltas = graft.Fixtures.deltas(spark, dir)
+    val v = RightJoin(
+      Project(Scan("orders"),
+        Seq(col("o_custkey").as("custkey"), col("o_totalprice"))),
+      Project(Scan("customer"),
+        Seq(col("c_custkey").as("custkey"), col("c_mktsegment"))),
+      Seq("custkey"))
+    val store = new MemStore
+    store.put("v/r.lcnt", base("orders")
+      .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as(IvmCore.HCOUNT)))
+    val ctx = ZDelta.Ctx(base, deltas, p => store(s"v/$p"),
+      sliceFn = (p, kdf, ks) => store.slice(s"v/$p", kdf, ks))
+    val dv = ZDelta.delta(v, ctx)
+    val p = plan(dv)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"outer delta terms must broadcast the small side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "outer-join delta must not sort-merge (base side would shuffle)")
+    ctx.pins.foreach(_.unpersist())
+  }
+
   test("exact dedup (q20): partial aggregation before the exchange") {
     val p = plan(q("q20_dedup_exact"))
     val firstAgg = p.indexOf("HashAggregate")
