@@ -148,6 +148,25 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(reloaded.getTag("batch").contains("8"))
   }
 
+  test("FULL OUTER view (two match-count states) refreshes on the bucketed store") {
+    val (root, f) = mkStore(buckets = 4, smallBytes = 0)
+    val store = f(root)
+    val t = df("g STRING, v INT", Seq(Row("a", 1), Row("b", 2), Row(null, 3)))
+    val u = df("g STRING, h INT", Seq(Row("a", 10), Row("c", 30)))
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+    val q = FullJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
+      Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g"))
+    Ivm.create("fv", q, base, store)
+    // delete the only matching u row for a (left row re-enters anti) and
+    // give c a t-side partner (right row leaves anti)
+    val d = df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("a", 10, false), Row("b", 20, true)))
+    val deltas: String => Option[DataFrame] =
+      nm => if (nm == "u") Some(d) else None
+    Ivm.refreshState("fv", q, base, deltas, store)
+    assertSameRows(Ivm.read("fv", q, store), Ivm.recompute(q, base, deltas))
+  }
+
   test("MIN/MAX view with aux state refreshes correctly on the bucketed store") {
     val (root, f) = mkStore(buckets = 4, smallBytes = 0)
     val store = f(root)
