@@ -85,6 +85,27 @@ object Bench {
       f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
+    // ANN accuracy/cost: IVF recall@5 against the brute-force baseline at
+    // a partial probe budget (the trade-off a 100 TB deployment tunes).
+    val annJson = try {
+      import org.apache.spark.sql.functions.col
+      val emb = Fixtures.tbl(spark, sfDir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+      val model = ops.Ivf.train(emb, k = 16, iters = 3)
+      def pairs(df: DataFrame) = df
+        .select(col("q_id").cast("long"), col("n_id").cast("long")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val bf = pairs(ops.Similarity.bruteForceTopK(emb, queries, k = 5))
+      val t0 = System.nanoTime()
+      val ivf = pairs(ops.Ivf.topK(emb, queries, k = 5, model, nprobe = 4))
+      val tIvf = (System.nanoTime() - t0) / 1e9
+      val recalls = bf.map { case (q, truth) =>
+        ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      val recall = recalls.sum / recalls.size
+      f"""{"recall_at5_nprobe4of16":$recall%.3f,"ivf_query_sec":$tIvf%.3f}"""
+    } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
+
     // Streaming: continuous maintenance of the same view shape through
     // Structured Streaming (file source, one file per micro-batch) with
     // durable ParquetStore state — the engine's north-star deployment mode.
@@ -119,7 +140,7 @@ object Bench {
       f"""{"batches":$nBatches,"total_sec":$total%.3f,"per_batch_sec":${total / nBatches}%.3f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"streaming":$streamJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"ann":$annJson,"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
