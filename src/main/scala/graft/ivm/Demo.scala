@@ -155,6 +155,43 @@ object Demo {
     println(s"real-Q13 refresh-vs-recompute diff rows = $diffQ")
     require(diffQ == 0, "real Q13 refresh must equal recompute")
 
+    // ---- 6. round-2 surface: FULL OUTER join + HAVING via SQL, and
+    // multi-view shared state (identical subtrees share one state dir)
+    val (_, fojQ) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV foj_v AS
+         SELECT custkey, c_acct, o_price FROM
+           (SELECT c_custkey AS custkey, c_acctbal AS c_acct FROM customer)
+           FULL OUTER JOIN
+           (SELECT o_custkey AS custkey, o_totalprice AS o_price FROM orders)
+           USING (custkey)""")
+    Ivm.create("foj_v", fojQ, base, store)
+    Ivm.refreshState("foj_v", fojQ, base, deltas2, store)
+    val gotF = Ivm.read("foj_v", fojQ, store)
+    val wantF = Ivm.recompute(fojQ, base, deltas2)
+    val diffF = gotF.exceptAll(wantF).count() + wantF.exceptAll(gotF).count()
+    println(s"FULL OUTER refresh-vs-recompute diff rows = $diffF")
+    require(diffF == 0, "FULL OUTER refresh must equal recompute")
+
+    val (_, havQ) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV hav_v AS
+         SELECT l_returnflag, SUM(l_quantity) AS sq, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 100""")
+    Ivm.create("hav_v", havQ, base, store)
+    Ivm.refreshState("hav_v", havQ, base, deltas, store) // lineitem deltas
+    require(Ivm.read("hav_v", havQ, store).exceptAll(
+      Ivm.recompute(havQ, base, deltas)).isEmpty, "HAVING refresh mismatch")
+    println("HAVING view OK")
+
+    // shared state: the Q13 interior per-customer count serves two views
+    val innerCnt = q13 match { case Aggregate(c, _, _) => c }
+    Ivm.createShared(Map("q13b" -> q13, "inner" -> innerCnt), base, store)
+    Ivm.refreshShared(Map("q13b" -> q13, "inner" -> innerCnt), base, deltas2, store)
+    require(Ivm.readShared(q13, store).exceptAll(
+      Ivm.recompute(q13, base, deltas2)).isEmpty, "shared q13 mismatch")
+    require(Ivm.readShared(innerCnt, store).exceptAll(
+      Ivm.recompute(innerCnt, base, deltas2)).isEmpty, "shared inner mismatch")
+    println("shared-state views OK")
+
     println("DEMO OK")
     spark.stop()
   }
