@@ -243,6 +243,10 @@ object Ivm {
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
         timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)))
+    // A batch that touches none of the view's base tables is a no-op —
+    // return an empty ΔV with the right schema instead of erroring.
+    if (!ZDelta.hasDelta(q, ctx))
+      return Eval.eval(q, base).limit(0).withColumn(WEIGHT, lit(1)).limit(0)
     val dv0 = timed("plan-delta")(ZDelta.delta(q, ctx))
     // Pin ΔV before commits when the caller (or the SPJ top merge) reads
     // it: the pinned frame survives the pins-unpersist below, and forcing
@@ -342,7 +346,8 @@ object Ivm {
       namer = sharedNamer)
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
-      for (q <- views.values.toSeq.distinctBy(_.toString))
+      for (q <- views.values.toSeq.distinctBy(_.toString)
+             if ZDelta.hasDelta(q, ctx)) // untouched views are no-ops
         q match {
           case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
           case _ =>

@@ -167,6 +167,19 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("fv", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("a delta batch touching no base table of the view is a no-op") {
+    val store = new MemStore
+    val base: String => DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(Row("a", 1)))
+    }
+    val q = Aggregate(Scan("t"), Seq("g"), Seq(Sum(col("v"), "sum_v")))
+    Ivm.create("nv", q, base, store)
+    val dv = Ivm.refresh("nv", q, base, _ => None, store)
+    assert(dv.isEmpty)
+    assert(Ivm.read("nv", q, store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+  }
+
   test("MIN/MAX view with aux state refreshes correctly on the bucketed store") {
     val (root, f) = mkStore(buckets = 4, smallBytes = 0)
     val store = f(root)

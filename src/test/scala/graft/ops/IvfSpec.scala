@@ -38,6 +38,22 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(ivf, bf)
   }
 
+  test("cell-partitioned write lets a query read one cell directory") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-cells").toString
+    Ivf.assign(emb, model).write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(dir)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("ivf_cell=")).map(_.getName)
+    assert(cellDirs.length > model.nCells / 2, cellDirs.toSeq)
+    // reading a single cell dir returns exactly that cell's vectors
+    val c0 = cellDirs.head.stripPrefix("ivf_cell=").toInt
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val one = spark.read.parquet(s"$dir/ivf_cell=$c0")
+    val expect = ids(Ivf.assign(emb, model).where(col("ivf_cell") === c0))
+    assert(ids(one) == expect)
+  }
+
   test("partial probing keeps recall@5 while scanning a fraction of cells") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select(col("q_id").cast("long"), col("n_id").cast("long")).collect()
