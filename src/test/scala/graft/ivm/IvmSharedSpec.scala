@@ -77,6 +77,23 @@ class IvmSharedSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.readShared(v1, store), Ivm.recompute(v1, base, deltas))
   }
 
+  test("a batch touching only one view's table leaves sibling views untouched") {
+    val store = new MemStore
+    val t = df("g STRING, v INT", Seq(Row("a", 1), Row("b", 2)))
+    val u = df("g STRING, h INT", Seq(Row("a", 10)))
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+    val vT = Aggregate(Scan("t"), Seq("g"), Seq(Sum(col("v"), "sum_v")))
+    val vU = Aggregate(Scan("u"), Seq("g"), Seq(Sum(col("h"), "sum_h")))
+    val both = Map("vt" -> vT, "vu" -> vU)
+    Ivm.createShared(both, base, store)
+    val d = df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN", Seq(Row("a", 5, true)))
+    val deltas: String => Option[DataFrame] =
+      nm => if (nm == "t") Some(d) else None
+    Ivm.refreshShared(both, base, deltas, store) // must not error on vU
+    assertSameRows(Ivm.readShared(vT, store), Ivm.recompute(vT, base, deltas))
+    assertSameRows(Ivm.readShared(vU, store), Eval.eval(vU, base))
+  }
+
   test("shared refresh equals private per-view refresh (MemStore)") {
     val shared = new MemStore
     val priv = new MemStore
