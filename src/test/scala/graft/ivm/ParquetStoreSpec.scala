@@ -66,13 +66,24 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a fresh store instance recovers current state from the manifest") {
-    val (root, f) = mkStore()
+    val (root, f) = mkStore(smallBytes = 0) // force bucketed layout too
     val s1 = f(root)
     s1.put("s", df("x INT", Seq(Row(42))))
+    s1.putKeyed("b", df("g STRING, c BIGINT",
+      (0 until 20).map(i => Row(s"k$i", i.toLong))), Seq("g"))
     s1.setTag("k", "v1")
     val s2 = f(root) // new instance, same root — reads _current from disk
     assert(s2("s").collect().map(_.getInt(0)).toSeq == Seq(42))
     assert(s2.getTag("k").contains("v1"))
+    // bucketed entry round-trips through the manifest, slices still prune
+    assert(s2("b").count() == 20)
+    val sl = s2.slice("b", df("g STRING", Seq(Row("k7"))), Seq("g")).collect()
+    assert(sl.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k7", 7L)))
+    // and a merge through the recovered instance stays consistent
+    s2.merge("b", df("g STRING, c BIGINT", Seq(Row("k7", 70L))), Seq("g"),
+      _.where(col("c") > 0))
+    assert(s2("b").where(col("g") === "k7").collect()
+      .map(_.getLong(1)).toSeq == Seq(70L))
   }
 
   test("merge rewrites only touched buckets; untouched bucket dirs survive") {
