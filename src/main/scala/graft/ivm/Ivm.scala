@@ -282,7 +282,7 @@ object Ivm {
       store.put(name, u.updated) // global agg state: always one live row
     else
       store.merge(name, u.updated, u.keys,
-        _.where(col(HCOUNT) > 0), u.bucketKeys, u.keyHint)
+        col(HCOUNT) > 0, u.bucketKeys, u.keyHint)
 
   /** Fold ΔV into an SPJ view's stored multiset — per-key count
     * adjustments over touched rows only (never a full-state groupBy). */
@@ -298,7 +298,7 @@ object Ivm {
         hint = broadcast)
         .select((cols.map(col) :+
           (coalesce(col(HCOUNT), lit(0L)) + col(adjCol)).as(HCOUNT)): _*)
-      store.merge(topName, updatedTop, cols, _.where(col(HCOUNT) > 0),
+      store.merge(topName, updatedTop, cols, col(HCOUNT) > 0,
         keyHint = dvAgg)
     } finally dvAgg.unpersist()
   }

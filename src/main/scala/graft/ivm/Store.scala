@@ -1,6 +1,6 @@
 package graft.ivm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
@@ -49,31 +49,33 @@ trait IvmStore {
 
   /** Fold a batch of per-key replacements into state `name`:
     *
-    *   new = (old ∖ mergeKeys(updated)) ∪ aliveFilter(updated)
+    *   new = (old ∖ mergeKeys(updated)) ∪ updated.where(alive)
     *
-    * `updated` holds the complete post-batch row for EVERY touched key
-    * (dead rows included — `aliveFilter` drops them). Key matching is
-    * null-safe. `bucketKeys` (defaults to `mergeKeys`) must equal the
-    * state's layout keys and be a prefix-subset of `mergeKeys` — e.g. a
-    * MIN/MAX aux state merges on (group, value) but buckets on group only.
-    * `keyHint`, when given, is a SMALL cached frame whose bucket-key rows
-    * form a superset of `updated`'s — bucketed backends derive the touched
-    * buckets from it instead of re-executing `updated`'s (often expensive)
-    * plan. The default implementation rewrites the whole state;
-    * [[ParquetStore]] rewrites only touched buckets — O(‖Δ‖ + touched
-    * buckets), the property that keeps refresh ≪ recompute at 100 TB
-    * state sizes. */
+    * `updated` holds the complete post-batch row for EVERY touched key —
+    * dead rows included; `alive` is the predicate separating live rows
+    * from dead ones (backends that journal deltas persist dead keys as
+    * tombstones). Key matching is null-safe. `bucketKeys` (defaults to
+    * `mergeKeys`) must equal the state's layout keys and be a
+    * prefix-subset of `mergeKeys` — e.g. a MIN/MAX aux state merges on
+    * (group, value) but buckets on group only. `keyHint`, when given, is
+    * a SMALL cached frame whose bucket-key rows form a superset of
+    * `updated`'s — bucketed backends derive the touched buckets from it
+    * instead of re-executing `updated`'s (often expensive) plan. The
+    * default implementation rewrites the whole state; [[ParquetStore]]
+    * appends an O(‖Δ‖) overlay segment (LSM-style) and compacts touched
+    * buckets only when their chains grow — the property that keeps
+    * refresh ≪ recompute at 100 TB state sizes. */
   def merge(
       name: String,
       updated: DataFrame,
       mergeKeys: Seq[String],
-      aliveFilter: DataFrame => DataFrame,
+      alive: Column,
       bucketKeys: Seq[String] = Seq.empty,
       keyHint: DataFrame = null): Unit = {
     val old = apply(name)
     val untouched = StoreOps.antiByKeys(old, updated, mergeKeys)
     putKeyed(name, untouched.unionByName(
-      aliveFilter(updated).select(old.columns.map(col): _*)),
+      updated.where(alive).select(old.columns.map(col): _*)),
       if (bucketKeys.nonEmpty) bucketKeys else mergeKeys)
   }
 
@@ -139,12 +141,14 @@ final class MemStore extends IvmStore {
   override def getTag(key: String): Option[String] = tags.get(key)
 }
 
-/** Bucketed, manifest-versioned parquet store — the at-scale state backend.
+/** Bucketed, manifest-versioned, LSM-layered parquet store — the at-scale
+  * state backend.
   *
   * Layout under `root`:
   * {{{
-  *   _v<N>            manifest N (TSV): per state, bucket → segment path
-  *                    and the state's bucketing keys, plus tags
+  *   _v<N>            manifest N (TSV): per state, bucket → segment CHAIN
+  *                    (newest first), the state's bucketing + merge keys,
+  *                    plus tags
   *   _current         file containing the committed manifest version N
   *   <name>/seg<N>/   segment written by version N's put/merge for <name>;
   *                    keyed segments split into __ivm_bucket=<k>/ subdirs
@@ -158,11 +162,17 @@ final class MemStore extends IvmStore {
   *     buckets its touched keys hash to and reads ONLY those directories —
   *     the state side of a refresh is O(touched buckets), never a full
   *     scan.
-  *   - '''Bucket-selective writes''' ([[merge]]): only buckets containing
-  *     touched keys are rewritten — per-batch write ≈ ‖Δ‖ · state/buckets,
-  *     not O(state). At cluster scale `buckets` is sized so one bucket is
-  *     one executor's comfortable unit (4096 buckets over a 1 TB state ≈
-  *     250 MB per touched bucket).
+  *   - '''O(‖Δ‖) writes''' ([[merge]]): a merge into a large bucketed
+  *     state APPENDS an overlay segment holding only the updated rows
+  *     (dead keys persist as `__ivm_dead` tombstones) — the write is
+  *     O(‖Δ‖), independent of both state and bucket size. Reads resolve a
+  *     bucket's chain newest-segment-wins per merge key. When a touched
+  *     bucket's chain reaches `maxChain` the merge COMPACTS the touched
+  *     buckets back to one segment each — classic size-tiered LSM, so the
+  *     amortized write cost per batch stays O(‖Δ‖ · maxChain/(maxChain-1))
+  *     and read amplification is bounded by `maxChain`. At cluster scale
+  *     `buckets` is sized so one bucket is one executor's comfortable
+  *     compaction unit (4096 buckets over a 1 TB state ≈ 250 MB).
   *   - '''Atomic multi-state commit''' ([[transaction]]): every put/merge/
   *     setTag inside publishes with ONE atomic manifest rename — a crash
   *     mid-refresh leaves the previous manifest current and no partial
@@ -182,16 +192,29 @@ final class ParquetStore(
       * selective rewrite until the state outgrows a single task's
       * comfortable write. Layout adapts per state as it grows/shrinks
       * across versions — size-tiered, like any LSM/lakehouse store. */
-    smallStateBytes: Long = 64L << 20) extends IvmStore {
+    smallStateBytes: Long = 64L << 20,
+    /** Maximum segments per bucket chain before a merge compacts the
+      * buckets it touches. 1 disables overlays (every merge rewrites its
+      * touched buckets — the pre-LSM behavior). */
+    maxChain: Int = 4) extends IvmStore {
 
   require(buckets >= 1, "buckets must be >= 1")
+  require(maxChain >= 1, "maxChain must be >= 1")
   private val B = "__ivm_bucket"
+  private val DEAD = "__ivm_dead"
+  private val SEQ = "__ivm_seq"
 
-  /** One state's pointer set: bucket id → segment-relative path (the key
-    * [[Whole]] marks a single un-bucketed segment), plus layout keys and
-    * the byte size observed when written (drives the adaptive layout). */
-  private case class Entry(dirs: Map[Int, String], bucketKeys: Seq[String],
-      bytes: Long)
+  /** One state's pointer set: bucket id → segment chain, NEWEST FIRST (the
+    * key [[Whole]] marks a single un-bucketed segment), the layout keys,
+    * the merge keys chain resolution dedupes on (empty until the first
+    * overlay merge — meaningful only while some chain is longer than 1),
+    * and the byte size observed when written (drives the adaptive
+    * layout). */
+  private case class Entry(chains: Map[Int, List[String]],
+      bucketKeys: Seq[String], mergeKeys: Seq[String], bytes: Long) {
+    def layered: Boolean = chains.values.exists(_.lengthCompare(1) > 0)
+    def allPaths: Seq[String] = chains.values.flatten.toSeq
+  }
   private val Whole = -1
 
   @volatile private var version: Long = 0L
@@ -223,26 +246,31 @@ final class ParquetStore(
     }
 
   private def readManifest(v: Long): (Map[String, Entry], Map[String, String]) = {
-    val dirs = TrieMap.empty[String, Map[Int, String]]
-    val keys = TrieMap.empty[String, (Seq[String], Long)]
+    // E lines per bucket are in chain order (newest first) — preserve it
+    val dirs = TrieMap.empty[String, Map[Int, List[String]]]
+    val keys = TrieMap.empty[String, (Seq[String], Seq[String], Long)]
     val ts = TrieMap.empty[String, String]
+    def csv(s: String): Seq[String] =
+      if (s.isEmpty) Seq.empty else s.split(',').toSeq
     Files.readAllLines(manifestPath(v)).asScala.foreach { line =>
       line.split('\t') match {
         case Array("E", name, bucket, path) =>
-          dirs.put(name, dirs.getOrElse(name, Map.empty) + (bucket.toInt -> path))
+          val m = dirs.getOrElse(name, Map.empty)
+          dirs.put(name,
+            m + (bucket.toInt -> (m.getOrElse(bucket.toInt, Nil) :+ path)))
+        case Array("K", name, ks, bytes, mks) =>
+          keys.put(name, (csv(ks), csv(mks), bytes.toLong))
         case Array("K", name, ks, bytes) =>
-          keys.put(name,
-            (if (ks.isEmpty) Seq.empty else ks.split(',').toSeq, bytes.toLong))
-        case Array("K", name, ks) =>
-          keys.put(name, (if (ks.isEmpty) Seq.empty else ks.split(',').toSeq, 0L))
-        case Array("K", name) => keys.put(name, (Seq.empty, 0L))
+          keys.put(name, (csv(ks), Seq.empty, bytes.toLong))
+        case Array("K", name, ks) => keys.put(name, (csv(ks), Seq.empty, 0L))
+        case Array("K", name)     => keys.put(name, (Seq.empty, Seq.empty, 0L))
         case Array("T", k, value) => ts.put(k, value)
         case _                    => // blank/unknown line — ignore
       }
     }
     val es = dirs.map { case (n, d) =>
-      val (ks, bytes) = keys.getOrElse(n, (Seq.empty[String], 0L))
-      n -> Entry(d, ks, bytes)
+      val (ks, mks, bytes) = keys.getOrElse(n, (Seq.empty[String], Seq.empty[String], 0L))
+      n -> Entry(d, ks, mks, bytes)
     }
     (es.toMap, ts.toMap)
   }
@@ -252,8 +280,11 @@ final class ParquetStore(
       v: Long, es: Map[String, Entry], ts: Map[String, String]): Unit = {
     val sb = new StringBuilder
     es.foreach { case (name, e) =>
-      sb.append(s"K\t$name\t${e.bucketKeys.mkString(",")}\t${e.bytes}\n")
-      e.dirs.foreach { case (b, p) => sb.append(s"E\t$name\t$b\t$p\n") }
+      sb.append(s"K\t$name\t${e.bucketKeys.mkString(",")}\t${e.bytes}" +
+        s"\t${e.mergeKeys.mkString(",")}\n")
+      e.chains.foreach { case (b, chain) =>
+        chain.foreach(p => sb.append(s"E\t$name\t$b\t$p\n"))
+      }
     }
     ts.foreach { case (k, value) => sb.append(s"T\t$k\t$value\n") }
     Files.write(manifestPath(v), sb.toString.getBytes,
@@ -285,8 +316,39 @@ final class ParquetStore(
       spark.read.parquet(key.map(rel => s"$root/$rel"): _*))
   }
 
+  /** Latest-segment-wins per merge key over a chained read, tombstones
+    * dropped. Each segment holds at most one row per merge key (the merge
+    * contract), so resolution is a single map-side-combinable aggregate:
+    * max_by(payload, segment-seq). The seq is the segment's version number,
+    * recovered from the file path — strictly increasing across commits. */
+  private def resolveChains(raw: DataFrame, mergeKeys: Seq[String]): DataFrame = {
+    // input_file_name() is non-deterministic — project it out BEFORE the
+    // aggregate (aggregate arguments must be deterministic)
+    val withSeq = raw.withColumn(SEQ,
+      regexp_extract(input_file_name(), "/seg([0-9]+)/__ivm_bucket=", 1)
+        .cast("long"))
+    val payload = raw.columns.filterNot(mergeKeys.contains).toSeq
+    val top = "__ivm_top"
+    withSeq.groupBy(mergeKeys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(SEQ)).as(top))
+      .select(raw.columns.map(c =>
+        if (mergeKeys.contains(c)) col(c) else col(s"$top.$c").as(c)): _*)
+      .where(col(DEAD) === 0)
+  }
+
+  /** Read a path set of `e`, resolving chains when any included bucket is
+    * layered; always strips the internal tombstone column. `preFilter`
+    * runs on the raw chained read BEFORE resolution — callers may only
+    * pass a filter that keeps or drops whole merge-key chains. */
+  private def readEntry(e: Entry, paths: Seq[String], layered: Boolean)(
+      preFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val raw = preFilter(readPaths(paths))
+    if (layered && e.mergeKeys.nonEmpty) resolveChains(raw, e.mergeKeys).drop(DEAD)
+    else raw.drop(DEAD)
+  }
+
   override def get(name: String): Option[DataFrame] =
-    lookup(name).map(e => readPaths(e.dirs.values.toSeq))
+    lookup(name).map(e => readEntry(e, e.allPaths, e.layered)())
 
   override def getTag(key: String): Option[String] = {
     val st = txnTags
@@ -298,24 +360,39 @@ final class ParquetStore(
     pmod(hash(keys.map(col): _*), lit(buckets))
 
   /** Bucket-pruned slice: hash `keyDf`'s bucket-key columns to find the
-    * touched buckets, read only those directories, then semi-join on the
-    * full slice keys. Falls back to a full-scan semi-join for un-bucketed
-    * states or when the layout keys aren't a subset of `sliceKeys`. */
+    * touched buckets, read only those directories (resolving overlay
+    * chains), then semi-join on the full slice keys. Falls back to a
+    * full-scan semi-join for un-bucketed states or when the layout keys
+    * aren't a subset of `sliceKeys`.
+    *
+    * The semi-join runs BEFORE chain resolution when the slice keys are a
+    * subset of the merge keys (always true for the engine's uses: group
+    * keys slice aux states keyed (group, value)) — every version of a
+    * merge key then shares its slice-key values, so the filter keeps or
+    * drops whole chains and resolution sees only the touched keys. */
   override def slice(
       name: String, keyDf: DataFrame, sliceKeys: Seq[String]): DataFrame = {
     val e = lookup(name).getOrElse(throw new IllegalStateException(
       s"IVM state '$name' not found — was Ivm.create run for this view?"))
-    val prunable = e.bucketKeys.nonEmpty && !e.dirs.contains(Whole) &&
+    def resolvedSemi(paths: Seq[String], layered: Boolean): DataFrame = {
+      val semiFirst = !layered || sliceKeys.forall(e.mergeKeys.contains)
+      if (semiFirst)
+        readEntry(e, paths, layered)(df =>
+          StoreOps.semiByKeys(df, keyDf, sliceKeys))
+      else StoreOps.semiByKeys(readEntry(e, paths, layered)(), keyDf, sliceKeys)
+    }
+    val prunable = e.bucketKeys.nonEmpty && !e.chains.contains(Whole) &&
       e.bucketKeys.forall(sliceKeys.contains)
-    if (!prunable) StoreOps.semiByKeys(readPaths(e.dirs.values.toSeq), keyDf, sliceKeys)
+    if (!prunable) resolvedSemi(e.allPaths, e.layered)
     else {
       // dedupe driver-side: keyDf is small by contract, and skipping the
       // distinct saves a shuffle round per slice
       val touched = keyDf.select(bucketOf(e.bucketKeys).as(B))
         .collect().map(_.getInt(0)).toSet
-      val paths = e.dirs.view.filterKeys(touched).values.toSeq
-      if (paths.isEmpty) readPaths(e.dirs.values.toSeq).limit(0) // schema only
-      else StoreOps.semiByKeys(readPaths(paths), keyDf, sliceKeys)
+      val sel = e.chains.view.filterKeys(touched).toMap
+      val paths = sel.values.flatten.toSeq
+      if (paths.isEmpty) readEntry(e, e.allPaths, layered = false)().limit(0) // schema only
+      else resolvedSemi(paths, sel.values.exists(_.lengthCompare(1) > 0))
     }
   }
 
@@ -377,7 +454,7 @@ final class ParquetStore(
   private def putPlain(name: String, df: DataFrame, keys: Seq[String]): Unit = {
     val rel = segDir(name, nextSegVersion())
     df.write.mode("overwrite").parquet(s"$root/$rel")
-    publish(name, Entry(Map(Whole -> rel), keys, dirBytes(rel)))
+    publish(name, Entry(Map(Whole -> List(rel)), keys, Seq.empty, dirBytes(rel)))
   }
 
   override def put(name: String, df: DataFrame): Unit =
@@ -391,15 +468,18 @@ final class ParquetStore(
         putPlain(name, df, bucketKeys)
       case _ =>
         // unknown (first create) or large: bucketed layout for selective
-        // merges and pruned slices
+        // merges and pruned slices. Every bucketed segment carries the
+        // tombstone column (all-alive here) so overlay segments appended
+        // later union with it schema-identically.
         val rel = segDir(name, nextSegVersion())
-        df.withColumn(B, bucketOf(bucketKeys))
+        df.withColumn(DEAD, lit(0)).withColumn(B, bucketOf(bucketKeys))
           .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel")
         val found = discoverBuckets(rel)
         // a zero-row state writes no bucket dirs; fall back to a plain
         // empty segment so the schema stays readable
         if (found.isEmpty) putPlain(name, df.limit(0), bucketKeys)
-        else publish(name, Entry(found, bucketKeys, dirBytes(rel)))
+        else publish(name, Entry(found.view.mapValues(List(_)).toMap,
+          bucketKeys, Seq.empty, dirBytes(rel)))
     }
 
   /** Bucket subdirectories actually written by a partitionBy job (empty
@@ -412,30 +492,39 @@ final class ParquetStore(
       }.toMap
   }
 
-  /** Bucket-selective merge: rewrites only buckets containing touched keys.
+  /** LSM merge. Large bucketed states take one of two single-query paths:
+    *
+    *   - '''overlay append''' (the steady state): write ONLY the updated
+    *     rows — dead keys as tombstones — as a new segment prepended to
+    *     each touched bucket's chain. O(‖Δ‖) bytes written, no read of
+    *     old state at all.
+    *   - '''compaction''': when a touched bucket's chain has reached
+    *     `maxChain`, fold the touched buckets' chains + this delta into
+    *     one fresh segment per bucket (the pre-LSM selective rewrite).
+    *
     * States not yet bucketed (or merged without keys) fall back to the
     * whole-state rewrite, which re-lays them out bucketed for next time. */
   override def merge(
       name: String,
       updated: DataFrame,
       mergeKeys: Seq[String],
-      aliveFilter: DataFrame => DataFrame,
+      alive: Column,
       bucketKeys: Seq[String] = Seq.empty,
       keyHint: DataFrame = null): Unit = {
     val bKeys = if (bucketKeys.nonEmpty) bucketKeys else mergeKeys
     val e = lookup(name).getOrElse(throw new IllegalStateException(
       s"IVM state '$name' not found — was Ivm.create run for this view?"))
     if (mergeKeys.isEmpty || buckets == 1 || e.bytes < smallStateBytes ||
-        e.dirs.contains(Whole) || e.bucketKeys != bKeys) {
+        e.chains.contains(Whole) || e.bucketKeys != bKeys) {
       // small state (or layout mismatch): ONE whole-rewrite query; putKeyed
       // re-decides the layout, so a state that grows past the threshold
       // converts to bucketed on its next write
-      super.merge(name, updated, mergeKeys, aliveFilter, bKeys, keyHint)
+      super.merge(name, updated, mergeKeys, alive, bKeys, keyHint)
     } else {
       // Touched buckets from the cheap keyHint when provided (a cached
-      // superset of updated's keys — a superset only costs rewriting an
-      // extra bucket unchanged, never correctness); otherwise pin
-      // `updated` and derive them from it.
+      // superset of updated's keys — a superset only costs an extra
+      // touched bucket, never correctness); otherwise pin `updated` and
+      // derive them from it.
       val (touched, pinned) = Ivm.timed(s"m.touched $name") {
         if (keyHint != null)
           (keyHint.select(bucketOf(bKeys).as(B)).collect().map(_.getInt(0)).toSet,
@@ -448,27 +537,52 @@ final class ParquetStore(
       try {
         if (touched.isEmpty) return // empty batch — state unchanged
         val src = pinned.map(_.drop(B)).getOrElse(updated)
-        val oldPaths = e.dirs.view.filterKeys(touched).values.toSeq
-        val newRows = {
-          val alive = aliveFilter(src)
-          if (oldPaths.isEmpty) alive
-          else {
-            val old = Ivm.timed(s"m.read $name")(readPaths(oldPaths))
-            StoreOps.antiByKeys(old, src, mergeKeys)
-              .unionByName(alive.select(old.columns.map(col): _*))
-          }
-        }
+        val cleanCols = apply(name).columns.toSeq
+        val sel = e.chains.view.filterKeys(touched).toMap
+        // Overlay needs stable merge keys across the chain: same keys as
+        // previous overlays, or no chain yet. A key change (or maxChain=1)
+        // forces compaction, which resets chains to length 1.
+        val canOverlay = maxChain > 1 &&
+          sel.values.forall(_.lengthCompare(maxChain) < 0) &&
+          (!e.layered || e.mergeKeys == mergeKeys)
         val rel = segDir(name, nextSegVersion())
-        Ivm.timed(s"m.write $name")(newRows.withColumn(B, bucketOf(bKeys))
-          .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
-        val written = discoverBuckets(rel)
-        // touched buckets move to the new segment (or vanish if now empty);
-        // untouched buckets keep their old paths
-        val merged = (e.dirs -- touched) ++
-          touched.flatMap(b => written.get(b).map(b -> _))
-        if (merged.isEmpty) putPlain(name, newRows.limit(0), bKeys)
-        else publish(name,
-          Entry(merged, bKeys, merged.values.toSeq.distinct.map(dirBytes).sum))
+        if (canOverlay) {
+          // O(‖Δ‖) append: updated rows only, dead keys as tombstones
+          Ivm.timed(s"m.overlay $name")(src
+            .select(cleanCols.map(col): _*)
+            .withColumn(DEAD, when(alive, lit(0)).otherwise(lit(1)))
+            .withColumn(B, bucketOf(bKeys))
+            .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
+          val written = discoverBuckets(rel)
+          if (written.isEmpty) return // empty batch — state unchanged
+          val chains = e.chains ++ written.map { case (b, p) =>
+            b -> (p :: e.chains.getOrElse(b, Nil))
+          }
+          publish(name, Entry(chains, bKeys, mergeKeys,
+            e.bytes + dirBytes(rel)))
+        } else {
+          val oldPaths = sel.values.flatten.toSeq
+          val newRows = {
+            val aliveRows = src.where(alive).select(cleanCols.map(col): _*)
+            if (oldPaths.isEmpty) aliveRows
+            else {
+              val old = Ivm.timed(s"m.read $name")(
+                readEntry(e, oldPaths, sel.values.exists(_.lengthCompare(1) > 0))())
+              StoreOps.antiByKeys(old, src, mergeKeys).unionByName(aliveRows)
+            }
+          }
+          Ivm.timed(s"m.write $name")(newRows
+            .withColumn(DEAD, lit(0)).withColumn(B, bucketOf(bKeys))
+            .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
+          val written = discoverBuckets(rel)
+          // touched buckets collapse to the new segment (or vanish if now
+          // empty); untouched buckets keep their old chains
+          val merged = (e.chains -- touched) ++
+            touched.flatMap(b => written.get(b).map(b -> List(_)))
+          if (merged.isEmpty) putPlain(name, newRows.limit(0), bKeys)
+          else publish(name, Entry(merged, bKeys, mergeKeys,
+            merged.values.flatten.toSeq.distinct.map(dirBytes).sum))
+        }
       } finally pinned.foreach(_.unpersist())
     }
   }
@@ -482,7 +596,7 @@ final class ParquetStore(
     val kept = (keepFrom to version).filter(v => Files.exists(manifestPath(v)))
     val referenced: Set[String] = kept.flatMap { v =>
       val es = if (v == version) entries else readManifest(v)._1
-      es.values.flatMap(_.dirs.values).map(segRoot)
+      es.values.flatMap(_.allPaths).map(segRoot)
     }.toSet
     // drop old manifest files
     listDir(Paths.get(root)).foreach { p =>

@@ -15,11 +15,13 @@ import java.nio.file.{Files, Paths}
   * must bound disk usage. */
 class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
 
-  private def mkStore(keep: Int = 2, buckets: Int = 16, smallBytes: Long = -1) =
+  private def mkStore(keep: Int = 2, buckets: Int = 16, smallBytes: Long = -1,
+      maxChain: Int = 4) =
     (Files.createTempDirectory("ivm-pq").toString,
       (root: String) => new ParquetStore(spark, root, keepVersions = keep,
         buckets = buckets,
-        smallStateBytes = if (smallBytes >= 0) smallBytes else 64L << 20))
+        smallStateBytes = if (smallBytes >= 0) smallBytes else 64L << 20,
+        maxChain = maxChain))
 
   test("create + two refreshes over ParquetStore equal recompute") {
     val (root, f) = mkStore()
@@ -81,7 +83,7 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(sl.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k7", 7L)))
     // and a merge through the recovered instance stays consistent
     s2.merge("b", df("g STRING, c BIGINT", Seq(Row("k7", 70L))), Seq("g"),
-      _.where(col("c") > 0))
+      col("c") > 0)
     assert(s2("b").where(col("g") === "k7").collect()
       .map(_.getLong(1)).toSeq == Seq(70L))
   }
@@ -103,7 +105,7 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
 
     // touch exactly one key: k3 gets count 99, k1 dies
     val upd = df("g STRING, __ivm_count BIGINT", Seq(Row("k3", 99L), Row("k1", 0L)))
-    store.merge("st", upd, Seq("g"), _.where(col("__ivm_count") > 0))
+    store.merge("st", upd, Seq("g"), col("__ivm_count") > 0)
 
     val after = bucketDirs()
     val got = store("st").collect().map(r => (r.getString(0), r.getLong(1))).toMap
@@ -189,6 +191,83 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(dv.isEmpty)
     assert(Ivm.read("nv", q, store).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 1L)))
+  }
+
+  private def segDirs(root: String, name: String): Seq[String] =
+    new java.io.File(s"$root/$name").listFiles()
+      .filter(_.getName.startsWith("seg")).map(_.getName).sorted.toSeq
+
+  test("LSM: merge appends an O(delta) overlay; tombstones kill + revive keys") {
+    val (root, f) = mkStore(keep = 10, buckets = 2, smallBytes = 0, maxChain = 4)
+    val store = f(root)
+    val rows = (0 until 20).map(i => Row(s"k$i", i.toLong))
+    store.putKeyed("st", df("g STRING, c BIGINT", rows), Seq("g"))
+    assert(segDirs(root, "st").size == 1)
+
+    // overlay 1: k3 updated, k5 dies
+    store.merge("st", df("g STRING, c BIGINT", Seq(Row("k3", 100L), Row("k5", 0L))),
+      Seq("g"), col("c") > 0)
+    val segs = segDirs(root, "st")
+    assert(segs.size == 2, s"expected overlay append, got $segs")
+    // the new segment holds ONLY the two updated rows (tombstone included)
+    val overlayRows = spark.read.parquet(s"$root/st/${segs.last}").count()
+    assert(overlayRows == 2, s"overlay must be O(delta), held $overlayRows rows")
+    val got1 = store("st").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got1("k3") == 100L && !got1.contains("k5") && got1.size == 19)
+
+    // overlay 2: k3 updated again, k5 revives — latest segment must win
+    store.merge("st", df("g STRING, c BIGINT", Seq(Row("k3", 101L), Row("k5", 55L))),
+      Seq("g"), col("c") > 0)
+    val got2 = store("st").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got2("k3") == 101L && got2("k5") == 55L && got2.size == 20)
+    // slices resolve chains too
+    val sl = store.slice("st", df("g STRING", Seq(Row("k3"), Row("k5"))), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sl == Set(("k3", 101L), ("k5", 55L)))
+  }
+
+  test("LSM: chains compact at maxChain and stay correct after") {
+    val (root, f) = mkStore(keep = 2, buckets = 1024, smallBytes = 0, maxChain = 3)
+    val store = f(root)
+    // one key → one bucket → every merge touches the same chain
+    store.putKeyed("st", df("g STRING, c BIGINT", Seq(Row("a", 1L))), Seq("g"))
+    val counts = (2 to 8).map { i =>
+      store.merge("st", df("g STRING, c BIGINT", Seq(Row("a", i.toLong))),
+        Seq("g"), col("c") > 0)
+      val got = store("st").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a", i.toLong)), s"after merge $i: $got")
+      // chain length bound: the live manifest never references more than
+      // maxChain segments for the one touched bucket
+      store.slice("st", df("g STRING", Seq(Row("a"))), Seq("g")).count()
+    }
+    assert(counts.forall(_ == 1))
+    // segment files on disk stay bounded (pruning drops compacted chains)
+    assert(segDirs(root, "st").size <= 3 + 2,
+      s"unpruned segments: ${segDirs(root, "st")}")
+  }
+
+  test("LSM: overlay chains recover from the manifest; aux-style wider merge keys") {
+    val (root, f) = mkStore(keep = 10, buckets = 2, smallBytes = 0, maxChain = 4)
+    val s1 = f(root)
+    // aux-state shape: merge keys (g, v), bucketed on g only
+    val rows = Seq(Row("a", 1, 2L), Row("a", 5, 1L), Row("b", 7, 1L))
+    s1.putKeyed("aux", df("g STRING, v INT, c BIGINT", rows), Seq("g"))
+    s1.merge("aux", df("g STRING, v INT, c BIGINT",
+      Seq(Row("a", 5, 0L), Row("a", 9, 3L))), Seq("g", "v"),
+      col("c") > 0, bucketKeys = Seq("g"))
+    val s2 = f(root) // fresh instance: chains + mergeKeys from the manifest
+    val got = s2("aux").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1, 2L), ("a", 9, 3L), ("b", 7, 1L)))
+    // group-sliced read across the chain (sliceKeys ⊂ mergeKeys)
+    val sl = s2.slice("aux", df("g STRING", Seq(Row("a"))), Seq("g"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(sl == Set((1, 2L), (9, 3L)))
+    // and the recovered instance can keep layering
+    s2.merge("aux", df("g STRING, v INT, c BIGINT", Seq(Row("b", 7, 9L))),
+      Seq("g", "v"), col("c") > 0, bucketKeys = Seq("g"))
+    assert(s2("aux").where(col("g") === "b").collect()
+      .map(_.getLong(2)).toSeq == Seq(9L))
   }
 
   test("MIN/MAX view with aux state refreshes correctly on the bucketed store") {
