@@ -430,6 +430,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))),
+
+    // As-of join: each click's most recent preceding view by the same
+    // user (inclusive), plus the running count of prior views — one
+    // window pass over a union, single shuffle on user_id, no join.
+    "q36_asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"))
+      graft.ops.Temporal.asOfJoin(clicks, views, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"),
+          org.apache.spark.sql.functions.expr("asof_ts DIV 1000").as("prev_view_us"),
+          col("asof_n").as("n_prior_views"))
+    }),
+
+    // Keyless band join: views within the hour before each click — the
+    // theta predicate becomes an equi-join on hour-chunks (each interval
+    // spans ≤ 2 chunks), so it shuffles instead of going cartesian.
+    "q37_range_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("ts").as("vts"), (col("ts") + hourNs).as("vend"))
+      graft.ops.Temporal
+        .rangeJoin(clicks, views, "ts", "vts", "vend", chunk = hourNs,
+          joinType = "left")
+        .groupBy("event_id")
+        .agg(count(col("r_vts")).as("n_views"),
+          org.apache.spark.sql.functions.expr("max(r_vts) DIV 1000").as("last_view_us"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -797,6 +830,26 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY 1, 2""",
+
+    "q36_asof_join" ->
+      """SELECT l.event_id,
+         (SELECT epoch_us(max(r.ts)) FROM events r
+           WHERE r.user_id = l.user_id AND r.event_type = 'view'
+             AND r.ts <= l.ts) AS prev_view_us,
+         CAST((SELECT count(*) FROM events r
+           WHERE r.user_id = l.user_id AND r.event_type = 'view'
+             AND r.ts <= l.ts) AS BIGINT) AS n_prior_views
+         FROM events l WHERE l.event_type = 'click'""",
+
+    "q37_range_join" ->
+      """SELECT l.event_id,
+         CAST(count(r.ts) AS BIGINT) AS n_views,
+         epoch_us(max(r.ts)) AS last_view_us
+         FROM events l LEFT JOIN events r
+           ON r.event_type = 'view'
+          AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+         WHERE l.event_type = 'click'
+         GROUP BY l.event_id""",
   )
 
   // ---------------------------------------------- oracle SQL generators
