@@ -197,6 +197,44 @@ object SparkEntry {
       Ivm.read("q14", v, store)
     }),
 
+    // The full SQL front-end path under the oracle gate: CREATE IMMV with
+    // a GROUP BY EXPRESSION (folds to a Project inserted below the
+    // Aggregate) parsed by Spark's parser, then materialized + refreshed.
+    "q38_immv_groupby_expr" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q38 AS
+           SELECT CAST(year(l_shipdate) AS BIGINT) AS syear,
+                  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                  COUNT(*) AS cnt
+           FROM lineitem GROUP BY syear""")
+      Ivm.create("q38", v, base(s, dir), store)
+      Ivm.refreshState("q38", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q38", v, store)
+        .select(col("syear"), col("sum_qty").cast("double").as("sum_qty"),
+          col("cnt"))
+    }),
+
+    // Poster Q13 written as nested sub-selects in PURE SQL: parser →
+    // frontend fold (sub-select, LEFT OUTER JOIN USING, two aggregation
+    // levels) → maintained view, refreshed against the orders delta.
+    "q39_immv_nested_sql" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q39 AS
+           SELECT c_count, COUNT(*) AS custdist FROM (
+             SELECT custkey, COUNT(o_orderkey) AS c_count FROM
+               (SELECT c_custkey AS custkey FROM customer) c
+               LEFT OUTER JOIN
+               (SELECT o_custkey AS custkey, o_orderkey FROM orders) o
+               USING (custkey)
+             GROUP BY custkey
+           ) GROUP BY c_count""")
+      Ivm.create("q39", v, base(s, dir), store)
+      Ivm.refreshState("q39", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q39", v, store)
+    }),
+
     // HAVING over a maintained aggregate (unsupported in BOTH reference
     // engines, README.md:34): the delta batch moves groups across the
     // parity predicate, so membership enters/leaves incrementally.
@@ -563,6 +601,33 @@ object SparkEntry {
       s"""WITH o2 AS (
             -- multiset apply: m = post-delta multiplicity per order row
             -- (a derived "insert" duplicates an existing base row -> m = 2)
+            SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY o_orderkey, o_custkey HAVING SUM(w) > 0
+          ), c1 AS (
+            SELECT c_custkey, CAST(COALESCE(SUM(m), 0) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN o2 ON c_custkey = o_custkey
+            GROUP BY c_custkey
+          )
+          SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+          FROM c1 GROUP BY c_count""",
+
+    "q38_immv_groupby_expr" ->
+      s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS syear,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * w) AS DOUBLE) AS sum_qty,
+          CAST(SUM(w) AS BIGINT) AS cnt
+          FROM (
+            SELECT l_shipdate, l_quantity, 1 AS w FROM lineitem
+            UNION ALL
+            SELECT l_shipdate, l_quantity,
+                   CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+          ) GROUP BY 1 HAVING SUM(w) > 0""",
+
+    "q39_immv_nested_sql" ->
+      s"""WITH o2 AS (
             SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
               SELECT o_orderkey, o_custkey, 1 AS w FROM orders
               UNION ALL

@@ -118,17 +118,43 @@ object SqlFrontend {
       s"IVM joins require same-name equi conditions, got: ${other.sql}")
   }
 
+  private def isAggCall(e: Expression): Boolean = e match {
+    case _: UnresolvedFunction => true
+    case _                     => false
+  }
+
+  /** Fold GROUP BY + select list. Grouping items may be plain columns,
+    * arbitrary scalar EXPRESSIONS, or references to a select-list alias
+    * (`GROUP BY year(d)` with `SELECT year(d) AS y`, or `GROUP BY y`);
+    * computed keys materialize in a Project inserted BELOW the Aggregate
+    * (σ/π/γ all compose in the delta algebra, so the rewrite is free) and
+    * must appear aliased in the select list — the maintained view's output
+    * carries every group key. */
   private def foldAggregate(
       grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: IvmQuery): IvmQuery = {
-    val keys = grouping.map {
-      case a: UnresolvedAttribute => a.nameParts.last
-      case other => throw new UnsupportedOperationException(
-        s"IVM GROUP BY supports plain columns, got: ${other.sql}")
+    // select-list aliases of NON-aggregate expressions: candidate computed
+    // keys, addressable by name (GROUP BY y) or by form (GROUP BY year(d))
+    val scalarAliases: Seq[(String, Expression)] = aggExprs.collect {
+      case Alias(e, name) if !isAggCall(e) => name -> e
     }
+    val byName = scalarAliases.toMap
+    val bySql = scalarAliases.map { case (n, e) => e.sql -> n }.toMap
+    // (key name, computed expression when the key is not a plain column)
+    val keySpecs: Seq[(String, Option[Expression])] = grouping.map {
+      case a: UnresolvedAttribute if byName.contains(a.nameParts.last) =>
+        a.nameParts.last -> Some(byName(a.nameParts.last))
+      case a: UnresolvedAttribute => a.nameParts.last -> None
+      case g if bySql.contains(g.sql) => bySql(g.sql) -> Some(byName(bySql(g.sql)))
+      case other => throw new UnsupportedOperationException(
+        s"IVM GROUP BY expression ${other.sql} must appear aliased in the " +
+          "select list so the maintained view carries it")
+    }
+    val keys = keySpecs.map(_._1)
     val aggs = aggExprs.flatMap {
       case a: UnresolvedAttribute if keys.contains(a.nameParts.last) => None
+      case Alias(e, name) if keys.contains(name) && !isAggCall(e) => None
       case Alias(UnresolvedFunction(fn, args, false, _, _, _, _), name) =>
         Some(toAggSpec(fn.last.toLowerCase, args, name))
       case Alias(UnresolvedFunction(fn, Seq(e), true, _, _, _, _), name)
@@ -137,7 +163,21 @@ object SqlFrontend {
       case other => throw new UnsupportedOperationException(
         s"unsupported select item in aggregate: ${other.sql}")
     }
-    graft.ivm.Aggregate(child, keys, aggs)
+    val computed = keySpecs.collect { case (n, Some(e)) => n -> e }
+    val foldedChild =
+      if (computed.isEmpty) child
+      else {
+        // Pass through every base column the aggregate or the computed
+        // keys reference (unresolved plans have no schema to star-expand),
+        // plus the computed keys themselves.
+        val referenced = (aggExprs ++ grouping).flatMap(_.collect {
+          case a: UnresolvedAttribute => a.nameParts.last
+        }).distinct.filterNot(computed.map(_._1).contains)
+        graft.ivm.Project(child,
+          referenced.map(org.apache.spark.sql.functions.col) ++
+            computed.map { case (n, e) => expr(e.sql).as(n) })
+      }
+    graft.ivm.Aggregate(foldedChild, keys, aggs)
   }
 
   private def toAggSpec(fn: String, args: Seq[Expression], name: String): AggSpec =

@@ -76,6 +76,59 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("GROUP BY expression folds to Project below Aggregate; refresh == recompute") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_gexp AS
+         SELECT a % 2 AS par, SUM(a) AS sum_a, COUNT(*) AS n
+         FROM t GROUP BY a % 2""")
+    q match {
+      case Aggregate(Project(Scan("t"), cols), Seq("par"), aggs) =>
+        assert(aggs.map(_.name) == Seq("sum_a", "n"))
+        assert(cols.map(ZDelta.colName).contains("par"))
+      case other => fail(s"unexpected AST: $other")
+    }
+    // GROUP BY alias reference resolves to the same shape
+    val (_, q2) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_gals AS SELECT a % 2 AS par, SUM(a) AS sum_a, COUNT(*) AS n FROM t GROUP BY par")
+    assert(q2 == q, s"alias GROUP BY folded differently: $q2 vs $q")
+    // full cycle on a live store: create, refresh with deletes, compare
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("a INT", Seq(Row(1), Row(2), Row(3), Row(4), Row(5)))
+    }
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"a INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row(6, true), Row(1, false), Row(3, false), Row(5, false))))
+      case _   => None
+    }
+    Ivm.create("sql_gexp", q, base, store)
+    Ivm.refreshState("sql_gexp", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_gexp", q, store), Ivm.recompute(q, base, deltas))
+    // a grouping expression not present in the select list is rejected
+    intercept[UnsupportedOperationException] {
+      SqlFrontend.createImmv(spark,
+        "CREATE IMMV bad_gexp AS SELECT SUM(a) AS s FROM t GROUP BY a % 2")
+    }
+  }
+
+  test("nested FROM sub-select folds (poster Q13 shape in pure SQL)") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_nested AS
+         SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders USING (c_custkey)
+           GROUP BY c_custkey
+         ) GROUP BY c_count""")
+    q match {
+      case Aggregate(
+          Aggregate(LeftJoin(Scan("customer"), Scan("orders"), Seq("c_custkey")),
+            Seq("c_custkey"), inner), Seq("c_count"), outer) =>
+        assert(inner.map(_.name) == Seq("c_count"))
+        assert(outer.map(_.name) == Seq("custdist"))
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
