@@ -235,6 +235,44 @@ object SparkEntry {
       Ivm.read("q39", v, store)
     }),
 
+    // Maintained SEMI JOIN via SQL IN-subquery: orders whose odd-numbered
+    // lineitems survive. The delta deletes exactly the odd lines of
+    // touched orders, so matched keys DIE from the distinct set and their
+    // order rows retract — the 1→0 membership transition under the gate.
+    "q40_ivm_semi_join" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q40 AS
+           SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+           FROM orders
+           WHERE o_orderkey IN
+             (SELECT l_orderkey FROM lineitem WHERE l_linenumber % 2 = 1)""")
+      val ds: String => Option[DataFrame] =
+        t => if (t == "lineitem") deltas(s, dir)(t) else None
+      Ivm.create("q40", v, base(s, dir), store)
+      Ivm.refreshState("q40", v, base(s, dir), ds, store)
+      Ivm.read("q40", v, store)
+    }),
+
+    // Maintained ANTI JOIN (NOT EXISTS): customers with no URGENT order.
+    // Deleting a customer's LAST urgent order moves them INTO the view —
+    // the composition rides the LeftJoin 0↔>0 match-count machinery.
+    "q41_ivm_anti_join" -> ((s, dir) => {
+      val store = new MemStore
+      val v = IvmQuery.antiJoin(
+        Project(Scan("customer"), Seq(col("c_custkey"),
+          col("c_acctbal").cast("double").as("acctbal"))),
+        Project(Filter(Scan("orders"), col("o_orderpriority") === "1-URGENT"),
+          Seq(col("o_custkey").as("c_custkey"))),
+        Seq("c_custkey"),
+        leftCols = Seq(col("c_custkey"), col("acctbal")))
+      val ds: String => Option[DataFrame] =
+        t => if (t == "orders") deltas(s, dir)(t) else None
+      Ivm.create("q41", v, base(s, dir), store)
+      Ivm.refreshState("q41", v, base(s, dir), ds, store)
+      Ivm.read("q41", v, store)
+    }),
+
     // HAVING over a maintained aggregate (unsupported in BOTH reference
     // engines, README.md:34): the delta batch moves groups across the
     // parity predicate, so membership enters/leaves incrementally.
@@ -614,6 +652,32 @@ object SparkEntry {
           )
           SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
           FROM c1 GROUP BY c_count""",
+
+    "q40_ivm_semi_join" ->
+      s"""WITH l2 AS (
+            SELECT l_orderkey FROM (
+              SELECT l_orderkey, 1 AS w FROM lineitem WHERE l_linenumber % 2 = 1
+              UNION ALL
+              SELECT l_orderkey, CASE WHEN $M THEN 1 ELSE -1 END AS w
+              FROM ($DL) WHERE l_linenumber % 2 = 1
+            ) GROUP BY 1 HAVING SUM(w) > 0
+          )
+          SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM l2)""",
+
+    "q41_ivm_anti_join" ->
+      s"""WITH o2 AS (
+            SELECT o_custkey FROM (
+              SELECT o_custkey, o_orderkey, 1 AS w FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT o_custkey, o_orderkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+              WHERE o_orderpriority = '1-URGENT'
+            ) GROUP BY o_custkey, o_orderkey HAVING SUM(w) > 0
+          )
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+          FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o2)""",
 
     "q38_immv_groupby_expr" ->
       s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS syear,

@@ -111,9 +111,46 @@ final case class FullJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
 }
 
 object IvmQuery {
+  import org.apache.spark.sql.functions.{col, lit}
+
   /** DISTINCT over `cols` — `dropDuplicates` as a maintainable view. */
   def distinct(child: IvmQuery, cols: Seq[String]): IvmQuery =
     Aggregate(child, cols, Seq.empty)
+
+  /** Marker column the anti-join composition null-extends on. */
+  val PRESENT = "__ivm_present"
+
+  /** LEFT SEMI equi-join (EXISTS / IN-subquery) as pure composition: the
+    * right side reduces to its DISTINCT key set — maintained with group
+    * liveness, so a key's last supporting row dying retracts every
+    * dependent left row — and an inner join against a key SET never
+    * duplicates left rows, which is exactly semi-join multiset semantics.
+    * Key matching is null-safe (NULL = NULL, like GROUP BY), unlike SQL
+    * EXISTS with `=`; supply null-free keys for SQL parity. */
+  def semiJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String]): IvmQuery =
+    Join(left, distinct(right, keys), keys)
+
+  /** LEFT ANTI equi-join (NOT EXISTS) as pure composition: LEFT OUTER
+    * against the right side's distinct keys carrying a constant marker;
+    * anti rows are exactly the null-extended ones, so the Filter keeps
+    * marker-IS-NULL and the Project drops the bookkeeping. 0↔>0 match
+    * transitions (a customer losing its last order enters the view) are
+    * the LeftJoin rule's existing birth/death machinery. `leftCols` is the
+    * view's output projection (the unresolved AST cannot star-expand). */
+  def antiJoin(
+      left: IvmQuery,
+      right: IvmQuery,
+      keys: Seq[String],
+      leftCols: Seq[org.apache.spark.sql.Column]): IvmQuery =
+    Project(
+      Filter(
+        LeftJoin(
+          left,
+          distinct(Project(right, keys.map(col) :+ lit(1).as(PRESENT)),
+            keys :+ PRESENT),
+          keys),
+        col(PRESENT).isNull),
+      leftCols)
 }
 
 /** Structured aggregate functions with known delta rules.

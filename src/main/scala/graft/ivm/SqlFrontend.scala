@@ -2,7 +2,7 @@ package graft.ivm
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, InSubquery, ListQuery, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.expr
@@ -47,6 +47,21 @@ object SqlFrontend {
     case Project(exprs, child) if exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
       fold(child) // SELECT * — passthrough (reference tests/ivm.test:29)
     case Project(exprs, child) => Filterable.project(exprs, fold(child))
+    // IN-subquery → maintained SEMI JOIN: the subquery becomes a DISTINCT
+    // key-set view (group liveness = set membership) inner-joined against
+    // the outer query — both halves are existing delta rules.
+    case Filter(InSubquery(Seq(a: UnresolvedAttribute), lq: ListQuery), child) =>
+      val outerKey = a.nameParts.last
+      val innerName = lq.plan match {
+        case Project(Seq(ia: UnresolvedAttribute), _) => ia.nameParts.last
+        case Project(Seq(Alias(_, n)), _)             => n
+        case other => throw new UnsupportedOperationException(
+          s"IN subquery must select a single column, got: ${other.nodeName}")
+      }
+      val inner = fold(lq.plan)
+      val renamed = if (innerName == outerKey) inner
+        else graft.ivm.Project(inner, Seq(expr(innerName).as(outerKey)))
+      IvmQuery.semiJoin(fold(child), renamed, Seq(outerKey))
     case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
     case Aggregate(grouping, aggExprs, child, _) =>
       foldAggregate(grouping, aggExprs, fold(child))

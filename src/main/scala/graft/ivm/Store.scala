@@ -319,32 +319,30 @@ final class ParquetStore(
   /** Latest-segment-wins per merge key over a chained read, tombstones
     * dropped. Each segment holds at most one row per merge key (the merge
     * contract), so resolution is a single map-side-combinable aggregate:
-    * max_by(payload, segment-seq). The seq is the segment's version number,
-    * recovered from the file path — strictly increasing across commits. */
+    * max_by(payload, segment-seq). The seq is the writing segment's
+    * version number, STORED IN the segment data as a constant column
+    * (parquet RLE makes it ~free) — deriving it from input_file_name()
+    * instead would poison every downstream plan that joins a second file
+    * source (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION). */
   private def resolveChains(raw: DataFrame, mergeKeys: Seq[String]): DataFrame = {
-    // input_file_name() is non-deterministic — project it out BEFORE the
-    // aggregate (aggregate arguments must be deterministic)
-    val withSeq = raw.withColumn(SEQ,
-      regexp_extract(input_file_name(), "/seg([0-9]+)/__ivm_bucket=", 1)
-        .cast("long"))
-    val payload = raw.columns.filterNot(mergeKeys.contains).toSeq
+    val payload = raw.columns.filterNot(c => mergeKeys.contains(c) || c == SEQ).toSeq
     val top = "__ivm_top"
-    withSeq.groupBy(mergeKeys.map(col): _*)
+    raw.groupBy(mergeKeys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), col(SEQ)).as(top))
-      .select(raw.columns.map(c =>
+      .select(raw.columns.filterNot(_ == SEQ).map(c =>
         if (mergeKeys.contains(c)) col(c) else col(s"$top.$c").as(c)): _*)
       .where(col(DEAD) === 0)
   }
 
   /** Read a path set of `e`, resolving chains when any included bucket is
-    * layered; always strips the internal tombstone column. `preFilter`
+    * layered; always strips the internal bookkeeping columns. `preFilter`
     * runs on the raw chained read BEFORE resolution — callers may only
     * pass a filter that keeps or drops whole merge-key chains. */
   private def readEntry(e: Entry, paths: Seq[String], layered: Boolean)(
       preFilter: DataFrame => DataFrame = identity): DataFrame = {
     val raw = preFilter(readPaths(paths))
     if (layered && e.mergeKeys.nonEmpty) resolveChains(raw, e.mergeKeys).drop(DEAD)
-    else raw.drop(DEAD)
+    else raw.drop(DEAD, SEQ)
   }
 
   override def get(name: String): Option[DataFrame] =
@@ -469,10 +467,13 @@ final class ParquetStore(
       case _ =>
         // unknown (first create) or large: bucketed layout for selective
         // merges and pruned slices. Every bucketed segment carries the
-        // tombstone column (all-alive here) so overlay segments appended
-        // later union with it schema-identically.
-        val rel = segDir(name, nextSegVersion())
-        df.withColumn(DEAD, lit(0)).withColumn(B, bucketOf(bucketKeys))
+        // tombstone + segment-seq columns (all-alive, constant seq) so
+        // overlay segments appended later union schema-identically and
+        // chain resolution has its ordering column in the data.
+        val v = nextSegVersion()
+        val rel = segDir(name, v)
+        df.withColumn(DEAD, lit(0)).withColumn(SEQ, lit(v))
+          .withColumn(B, bucketOf(bucketKeys))
           .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel")
         val found = discoverBuckets(rel)
         // a zero-row state writes no bucket dirs; fall back to a plain
@@ -545,12 +546,14 @@ final class ParquetStore(
         val canOverlay = maxChain > 1 &&
           sel.values.forall(_.lengthCompare(maxChain) < 0) &&
           (!e.layered || e.mergeKeys == mergeKeys)
-        val rel = segDir(name, nextSegVersion())
+        val segV = nextSegVersion()
+        val rel = segDir(name, segV)
         if (canOverlay) {
           // O(‖Δ‖) append: updated rows only, dead keys as tombstones
           Ivm.timed(s"m.overlay $name")(src
             .select(cleanCols.map(col): _*)
             .withColumn(DEAD, when(alive, lit(0)).otherwise(lit(1)))
+            .withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
@@ -572,7 +575,8 @@ final class ParquetStore(
             }
           }
           Ivm.timed(s"m.write $name")(newRows
-            .withColumn(DEAD, lit(0)).withColumn(B, bucketOf(bKeys))
+            .withColumn(DEAD, lit(0)).withColumn(SEQ, lit(segV))
+            .withColumn(B, bucketOf(bKeys))
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           // touched buckets collapse to the new segment (or vanish if now

@@ -129,6 +129,46 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IN-subquery folds to a maintained semi join (distinct key set)") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_semi AS SELECT a, b FROM t WHERE a IN (SELECT x FROM u WHERE y > 0)")
+    q match {
+      case Project(Join(Scan("t"), Aggregate(inner, Seq("a"), Seq()), Seq("a")), _) =>
+        inner match {
+          case Project(Project(Filter(Scan("u"), _), _), _) => ()
+          case other => fail(s"unexpected inner AST: $other")
+        }
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
+  test("semi/anti compositions refresh == recompute through membership transitions") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    val base: String => DataFrame = {
+      case "t" => df("k INT, v STRING",
+        Seq(Row(1, "a"), Row(2, "b"), Row(3, "c"), Row(4, "d")))
+      case "u" => df("k INT, y INT",
+        Seq(Row(1, 10), Row(1, 11), Row(2, 20)))
+    }
+    // k=2 loses its only supporter (leaves semi, enters anti); k=3 gains
+    // one (enters semi, leaves anti); k=1 loses one of two (no change)
+    val deltas: String => Option[DataFrame] = {
+      case "u" => Some(df(s"k INT, y INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row(2, 20, false), Row(3, 30, true), Row(1, 10, false))))
+      case _   => None
+    }
+    val semi = IvmQuery.semiJoin(Scan("t"), Project(Scan("u"), Seq(col("k"))), Seq("k"))
+    val anti = IvmQuery.antiJoin(Scan("t"), Project(Scan("u"), Seq(col("k"))),
+      Seq("k"), leftCols = Seq(col("k"), col("v")))
+    for ((nm, q) <- Seq("semi_v" -> semi, "anti_v" -> anti)) {
+      val store = new MemStore
+      Ivm.create(nm, q, base, store)
+      Ivm.refreshState(nm, q, base, deltas, store)
+      assertSameRows(Ivm.read(nm, q, store), Ivm.recompute(q, base, deltas))
+    }
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
