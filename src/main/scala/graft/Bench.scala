@@ -106,10 +106,15 @@ object Bench {
       f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    // LSM state store: steady-state refresh of the high-cardinality view
-    // on a FORCED-bucketed store — overlay appends (maxChain=8) vs
+    // LSM state store: steady-state refresh of a WIDE high-cardinality
+    // view (~600k (orderkey, linenumber) groups at sf0.1) on a
+    // FORCED-bucketed store — overlay appends (maxChain=8) vs
     // compact-every-merge (maxChain=1, the pre-LSM selective rewrite).
-    // The delta is ~1% of groups, so overlay mode writes ~1% of the bytes.
+    // write_bytes_per_refresh is the at-scale signal: overlay commits are
+    // O(delta) bytes while compaction rewrites the touched buckets, and at
+    // 100 TB state the write volume IS the refresh cost. Wall-clock at
+    // sf0.1 is job-scheduling-bound (states are MBs), so bytes are
+    // reported alongside seconds.
     val lsmJson = try {
       import graft.ivm._
       import graft.ivm.AggSpec._
@@ -120,21 +125,49 @@ object Bench {
         case "lineitem" => Some(spark.read.parquet(dDir))
         case _          => None
       }
-      val hiView = Aggregate(Scan("lineitem"), Seq("l_orderkey"),
-        Seq(Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
-      def run(chain: Int): Double = {
-        val st = new ParquetStore(spark,
-          java.nio.file.Files.createTempDirectory(s"ivm-lsm$chain").toString,
-          buckets = 32, smallStateBytes = 0, maxChain = chain)
-        Ivm.create(s"lsm$chain", hiView, Fixtures.base(spark, sfDir), st)
-        def once() = Ivm.refreshState(s"lsm$chain", hiView,
+      val wideView = Aggregate(Scan("lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(Sum(col("l_quantity"), "sum_qty"),
+          Sum(col("l_extendedprice").cast("decimal(18,2)"), "sum_price"),
+          Sum(col("l_discount").cast("decimal(18,2)"), "sum_disc"),
+          CountStar("cnt")))
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+        else f.length
+      /** All segment dirs under `root` with their byte sizes. */
+      def segSizes(root: String): Map[String, Long] = {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) {
+            if (f.getName.startsWith("seg") && f.getName.drop(3).forall(_.isDigit))
+              out(f.getPath) = sz(f)
+            else Option(f.listFiles).foreach(_.foreach(walk))
+          }
+        walk(new java.io.File(root))
+        out.toMap
+      }
+      def run(chain: Int): (Double, Long) = {
+        val root = java.nio.file.Files.createTempDirectory(s"ivm-lsm$chain").toString
+        val st = new ParquetStore(spark, root,
+          buckets = 32, smallStateBytes = 0, maxChain = chain,
+          keepVersions = 1)
+        Ivm.create(s"lsm$chain", wideView, Fixtures.base(spark, sfDir), st)
+        def once() = Ivm.refreshState(s"lsm$chain", wideView,
           Fixtures.base(spark, sfDir), deltas, st)
         once(); once() // warm-ups
-        (1 to 4).map(_ => time(once())).sum / 4
+        val secs = (1 to 3).map(_ => time(once())).sum / 3
+        // bytes one refresh writes = size of the segment dirs it creates
+        // (old segments may be pruned concurrently; new ones survive)
+        val before = segSizes(root).keySet
+        once()
+        val written = segSizes(root).collect {
+          case (p, b) if !before(p) => b
+        }.sum
+        (secs, written)
       }
-      val tOverlay = run(8)
-      val tCompact = run(1)
-      f"""{"overlay_refresh_sec":$tOverlay%.3f,"compact_refresh_sec":$tCompact%.3f,"overlay_speedup":${tCompact / tOverlay}%.2f}"""
+      val (tOverlay, bOverlay) = run(8)
+      val (tCompact, bCompact) = run(1)
+      f"""{"overlay_refresh_sec":$tOverlay%.3f,"compact_refresh_sec":$tCompact%.3f,"overlay_speedup":${tCompact / tOverlay}%.2f,"overlay_write_bytes":$bOverlay,"compact_write_bytes":$bCompact,"write_reduction":${bCompact.toDouble / math.max(bOverlay, 1)}%.1f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
     // ANN accuracy/cost: IVF recall@5 against the brute-force baseline at

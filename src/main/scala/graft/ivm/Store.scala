@@ -538,7 +538,14 @@ final class ParquetStore(
       try {
         if (touched.isEmpty) return // empty batch — state unchanged
         val src = pinned.map(_.drop(B)).getOrElse(updated)
-        val cleanCols = apply(name).columns.toSeq
+        // Chain segments must be SCHEMA-IDENTICAL (one union read resolves
+        // them): align updated rows to the stored types — arithmetic like
+        // old+adjustment silently widens decimals (p,s) → (p+1,s).
+        val cleanSchema = apply(name).schema
+        val cleanCols = cleanSchema.map(_.name).toSeq
+        def aligned(df: DataFrame): DataFrame =
+          df.select(cleanSchema.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
         val sel = e.chains.view.filterKeys(touched).toMap
         // Overlay needs stable merge keys across the chain: same keys as
         // previous overlays, or no chain yet. A key change (or maxChain=1)
@@ -550,8 +557,7 @@ final class ParquetStore(
         val rel = segDir(name, segV)
         if (canOverlay) {
           // O(‖Δ‖) append: updated rows only, dead keys as tombstones
-          Ivm.timed(s"m.overlay $name")(src
-            .select(cleanCols.map(col): _*)
+          Ivm.timed(s"m.overlay $name")(aligned(src)
             .withColumn(DEAD, when(alive, lit(0)).otherwise(lit(1)))
             .withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
@@ -566,7 +572,7 @@ final class ParquetStore(
         } else {
           val oldPaths = sel.values.flatten.toSeq
           val newRows = {
-            val aliveRows = src.where(alive).select(cleanCols.map(col): _*)
+            val aliveRows = aligned(src.where(alive))
             if (oldPaths.isEmpty) aliveRows
             else {
               val old = Ivm.timed(s"m.read $name")(

@@ -67,23 +67,39 @@ object IvmProbe {
     val store = new ParquetStore(spark,
       java.nio.file.Files.createTempDirectory("ivm-probe").toString,
       buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "16").toInt)
-    val view = Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
-      Seq(Sum(col("l_extendedprice").cast("decimal(18,2)"), "sum_price"),
-        Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
+    // SPARK_GRAFT_VIEW: "agg" (default, the bench headline view over the
+    // lineitem delta) or "q13" (poster Q13 over the orders delta).
+    val (view, deltaTable, deltaDf) =
+      sys.env.getOrElse("SPARK_GRAFT_VIEW", "agg") match {
+        case "q13" =>
+          (graft.SparkEntry.q13RealView, "orders", Fixtures.deltaOrders(spark, sfDir))
+        case _ =>
+          (Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
+            Seq(Sum(col("l_extendedprice").cast("decimal(18,2)"), "sum_price"),
+              Sum(col("l_quantity"), "sum_qty"), CountStar("cnt"))),
+            "lineitem", Fixtures.deltaLineitem(spark, sfDir))
+      }
 
     // Materialize the delta batch once, as it would arrive in production —
     // a small file, not a predicate re-scanned over the base every cycle.
     val deltaDir = java.nio.file.Files.createTempDirectory("ivm-probe-delta").toString
-    Fixtures.deltaLineitem(spark, sfDir).write.mode("overwrite").parquet(deltaDir)
+    deltaDf.write.mode("overwrite").parquet(deltaDir)
     val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
-      case "lineitem" => Some(spark.read.parquet(deltaDir))
-      case _          => None
+      case `deltaTable` => Some(spark.read.parquet(deltaDir))
+      case _            => None
     }
     time("create")(Ivm.create("bench_v", view,
       Fixtures.base(spark, sfDir), store))
+    // SPARK_GRAFT_PIN_DV=true uses refresh() (pins + materializes ΔV
+    // before commits) instead of refreshState() — measures whether one
+    // up-front materialization beats lazy shared-cache contention.
+    val pinDv = sys.env.get("SPARK_GRAFT_PIN_DV").contains("true")
     for (i <- 1 to iters)
-      time(s"refresh$i")(Ivm.refreshState("bench_v", view,
-        Fixtures.base(spark, sfDir), deltas, store))
+      time(s"refresh$i")(
+        if (pinDv) Ivm.refresh("bench_v", view,
+          Fixtures.base(spark, sfDir), deltas, store).unpersist()
+        else Ivm.refreshState("bench_v", view,
+          Fixtures.base(spark, sfDir), deltas, store))
     for (i <- 1 to iters)
       time(s"recompute$i")(store.put(s"full$i",
         Ivm.recompute(view, Fixtures.base(spark, sfDir), deltas)))
