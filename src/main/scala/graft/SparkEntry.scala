@@ -405,6 +405,18 @@ object SparkEntry {
         nprobe = model.nCells)
     }),
 
+    // The on-disk IVF index: corpus written partitionBy(ivf_cell), query
+    // reads ONLY probed cell directories. Exhaustive probe ≡ brute force,
+    // so the same analytic oracle gates the whole write→prune→read path.
+    "q53_ann_ivf_disk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = ops.Ivf.train(emb, k = 16, iters = 3)
+      val idx = java.nio.file.Files.createTempDirectory("q53-ivf").toString
+      ops.Ivf.writeIndex(emb, model, idx)
+      ops.Ivf.topKIndexed(idx, emb.where(col("vec_id") < 8), k = 5, model,
+        nprobe = model.nCells)
+    }),
+
     // Text analysis: token counts, quality, language-ID, fingerprint.
     "q27_text_analyze" -> ((s, dir) =>
       ops.TextOps.analyze(tbl(s, dir, "documents"))),
@@ -837,6 +849,18 @@ object SparkEntry {
           WHERE cosine >= 0.35""",
 
     "q25_ann_topk" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
+
+    // exhaustive-probe IVF over the ON-DISK index == brute force too
+    "q53_ann_ivf_disk" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
               round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine

@@ -134,6 +134,49 @@ object Ivf {
     corpus.withColumn("ivf_cell",
       cellExpr(corpus.sparkSession, col(vecCol), model))
 
+  /** Persist the on-disk IVF index: the corpus partitioned by cell, one
+    * directory per cell. [[topKIndexed]] then reads ONLY the cells a
+    * query batch probes — same disk-pruning story as the IVM store's
+    * buckets. The model itself (k×dim floats) travels separately; it is
+    * a few KB of literals. */
+  def writeIndex(corpus: DataFrame, model: Model, dir: String,
+      vecCol: String = "embedding"): Unit =
+    assign(corpus, model, vecCol)
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(dir)
+
+  /** IVF top-k over an on-disk index written by [[writeIndex]]: the probe
+    * cells of the (small) query batch decide which cell DIRECTORIES are
+    * read — disk I/O is |probed cells| / |cells| of the corpus, before
+    * any executor sees a row. Explicit path pruning rather than relying
+    * on dynamic partition pruning heuristics: the probe set is known
+    * driver-side, so the pruning is deterministic. Results are identical
+    * to [[topK]] with the same model/nprobe. */
+  def topKIndexed(indexDir: String, queries: DataFrame, k: Int, model: Model,
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    val nDot = Similarity.fastDot(queries)
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        sqrt(nDot(col(vecCol), col(vecCol))).as("q_norm"),
+        explode(probeExpr(spark, col(vecCol), model, nprobe)).as("ivf_cell")))
+    // queries are small by contract — one cheap pass finds the probed set
+    val probed = queries
+      .select(explode(probeExpr(spark, col(vecCol), model, nprobe)).as("c"))
+      .distinct().collect().map(_.getInt(0))
+    val dirs = probed.map(c => s"$indexDir/ivf_cell=$c")
+      .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    // basePath keeps the partition column in the schema for the join
+    val c = spark.read.option("basePath", indexDir).parquet(dirs.toIndexedSeq: _*)
+      .select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+        sqrt(nDot(col(vecCol), col(vecCol))).as("n_norm"), col("ivf_cell"))
+    val scored = c.join(q, Seq("ivf_cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        round(nDot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm")), 6))
+    Similarity.topKPerQuery(scored, k, salts)
+  }
+
   /** IVF top-k: each query probes its `nprobe` nearest cells and scores
     * only vectors in those cells. Scoring/rounding/ranking identical to
     * [[Similarity.bruteForceTopK]], so `nprobe = model.nCells` returns

@@ -54,6 +54,20 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(one) == expect)
   }
 
+  test("on-disk index query reads only probed cells and matches in-memory topK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Ivf.writeIndex(emb, model, dir)
+    for (np <- Seq(4, model.nCells)) {
+      val onDisk = Ivf.topKIndexed(dir, queries, k = 5, model, nprobe = np)
+      val inMem = Ivf.topK(emb, queries, k = 5, model, nprobe = np)
+      assertSameRows(onDisk, inMem)
+    }
+    // exhaustive probe over the index is still exactly brute force
+    assertSameRows(
+      Ivf.topKIndexed(dir, queries, k = 5, model, nprobe = model.nCells),
+      Similarity.bruteForceTopK(emb, queries, k = 5))
+  }
+
   test("partial probing keeps recall@5 while scanning a fraction of cells") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df
       .select(col("q_id").cast("long"), col("n_id").cast("long")).collect()
