@@ -261,6 +261,9 @@ object Ivm {
     // manifest paths — so a commit can never be observed by a sibling's
     // plan. Inside store.transaction the flips publish atomically at the
     // end. Commits are independent per state path → concurrent jobs.
+    // (Measured alternative: committing level-by-level deepest-first to
+    // pre-warm shared caches SERIALIZES the levels and loses ~25% wall —
+    // Spark's per-block cache locks already dedupe concurrent work.)
     store.transaction {
       inParallel(ctx.updates.toSeq) { u =>
         timed(s"merge ${u.path}")(

@@ -120,7 +120,30 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "having_minmax" -> Filter(
         Aggregate(sc, Seq("g"),
           Seq(Min(col("v"), "min_v"), CountStar("n"))),
-        coalesce(col("min_v"), lit(0)) <= 0))
+        coalesce(col("min_v"), lit(0)) <= 0),
+      // SEMI join composition: membership flips as a key's last supporting
+      // right row dies / first arrives (deltas on both sides)
+      "semi_2side" -> IvmQuery.semiJoin(
+        Project(sc, Seq(col("g"), col("v"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+      // ANTI join composition: the mirror transitions through the LeftJoin
+      // match-count machinery
+      "anti_2side" -> IvmQuery.antiJoin(
+        Project(sc, Seq(col("g"), col("v"))),
+        Project(Scan("u"), Seq(col("g"))), Seq("g"),
+        leftCols = Seq(col("g"), col("v"))),
+      // computed group key (the SQL frontend's GROUP BY expression fold):
+      // Project inserted below the Aggregate
+      "agg_computed_key" -> Aggregate(
+        Project(sc, Seq(col("g"), col("v"),
+          (coalesce(col("v"), lit(0)) % 3).as("vm"))),
+        Seq("g", "vm"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      // semi feeding an aggregate: composition under composition
+      "semi_agg_2side" -> Aggregate(
+        IvmQuery.semiJoin(
+          Project(sc, Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+        Seq("g"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))))
   }
 
   for ((name, q) <- shapes)
