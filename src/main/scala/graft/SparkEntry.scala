@@ -417,6 +417,18 @@ object SparkEntry {
         nprobe = model.nCells)
     }),
 
+    // Deterministic hash-split sampling (train/val/held-out cuts): md5 of
+    // the id → stable bucket, reproducible across runs/engines/retries
+    // (never rand()). Distribution + per-split token volume.
+    "q42_hash_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.withColumn("split", ops.TextOps.hashSplit(col("doc_id"), 10))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ops.TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     // Text analysis: token counts, quality, language-ID, fingerprint.
     "q27_text_analyze" -> ((s, dir) =>
       ops.TextOps.analyze(tbl(s, dir, "documents"))),
@@ -897,6 +909,13 @@ object SparkEntry {
             FROM scored) WHERE rank <= 5""",
 
     "q27_text_analyze" -> textAnalyzeSql,
+
+    "q42_hash_split" ->
+      """SELECT (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10) AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM documents GROUP BY 1""",
 
     // FakeCodec mirror: 16-bin byte histogram of the UTF-8 payload. The
     // corpus is ASCII (verified), so byte == character code and DuckDB can

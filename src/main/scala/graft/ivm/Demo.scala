@@ -192,6 +192,38 @@ object Demo {
       Ivm.recompute(innerCnt, base, deltas2)).isEmpty, "shared inner mismatch")
     println("shared-state views OK")
 
+    // ---- 7. round-3 surface: semi join via SQL IN-subquery on the
+    // LSM-layered parquet store (overlay merges + chain resolution), and
+    // the as-of / range temporal joins
+    val lsmRoot = java.nio.file.Files.createTempDirectory("demo-lsm").toString
+    val lsmStore = new ParquetStore(spark, lsmRoot,
+      buckets = 8, smallStateBytes = 0, maxChain = 4)
+    val (_, semiQ) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV semi_v AS
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""")
+    Ivm.create("semi_v", semiQ, base, lsmStore)
+    Ivm.refreshState("semi_v", semiQ, base, deltas, lsmStore)
+    require(Ivm.read("semi_v", semiQ, lsmStore).exceptAll(
+      Ivm.recompute(semiQ, base, deltas)).isEmpty,
+      "semi join refresh mismatch on LSM store")
+    println("semi join via SQL IN on the LSM store OK")
+
+    val ev = spark.range(0, 50).selectExpr("id AS event_id",
+      "id * 1000000000 AS ts", "CAST(id % 5 AS BIGINT) AS user_id")
+    val asof = graft.ops.Temporal.asOfJoin(
+      ev.where(org.apache.spark.sql.functions.col("event_id") % 2 === 0),
+      ev.where(org.apache.spark.sql.functions.col("event_id") % 2 === 1),
+      Seq("user_id"), "ts", "ts")
+    require(asof.count() == 25, "as-of join row count")
+    val rj = graft.ops.Temporal.rangeJoin(
+      ev.select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts")),
+      ev.selectExpr("ts AS s", "ts + 5000000000 AS e"),
+      "ts", "s", "e", chunk = 5000000000L)
+    require(rj.count() > 0, "range join matched nothing")
+    println("temporal joins OK")
+
     println("DEMO OK")
     spark.stop()
   }

@@ -93,6 +93,18 @@ object TextOps {
       (acc, t) =>
         pmod(acc * 31 + (ascii(t) * 131 + length(t)).cast("long"), lit(FpMod)))
 
+  /** Deterministic hash split for train/validation/held-out partitioning:
+    * bucket in [0, buckets) from the md5 of the id column — stable across
+    * runs, engines, and cluster layouts (never `rand()`, which breaks
+    * retries and reproducibility). Select a split with e.g.
+    * `where(hashSplit(col("doc_id")) < 95)` for a 95% train cut. */
+  def hashSplit(id: Column, buckets: Int = 100): Column = {
+    require(buckets > 0, "buckets must be positive")
+    // first 15 hex digits fit a signed long exactly (60 bits, no sign risk)
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets))
+  }
+
   /** All text metrics for a documents table, one pass. */
   def analyze(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
