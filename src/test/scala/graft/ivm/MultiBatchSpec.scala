@@ -64,34 +64,50 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
     "foj" -> FullJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
       Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")))
 
+  private def runBatches(name: String, q: IvmQuery, store: IvmStore,
+      seed: Long, batches: Int): Unit = {
+    val t0 = sample(genTable, seed * 7919L)
+    val uRows = sample(genTable, seed * 104729L)
+    val t = mkDf(t0, withMult = false)
+    val u = mkDf(uRows, withMult = false).select(col("g"), col("h"))
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+
+    Ivm.create(name, q, base, store)
+
+    var live = t0
+    var allDeltas = List.empty[Row]
+    for (b <- 1 to batches) {
+      val (batch, newLive) = nextBatch(live, seed * 1000L + b)
+      live = newLive
+      allDeltas = allDeltas ++ batch
+      Ivm.refreshState(name, q, base,
+        nm => if (nm == "t") Some(mkDf(batch, withMult = true)) else None,
+        store)
+    }
+    val got = Ivm.read(name, q, store)
+    val want = Ivm.recompute(q, base,
+      nm => if (nm == "t") Some(mkDf(allDeltas, withMult = true)) else None)
+    withClue(s"$name seed=$seed after $batches batches: ") {
+      assertSameRows(got, want)
+    }
+  }
+
   for ((name, q) <- shapes)
     test(s"$Batches sequential refreshes == recompute: $name") {
-      for (seed <- 1 to Seeds) {
-        val t0 = sample(genTable, seed * 7919L)
-        val uRows = sample(genTable, seed * 104729L)
-        val t = mkDf(t0, withMult = false)
-        val u = mkDf(uRows, withMult = false).select(col("g"), col("h"))
-        val base: String => DataFrame = { case "t" => t; case "u" => u }
-
-        val store = new MemStore
-        Ivm.create(name, q, base, store)
-
-        var live = t0
-        var allDeltas = List.empty[Row]
-        for (b <- 1 to Batches) {
-          val (batch, newLive) = nextBatch(live, seed * 1000L + b)
-          live = newLive
-          allDeltas = allDeltas ++ batch
-          Ivm.refreshState(name, q, base,
-            nm => if (nm == "t") Some(mkDf(batch, withMult = true)) else None,
-            store)
-        }
-        val got = Ivm.read(name, q, store)
-        val want = Ivm.recompute(q, base,
-          nm => if (nm == "t") Some(mkDf(allDeltas, withMult = true)) else None)
-        withClue(s"$name seed=$seed after $Batches batches: ") {
-          assertSameRows(got, want)
-        }
-      }
+      for (seed <- 1 to Seeds)
+        runBatches(name, q, new MemStore, seed, Batches)
     }
+
+  // The LSM engine path: forced-bucketed ParquetStore with maxChain=2, so
+  // SIX sequential refreshes drive overlay appends AND repeated chain
+  // compactions through the full engine (aux states, match counts, group
+  // deaths) — not just the store-level unit tests.
+  test("6 refreshes on a forced-LSM ParquetStore == recompute (minmax + q13)") {
+    for ((name, q) <- Seq(shapes.head, shapes(1))) {
+      val root = java.nio.file.Files.createTempDirectory("mb-lsm").toString
+      val store = new ParquetStore(spark, root, keepVersions = 2,
+        buckets = 4, smallStateBytes = 0, maxChain = 2)
+      runBatches(s"lsm_$name", q, store, seed = 3, batches = 6)
+    }
+  }
 }
