@@ -235,6 +235,25 @@ object SparkEntry {
       Ivm.read("q39", v, store)
     }),
 
+    // Maintained UNION ALL view (Δ(A⊎B) = ΔA⊎ΔB, stateless) with deltas
+    // arriving on BOTH inputs in the same batch, aggregated on top.
+    "q43_ivm_union_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q43 AS
+           SELECT src, SUM(amt) AS total, COUNT(*) AS n FROM (
+             SELECT 'L' AS src, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt
+             FROM lineitem
+             UNION ALL
+             SELECT 'O' AS src, CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+             FROM orders
+           ) GROUP BY src""")
+      Ivm.create("q43", v, base(s, dir), store)
+      Ivm.refreshState("q43", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q43", v, store)
+        .select(col("src"), col("total").cast("double").as("total"), col("n"))
+    }),
+
     // Maintained SEMI JOIN via SQL IN-subquery: orders whose odd-numbered
     // lineitems survive. The delta deletes exactly the odd lines of
     // touched orders, so matched keys DIE from the distinct set and their
@@ -676,6 +695,22 @@ object SparkEntry {
           )
           SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
           FROM c1 GROUP BY c_count""",
+
+    "q43_ivm_union_apply" ->
+      s"""SELECT src, CAST(SUM(amt * w) AS DOUBLE) AS total,
+          CAST(SUM(w) AS BIGINT) AS n
+          FROM (
+            SELECT 'L' AS src, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt,
+                   1 AS w FROM lineitem
+            UNION ALL
+            SELECT 'L', CAST(l_extendedprice AS DECIMAL(18,2)),
+                   CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            UNION ALL
+            SELECT 'O', CAST(o_totalprice AS DECIMAL(18,2)), 1 FROM orders
+            UNION ALL
+            SELECT 'O', CAST(o_totalprice AS DECIMAL(18,2)),
+                   CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+          ) GROUP BY src HAVING SUM(w) > 0""",
 
     "q40_ivm_semi_join" ->
       s"""WITH l2 AS (

@@ -18,6 +18,7 @@ object Eval {
     case Filter(c, pred)    => eval(c, resolve).filter(pred)
     case Project(c, cols)   => eval(c, resolve).select(cols: _*)
     case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
+    case Union(l, r)        => eval(l, resolve).unionByName(eval(r, resolve))
     case LeftJoin(l, r, keys) =>
       eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
     case RightJoin(l, r, keys) =>

@@ -135,6 +135,7 @@ object Ivm {
         case Filter(c, _)  => walk(c, path + ".0")
         case Project(c, _) => walk(c, path + ".0")
         case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
+        case Union(l, r)   => walk(l, path + ".0") ++ walk(r, path + ".1")
         case lj @ LeftJoin(l, r, keys) =>
           walk(l, path + ".0") ++ walk(r, path + ".1") :+
             matchCount(nameOf(lj, path) + ".rcnt", r, keys)

@@ -56,6 +56,7 @@ sealed trait IvmQuery {
     case LeftJoin(l, r, _)   => l.tables ++ r.tables
     case RightJoin(l, r, _)  => l.tables ++ r.tables
     case FullJoin(l, r, _)   => l.tables ++ r.tables
+    case Union(l, r)         => l.tables ++ r.tables
   }
 }
 
@@ -109,6 +110,13 @@ final case class FullJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
     extends IvmQuery {
   require(keys.nonEmpty, "FullJoin requires join keys")
 }
+
+/** UNION ALL (bag union) — column names must align across sides (use
+  * Projects to shape them). The delta rule is the multiset identity
+  * Δ(A ⊎ B) = ΔA ⊎ ΔB: unions commute with deltas with NO state, so the
+  * node composes freely under filters, joins, and aggregates. Plain UNION
+  * (set semantics) = `IvmQuery.distinct` over a Union. */
+final case class Union(left: IvmQuery, right: IvmQuery) extends IvmQuery
 
 object IvmQuery {
   import org.apache.spark.sql.functions.{col, lit}

@@ -76,6 +76,11 @@ object ParityDelta {
         .agg(exprs.head, exprs.tail: _*)
         .select((keys.map(col) ++ aggs.map(a => col(a.name)) :+ col(MULT)): _*)
 
+    case Union(l, r) =>
+      // Δ(A ⊎ B) = ΔA ⊎ ΔB holds in boolean-multiplicity form too; parity
+      // mode requires deltas on BOTH sides (no notion of a missing delta).
+      delta(l, resolveDelta).unionByName(delta(r, resolveDelta))
+
     case _: Join | _: LeftJoin | _: RightJoin | _: FullJoin =>
       throw new UnsupportedOperationException(
         "IVM parity mode does not support joins (reference " +

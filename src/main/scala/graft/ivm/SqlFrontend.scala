@@ -110,6 +110,12 @@ object SqlFrontend {
         if exprs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
       IvmQuery.distinct(fold(child),
         exprs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last))
+    // UNION ALL (bag union): Δ(A ⊎ B) = ΔA ⊎ ΔB, stateless. Spark parses
+    // n-ary unions into one node — fold left-deep. Plain UNION (DISTINCT)
+    // is intentionally not folded: wrap in SELECT DISTINCT to maintain it.
+    case org.apache.spark.sql.catalyst.plans.logical.Union(children, _, _)
+        if children.length >= 2 =>
+      children.map(fold).reduce(graft.ivm.Union(_, _))
     case SubqueryAlias(_, child) => fold(child)
     case u: UnresolvedRelation   => Scan(u.multipartIdentifier.last)
     case other => throw new UnsupportedOperationException(

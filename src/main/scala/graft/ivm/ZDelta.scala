@@ -134,6 +134,18 @@ object ZDelta {
     case Join(l, r, keys) =>
       deltaJoin(l, r, keys, ctx, path)
 
+    // Δ(A ⊎ B) = ΔA ⊎ ΔB — stateless; a side without deltas contributes
+    // nothing (a batch may touch only one input).
+    case Union(l, r) =>
+      (hasDelta(l, ctx), hasDelta(r, ctx)) match {
+        case (true, true)  => delta(l, ctx, path + ".0")
+          .unionByName(delta(r, ctx, path + ".1"))
+        case (true, false) => delta(l, ctx, path + ".0")
+        case (false, true) => delta(r, ctx, path + ".1")
+        case _ => throw new IllegalStateException(
+          s"delta of union with no deltas on either side at $path")
+      }
+
     case LeftJoin(l, r, keys) =>
       memoized(ctx, q, path)(p =>
         deltaOuterJoin(l, r, keys, ctx, p, preserveL = true, preserveR = false))

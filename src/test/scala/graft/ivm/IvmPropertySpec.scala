@@ -143,7 +143,16 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         IvmQuery.semiJoin(
           Project(sc, Seq(col("g"), col("v"))),
           Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
-        Seq("g"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))))
+        Seq("g"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      // UNION ALL under an aggregate: Δ(A ⊎ B) = ΔA ⊎ ΔB, deltas on both
+      // inputs in the same batch
+      "union_agg_2side" -> Aggregate(
+        Union(Project(sc, Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h").as("v")))),
+        Seq("g"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
+      "union_distinct_2side" -> IvmQuery.distinct(
+        Union(Project(sc, Seq(col("g"))), Project(Scan("u"), Seq(col("g")))),
+        Seq("g")))
   }
 
   for ((name, q) <- shapes)

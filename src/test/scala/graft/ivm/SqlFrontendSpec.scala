@@ -169,6 +169,19 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("UNION ALL folds to the stateless bag-union node") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_union AS
+         SELECT g, SUM(v) AS sv FROM (
+           SELECT g, v FROM t UNION ALL SELECT g, h AS v FROM u
+         ) GROUP BY g""")
+    q match {
+      case Aggregate(Union(Project(Scan("t"), _), Project(Scan("u"), _)),
+          Seq("g"), aggs) => assert(aggs.map(_.name) == Seq("sv"))
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
