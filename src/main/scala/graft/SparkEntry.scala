@@ -254,6 +254,38 @@ object SparkEntry {
         .select(col("src"), col("total").cast("double").as("total"), col("n"))
     }),
 
+    // Maintained INTERSECT: (returnflag, linestatus) combos present among
+    // BOTH high-quantity and low-quantity lineitems; the same delta batch
+    // feeds both sides, and a combo leaves when either side's support dies.
+    "q44_ivm_intersect_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q44 AS
+           SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 48
+           INTERSECT
+           SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 3""")
+      Ivm.create("q44", v, base(s, dir), store)
+      Ivm.refreshState("q44", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q44", v, store)
+    }),
+
+    // Maintained EXCEPT: (part-bucket, linenumber) combos present among
+    // mid-quantity rows but absent at the qty=50 extreme — a ~6k-row
+    // survivor set whose membership the delta batch can flip.
+    "q45_ivm_except_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q45 AS
+           SELECT l_partkey % 997 AS pb, l_linenumber FROM lineitem
+           WHERE l_quantity > 25
+           EXCEPT
+           SELECT l_partkey % 997 AS pb, l_linenumber FROM lineitem
+           WHERE l_quantity > 49""")
+      Ivm.create("q45", v, base(s, dir), store)
+      Ivm.refreshState("q45", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q45", v, store)
+    }),
+
     // Maintained SEMI JOIN via SQL IN-subquery: orders whose odd-numbered
     // lineitems survive. The delta deletes exactly the odd lines of
     // touched orders, so matched keys DIE from the distinct set and their
@@ -711,6 +743,32 @@ object SparkEntry {
             SELECT 'O', CAST(o_totalprice AS DECIMAL(18,2)),
                    CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
           ) GROUP BY src HAVING SUM(w) > 0""",
+
+    "q44_ivm_intersect_apply" ->
+      s"""WITH ap AS (
+            SELECT l_returnflag, l_linestatus, l_quantity FROM (
+              SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, l_linestatus FROM ap WHERE l_quantity > 48
+          INTERSECT
+          SELECT l_returnflag, l_linestatus FROM ap WHERE l_quantity < 3""",
+
+    "q45_ivm_except_apply" ->
+      s"""WITH ap AS (
+            SELECT l_partkey, l_linenumber, l_quantity FROM (
+              SELECT l_partkey, l_linenumber, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_linenumber, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT (l_partkey % 997) AS pb, l_linenumber FROM ap WHERE l_quantity > 25
+          EXCEPT
+          SELECT (l_partkey % 997), l_linenumber FROM ap WHERE l_quantity > 49""",
 
     "q40_ivm_semi_join" ->
       s"""WITH l2 AS (

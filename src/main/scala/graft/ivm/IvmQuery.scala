@@ -138,6 +138,18 @@ object IvmQuery {
   def semiJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String]): IvmQuery =
     Join(left, distinct(right, keys), keys)
 
+  /** SQL INTERSECT (set semantics) as pure composition: the inner join of
+    * the two sides' DISTINCT row sets on every output column — each side's
+    * group liveness maintains membership, so a row leaves the view when
+    * its last supporting row on EITHER side dies. */
+  def intersect(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery =
+    semiJoin(distinct(left, cols), right, cols)
+
+  /** SQL EXCEPT (set semantics): DISTINCT left rows with no matching right
+    * row — the anti-join composition over the distinct left set. */
+  def except(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery =
+    antiJoin(distinct(left, cols), right, cols, cols.map(col))
+
   /** LEFT ANTI equi-join (NOT EXISTS) as pure composition: LEFT OUTER
     * against the right side's distinct keys carrying a constant marker;
     * anti rows are exactly the null-extended ones, so the Filter keeps

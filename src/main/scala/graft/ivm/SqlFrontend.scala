@@ -116,12 +116,34 @@ object SqlFrontend {
     case org.apache.spark.sql.catalyst.plans.logical.Union(children, _, _)
         if children.length >= 2 =>
       children.map(fold).reduce(graft.ivm.Union(_, _))
+    // INTERSECT / EXCEPT (set semantics) compose from distinct + (semi/
+    // anti) join; the left side must have statically-known output names.
+    case Intersect(l, r, false) =>
+      val lf = fold(l)
+      IvmQuery.intersect(lf, fold(r), requireNames(lf, "INTERSECT"))
+    case Except(l, r, false) =>
+      val lf = fold(l)
+      IvmQuery.except(lf, fold(r), requireNames(lf, "EXCEPT"))
     case SubqueryAlias(_, child) => fold(child)
     case u: UnresolvedRelation   => Scan(u.multipartIdentifier.last)
     case other => throw new UnsupportedOperationException(
       s"IVM SQL surface does not support ${other.nodeName} " +
         "(supported: SELECT/WHERE/GROUP BY/inner JOIN over base tables)")
   }
+
+  /** Output column names of a folded query, when statically known. */
+  private def outputNames(q: IvmQuery): Option[Seq[String]] = q match {
+    case graft.ivm.Project(_, cols)        => Some(cols.map(ZDelta.colName))
+    case graft.ivm.Aggregate(_, keys, aggs) => Some(keys ++ aggs.map(_.name))
+    case graft.ivm.Filter(c, _)            => outputNames(c)
+    case graft.ivm.Union(l, _)             => outputNames(l)
+    case _                                 => None
+  }
+
+  private def requireNames(q: IvmQuery, op: String): Seq[String] =
+    outputNames(q).getOrElse(throw new UnsupportedOperationException(
+      s"$op requires a left side with explicit output columns " +
+        "(SELECT named columns, not *)"))
 
   private object Filterable {
     def project(exprs: Seq[NamedExpression], child: IvmQuery): IvmQuery =

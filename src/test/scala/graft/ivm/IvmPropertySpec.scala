@@ -152,7 +152,15 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Seq("g"), Seq(Sum(col("v"), "sum_v"), CountStar("n"))),
       "union_distinct_2side" -> IvmQuery.distinct(
         Union(Project(sc, Seq(col("g"))), Project(Scan("u"), Seq(col("g")))),
-        Seq("g")))
+        Seq("g")),
+      // set INTERSECT/EXCEPT compositions: membership changes on either
+      // side must flip rows in/out of the view
+      "intersect_2side" -> IvmQuery.intersect(
+        Project(sc, Seq(col("g"), col("h"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g", "h")),
+      "except_2side" -> IvmQuery.except(
+        Project(sc, Seq(col("g"), col("h"))),
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g", "h")))
   }
 
   for ((name, q) <- shapes)

@@ -182,6 +182,22 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("INTERSECT / EXCEPT fold to distinct-set compositions") {
+    val (_, qi) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_int AS SELECT g, h FROM t INTERSECT SELECT g, h FROM u")
+    qi match {
+      case Join(Aggregate(_, Seq("g", "h"), Seq()), Aggregate(_, Seq("g", "h"), Seq()),
+          Seq("g", "h")) => ()
+      case other => fail(s"unexpected INTERSECT AST: $other")
+    }
+    val (_, qe) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_exc AS SELECT g, h FROM t EXCEPT SELECT g, h FROM u")
+    qe match {
+      case Project(Filter(LeftJoin(Aggregate(_, Seq("g", "h"), Seq()), _, _), _), _) => ()
+      case other => fail(s"unexpected EXCEPT AST: $other")
+    }
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
