@@ -235,6 +235,20 @@ object SparkEntry {
       Ivm.read("q39", v, store)
     }),
 
+    // SUM(DISTINCT) maintained under deletion via the same value-multiset
+    // aux state as COUNT(DISTINCT)/MIN/MAX: the sum over alive values.
+    "q46_ivm_sum_distinct_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q46 AS
+           SELECT l_returnflag, SUM(DISTINCT l_quantity) AS sdq,
+                  COUNT(DISTINCT l_quantity) AS cdq, COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag""")
+      Ivm.create("q46", v, base(s, dir), store)
+      Ivm.refreshState("q46", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q46", v, store)
+    }),
+
     // Maintained UNION ALL view (Δ(A⊎B) = ΔA⊎ΔB, stateless) with deltas
     // arriving on BOTH inputs in the same batch, aggregated on top.
     "q43_ivm_union_apply" -> ((s, dir) => {
@@ -727,6 +741,19 @@ object SparkEntry {
           )
           SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
           FROM c1 GROUP BY c_count""",
+
+    "q46_ivm_sum_distinct_apply" ->
+      s"""WITH a AS (
+            SELECT l_returnflag, l_quantity, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, SUM(l_quantity) AS sdq,
+                 CAST(COUNT(*) AS BIGINT) AS cdq, CAST(SUM(c) AS BIGINT) AS n
+          FROM a GROUP BY l_returnflag""",
 
     "q43_ivm_union_apply" ->
       s"""SELECT src, CAST(SUM(amt * w) AS DOUBLE) AS total,

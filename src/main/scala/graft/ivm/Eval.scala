@@ -43,6 +43,7 @@ object Eval {
     case AggSpec.Min(e, n)    => min(e).as(n)
     case AggSpec.Max(e, n)    => max(e).as(n)
     case AggSpec.CountDistinct(e, n) => count_distinct(e).as(n)
+    case AggSpec.SumDistinct(e, n)   => sum_distinct(e).as(n)
   }
 
   /** Evaluate with the hidden bookkeeping columns a materialized aggregate
@@ -73,6 +74,8 @@ object Eval {
       Seq(max(e).as(physExt(n)), count(e).as(physNn(n)))
     case AggSpec.CountDistinct(e, n) =>
       Seq(count_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
+    case AggSpec.SumDistinct(e, n) =>
+      Seq(sum_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
   }
 
   /** User-visible output column derived from the physical state columns. */
@@ -89,6 +92,8 @@ object Eval {
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
     case AggSpec.CountDistinct(_, n) => // 0 (not NULL) over empty input
       when(col(physNn(n)) > 0, col(physExt(n))).otherwise(lit(0L)).as(n)
+    case AggSpec.SumDistinct(_, n) => // NULL over empty input, like SUM
+      when(col(physNn(n)) > 0, col(physExt(n))).as(n)
   }
 
   private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
@@ -103,6 +108,7 @@ object Eval {
     case AggSpec.Min(_, n)    => Seq(physExt(n), physNn(n))
     case AggSpec.Max(_, n)    => Seq(physExt(n), physNn(n))
     case AggSpec.CountDistinct(_, n) => Seq(physExt(n), physNn(n))
+    case AggSpec.SumDistinct(_, n)   => Seq(physExt(n), physNn(n))
   }
 
   /** Auxiliary value-multiset state for one MIN/MAX spec: per

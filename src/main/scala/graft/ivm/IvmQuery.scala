@@ -198,16 +198,20 @@ object AggSpec {
   /** COUNT(DISTINCT expr) — maintained via the same value-multiset state:
     * the distinct count is the number of alive values. */
   final case class CountDistinct(expr: Column, name: String) extends AggSpec
+  /** SUM(DISTINCT expr) — the sum over the alive values of the same
+    * value-multiset state. */
+  final case class SumDistinct(expr: Column, name: String) extends AggSpec
 
   /** Specs needing the auxiliary (group, value) count state. */
   def needsAux(a: AggSpec): Boolean = a match {
-    case _: Min | _: Max | _: CountDistinct => true
-    case _                                  => false
+    case _: Min | _: Max | _: CountDistinct | _: SumDistinct => true
+    case _                                                   => false
   }
   def expr(a: AggSpec): Option[Column] = a match {
     case Sum(e, _) => Some(e); case Count(e, _) => Some(e)
     case Avg(e, _) => Some(e); case Min(e, _) => Some(e)
     case Max(e, _) => Some(e); case CountDistinct(e, _) => Some(e)
+    case SumDistinct(e, _) => Some(e)
     case CountStar(_) => None
   }
 }

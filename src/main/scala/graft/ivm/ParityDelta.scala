@@ -63,7 +63,8 @@ object ParityDelta {
         case AggSpec.Count(e, n)  => count(e).as(n)
         case AggSpec.CountStar(n) => count(lit(1)).as(n)
         case AggSpec.Avg(e, n)    => avg(e).as(n)
-        case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) =>
+        case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
+            AggSpec.SumDistinct(_, _) =>
           throw new UnsupportedOperationException(
             "MIN/MAX are outside the reference parity surface " +
               "(README.md:35); maintain them via Ivm.refresh")

@@ -203,6 +203,9 @@ object SqlFrontend {
       case Alias(UnresolvedFunction(fn, Seq(e), true, _, _, _, _), name)
           if fn.last.toLowerCase == "count" => // COUNT(DISTINCT e)
         Some(AggSpec.CountDistinct(expr(e.sql), name))
+      case Alias(UnresolvedFunction(fn, Seq(e), true, _, _, _, _), name)
+          if fn.last.toLowerCase == "sum" => // SUM(DISTINCT e)
+        Some(AggSpec.SumDistinct(expr(e.sql), name))
       case other => throw new UnsupportedOperationException(
         s"unsupported select item in aggregate: ${other.sql}")
     }

@@ -238,6 +238,7 @@ object ZDelta {
     case FullJoin(l, r, keys) =>
       keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
         outputNames(r, ctx).filterNot(keys.contains)
+    case Union(l, _) => outputNames(l, ctx) // sides align by contract
   }
 
   // ----------------------------------------------------------- outer joins
@@ -420,6 +421,8 @@ object ZDelta {
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
       case AggSpec.CountDistinct(e, n) =>
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.SumDistinct(e, n) =>
+        Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
     } :+ sum(w).as(adj(HCOUNT))
 
     // Touched-group adjustments are consumed several times (state slice
@@ -482,6 +485,7 @@ object ZDelta {
           case _: AggSpec.Min           => min(col(vCol))
           case _: AggSpec.Max           => max(col(vCol))
           case _: AggSpec.CountDistinct => count(lit(1)) // alive values
+          case _: AggSpec.SumDistinct   => sum(col(vCol)) // sum of alive values
           case other => sys.error(s"no aux extremum for $other")
         }
         val newName = s"__ivm_newext_$n"

@@ -95,7 +95,8 @@ object IvmStream {
       case AggSpec.Count(e, n)  => sum(when(e.isNotNull, w).otherwise(lit(0))).cast("long").as(n)
       case AggSpec.CountStar(n) => sum(w).cast("long").as(n)
       case AggSpec.Avg(e, n)    => (sum(e * w) / sum(when(e.isNotNull, w).otherwise(lit(0)))).as(n)
-      case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) =>
+      case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
+          AggSpec.SumDistinct(_, _) =>
         throw new UnsupportedOperationException(
           "MIN/MAX under retraction need multiset state; use " +
             "statefulMinMax (flatMapGroupsWithState) or the foreachBatch " +

@@ -74,6 +74,11 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "agg_count_distinct" -> Aggregate(sc, Seq("g"),
         Seq(CountDistinct(col("v"), "nd_v"), CountDistinct(col("h"), "nd_h"),
           CountStar("n"))),
+      "agg_sum_distinct" -> Aggregate(sc, Seq("g"),
+        Seq(SumDistinct(col("v"), "sd_v"), CountDistinct(col("v"), "nd_v"),
+          Sum(col("v"), "sum_v"), CountStar("n"))),
+      "agg_sum_distinct_global" -> Aggregate(sc, Seq.empty,
+        Seq(SumDistinct(col("v"), "sd_v"), CountStar("n"))),
       "agg_minmax_global" -> Aggregate(sc, Seq.empty,
         Seq(Min(col("v"), "min_v"), Max(col("v") + 1, "max_v1"))),
       "nested_agg" -> Aggregate(
