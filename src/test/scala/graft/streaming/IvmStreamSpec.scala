@@ -51,6 +51,40 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(!m.contains("b") && m("c") == 3L)
   }
 
+  test("maintain: a COMPOSED view (semi join) streams on the LSM parquet store") {
+    val s = spark
+    import s.implicits._
+
+    val t = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("g", "v")
+    val u = Seq(("a", 10), ("a", 11), ("b", 20)).toDF("g", "h")
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+    // rows of t whose key is supported by u — streaming deltas arrive on u
+    val q = IvmQuery.semiJoin(Scan("t"),
+      Project(Scan("u"), Seq(col("g"))), Seq("g"))
+
+    val store = new ParquetStore(s,
+      Files.createTempDirectory("ivm-sstream").toString,
+      buckets = 4, smallStateBytes = 0, maxChain = 3)
+    Ivm.create("ssv", q, base, store)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val query = IvmStream.maintain("ssv", q, "u", base, store,
+      mem.toDF().withColumnRenamed("v", "h"),
+      Files.createTempDirectory("ivm-sckpt").toString)
+
+    val batches = Seq(
+      Seq(D("c", 30, true)),                    // c enters the semi set
+      Seq(D("a", 10, false), D("a", 11, false)), // a loses ALL support → leaves
+      Seq(D("a", 12, true)))                    // a re-enters
+    batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val got = Ivm.read("ssv", q, store).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("a", 1), ("b", 2), ("c", 3)))
+  }
+
   test("statefulAgg: update-mode changelog maintains weighted sums") {
     val s = spark
     import s.implicits._
