@@ -28,6 +28,12 @@ object Fixtures {
       .where(col("o_orderkey") % 53 === 0)
       .withColumn(IvmCore.MULT, col("o_orderkey") % 2 === 0)
 
+  /** SQL mirror: WHERE event_id % 37 = 0, mult = (event_id % 2 = 0). */
+  def deltaEvents(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .where(col("event_id") % 37 === 0)
+      .withColumn(IvmCore.MULT, col("event_id") % 2 === 0)
+
   /** Base resolver over the sf dir. */
   def base(s: SparkSession, dir: String): String => DataFrame =
     name => tbl(s, dir, name)
@@ -36,6 +42,7 @@ object Fixtures {
   def deltas(s: SparkSession, dir: String): String => Option[DataFrame] = {
     case "lineitem" => Some(deltaLineitem(s, dir))
     case "orders"   => Some(deltaOrders(s, dir))
+    case "events"   => Some(deltaEvents(s, dir))
     case _          => None
   }
 }

@@ -628,6 +628,69 @@ object SparkEntry {
         .agg(count(col("r_vts")).as("n_views"),
           org.apache.spark.sql.functions.expr("max(r_vts) DIV 1000").as("last_view_us"))
     }),
+
+    // Variance family maintained from signed second moments (Σe, Σe², n) —
+    // self-maintainable under deletion like SUM, no auxiliary state. The
+    // moment formula is evaluated identically on both engines, and
+    // l_quantity is integer-valued, so the sums (and hence the derived
+    // variance) are bit-exact.
+    "q47_ivm_var_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+        Seq(VarSamp(col("l_quantity"), "v_qty"),
+          StddevSamp(col("l_quantity"), "sd_qty"),
+          VarPop(col("l_quantity"), "vp_qty"), CountStar("cnt")))
+      Ivm.create("q47", v, base(s, dir), store)
+      Ivm.refreshState("q47", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q47", v, store)
+    }),
+
+    // WITH (CTE) through the SQL front-end: definitions fold once and
+    // splice in by name (the algebra is closed under composition), here a
+    // two-level CTE chain ending in a nested aggregation — maintained
+    // against the orders delta.
+    "q48_immv_cte" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q48 AS
+           WITH pricey AS (
+             SELECT o_custkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+             FROM orders WHERE o_totalprice > 100000
+           ),
+           percust AS (
+             SELECT k, COUNT(*) AS n, SUM(p) AS amt FROM pricey GROUP BY k
+           )
+           SELECT n, COUNT(*) AS dist, SUM(amt) AS total
+           FROM percust GROUP BY n""")
+      Ivm.create("q48", v, base(s, dir), store)
+      Ivm.refreshState("q48", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q48", v, store)
+        .select(col("n"), col("dist"), col("total").cast("double").as("total"))
+    }),
+
+    // Event-time tumbling-window aggregation as a MAINTAINED view: the
+    // window bucket is a computed group key (Project below the Aggregate),
+    // so late/retracted events adjust exactly the touched hour buckets —
+    // the batch twin of the streaming windowed-agg path, under the oracle
+    // gate with inserts AND deletes.
+    "q49_ivm_window_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(
+        Project(Scan("events"), Seq(
+          date_trunc("hour",
+            timestamp_micros(org.apache.spark.sql.functions.expr("ts DIV 1000")))
+            .as("hour"),
+          col("event_type"), col("value"), col("user_id"))),
+        Seq("hour", "event_type"),
+        Seq(CountStar("n_events"),
+          Sum(col("value").cast("decimal(18,2)"), "sum_value"),
+          CountDistinct(col("user_id"), "n_users")))
+      Ivm.create("q49", v, base(s, dir), store)
+      Ivm.refreshState("q49", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q49", v, store)
+        .select(col("hour"), col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"), col("n_users"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -639,6 +702,8 @@ object SparkEntry {
     s"SELECT *, (o_orderkey % 2 = 0) AS $M FROM orders WHERE o_orderkey % 53 = 0"
   private val DC =
     s"SELECT *, (c_custkey % 2 = 0) AS $M FROM customer WHERE c_custkey % 29 = 0"
+  private val DE =
+    s"SELECT *, (event_id % 2 = 0) AS $M FROM events WHERE event_id % 37 = 0"
 
   def oracleSql: Map[String, String] = Map(
     "q01_ivm_select_all" -> DL,
@@ -754,6 +819,66 @@ object SparkEntry {
           SELECT l_returnflag, SUM(l_quantity) AS sdq,
                  CAST(COUNT(*) AS BIGINT) AS cdq, CAST(SUM(c) AS BIGINT) AS n
           FROM a GROUP BY l_returnflag""",
+
+    // Mirrors the engine's moment formula EXACTLY (same operand tree over
+    // exact double sums of integer-valued quantities → bit-identical IEEE
+    // results), so no rounding is needed for the hash compare.
+    "q47_ivm_var_apply" ->
+      s"""WITH m AS (
+            SELECT l_returnflag,
+                   SUM(l_quantity * w) AS s1,
+                   SUM(l_quantity * l_quantity * w) AS s2,
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN w ELSE 0 END)
+                        AS DOUBLE) AS nn,
+                   CAST(SUM(w) AS BIGINT) AS cnt
+            FROM (
+              SELECT l_returnflag, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY l_returnflag HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag,
+            CASE WHEN nn > 1
+                 THEN GREATEST((s2 - s1 * s1 / nn) / (nn - 1), 0) END AS v_qty,
+            CASE WHEN nn > 1
+                 THEN SQRT(GREATEST((s2 - s1 * s1 / nn) / (nn - 1), 0)) END AS sd_qty,
+            CASE WHEN nn > 0
+                 THEN GREATEST((s2 - s1 * s1 / nn) / nn, 0) END AS vp_qty,
+            cnt
+          FROM m""",
+
+    "q48_immv_cte" ->
+      s"""WITH o2 AS (
+            SELECT o_custkey, o_totalprice, CAST(SUM(w) AS INTEGER) AS m FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY o_orderkey, o_custkey, o_totalprice HAVING SUM(w) > 0
+          ), percust AS (
+            SELECT o_custkey AS k, CAST(SUM(m) AS BIGINT) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2)) * m) AS amt
+            FROM o2 WHERE o_totalprice > 100000 GROUP BY o_custkey
+          )
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS dist,
+                 CAST(SUM(amt) AS DOUBLE) AS total
+          FROM percust GROUP BY n""",
+
+    "q49_ivm_window_apply" ->
+      s"""WITH ap AS (
+            SELECT "hour", event_type, user_id, value, SUM(w) AS c FROM (
+              SELECT date_trunc('hour', ts) AS "hour", event_type, user_id,
+                     value, 1 AS w FROM events
+              UNION ALL
+              SELECT date_trunc('hour', ts), event_type, user_id, value,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DE)
+            ) GROUP BY 1, 2, 3, 4 HAVING SUM(w) > 0
+          )
+          SELECT "hour", event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * c) AS DOUBLE) AS sum_value,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM ap GROUP BY 1, 2""",
 
     "q43_ivm_union_apply" ->
       s"""SELECT src, CAST(SUM(amt * w) AS DOUBLE) AS total,

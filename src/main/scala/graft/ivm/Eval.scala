@@ -44,6 +44,31 @@ object Eval {
     case AggSpec.Max(e, n)    => max(e).as(n)
     case AggSpec.CountDistinct(e, n) => count_distinct(e).as(n)
     case AggSpec.SumDistinct(e, n)   => sum_distinct(e).as(n)
+    // Variance family: evaluated via the SAME moment formula the maintained
+    // state derives its output from (not the builtin Welford-style
+    // var_samp), so refresh == recompute is bit-exact for exact inputs.
+    case a if AggSpec.isMoment2(a) =>
+      val e = AggSpec.expr(a).get.cast("double")
+      momentOutput(a, sum(e), sum(e * e), count(e)).as(a.name)
+  }
+
+  /** Variance-family output from the moments (Σe, Σe², n), everything in
+    * double. The clamp to 0 guards the catastrophic-cancellation case
+    * (all-equal values) from going epsilon-negative under sqrt. Sample
+    * variants are NULL for n ≤ 1, population for n = 0 — SQL semantics. */
+  private[graft] def momentOutput(
+      a: AggSpec, s1raw: Column, s2raw: Column, nnRaw: Column): Column = {
+    val s1 = s1raw.cast("double"); val s2 = s2raw.cast("double")
+    val nn = nnRaw.cast("double")
+    def pop  = greatest((s2 - s1 * s1 / nn) / nn, lit(0d))
+    def samp = greatest((s2 - s1 * s1 / nn) / (nn - 1), lit(0d))
+    a match {
+      case _: AggSpec.VarPop     => when(nnRaw > 0, pop)
+      case _: AggSpec.VarSamp    => when(nnRaw > 1, samp)
+      case _: AggSpec.StddevPop  => when(nnRaw > 0, sqrt(pop))
+      case _: AggSpec.StddevSamp => when(nnRaw > 1, sqrt(samp))
+      case other => sys.error(s"not a moment aggregate: $other")
+    }
   }
 
   /** Evaluate with the hidden bookkeeping columns a materialized aggregate
@@ -76,6 +101,12 @@ object Eval {
       Seq(count_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
     case AggSpec.SumDistinct(e, n) =>
       Seq(sum_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
+    // Moments in double: exact for integer-valued inputs (≤ 2^53), and the
+    // signed-delta adjustments commute with the base sums.
+    case a if AggSpec.isMoment2(a) =>
+      val e = AggSpec.expr(a).get.cast("double")
+      Seq(sum(e).as(physSum(a.name)), sum(e * e).as(physSum2(a.name)),
+        count(e).as(physNn(a.name)))
   }
 
   /** User-visible output column derived from the physical state columns. */
@@ -94,9 +125,13 @@ object Eval {
       when(col(physNn(n)) > 0, col(physExt(n))).otherwise(lit(0L)).as(n)
     case AggSpec.SumDistinct(_, n) => // NULL over empty input, like SUM
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
+    case a if AggSpec.isMoment2(a) =>
+      val n = a.name
+      momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
   }
 
   private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
+  private[ivm] def physSum2(name: String) = s"__ivm_sum2_$name"
   private[ivm] def physNn(name: String)  = s"__ivm_nn_$name"
   private[ivm] def physExt(name: String) = s"__ivm_ext_$name"
   private[ivm] def auxVal(name: String)  = s"__ivm_val_$name"
@@ -109,6 +144,8 @@ object Eval {
     case AggSpec.Max(_, n)    => Seq(physExt(n), physNn(n))
     case AggSpec.CountDistinct(_, n) => Seq(physExt(n), physNn(n))
     case AggSpec.SumDistinct(_, n)   => Seq(physExt(n), physNn(n))
+    case a if AggSpec.isMoment2(a) =>
+      Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
   }
 
   /** Auxiliary value-multiset state for one MIN/MAX spec: per

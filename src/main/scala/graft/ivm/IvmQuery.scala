@@ -202,16 +202,37 @@ object AggSpec {
     * value-multiset state. */
   final case class SumDistinct(expr: Column, name: String) extends AggSpec
 
+  /** VAR_SAMP(expr) — maintained from signed second moments: state is
+    * (Σe, Σe², non-null count), all self-maintainable under deletion
+    * (Δ adjusts each with the row weight; no auxiliary multiset needed).
+    * The output is derived as (Σe² − (Σe)²/n)/(n−1); with exact inputs
+    * (integers / integer-valued doubles / decimals) the moments are exact,
+    * so the maintained value is bit-identical to recomputation. */
+  final case class VarSamp(expr: Column, name: String) extends AggSpec
+  /** VAR_POP(expr) — population variant of [[VarSamp]], same state. */
+  final case class VarPop(expr: Column, name: String) extends AggSpec
+  /** STDDEV_SAMP(expr) — sqrt of [[VarSamp]], same state. */
+  final case class StddevSamp(expr: Column, name: String) extends AggSpec
+  /** STDDEV_POP(expr) — sqrt of [[VarPop]], same state. */
+  final case class StddevPop(expr: Column, name: String) extends AggSpec
+
   /** Specs needing the auxiliary (group, value) count state. */
   def needsAux(a: AggSpec): Boolean = a match {
     case _: Min | _: Max | _: CountDistinct | _: SumDistinct => true
     case _                                                   => false
+  }
+  /** Specs maintained via second moments (Σe, Σe², n). */
+  def isMoment2(a: AggSpec): Boolean = a match {
+    case _: VarSamp | _: VarPop | _: StddevSamp | _: StddevPop => true
+    case _                                                     => false
   }
   def expr(a: AggSpec): Option[Column] = a match {
     case Sum(e, _) => Some(e); case Count(e, _) => Some(e)
     case Avg(e, _) => Some(e); case Min(e, _) => Some(e)
     case Max(e, _) => Some(e); case CountDistinct(e, _) => Some(e)
     case SumDistinct(e, _) => Some(e)
+    case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
+    case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
     case CountStar(_) => None
   }
 }

@@ -81,7 +81,9 @@ object SqlFrontend {
         case fn: UnresolvedFunction if bySql.contains(fn.sql) =>
           UnresolvedAttribute(bySql(fn.sql))
       }
-      val aggFns = Set("sum", "count", "avg", "mean", "min", "max")
+      val aggFns = Set("sum", "count", "avg", "mean", "min", "max",
+        "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
+        "stddev_pop")
       cond2.collectFirst {
         case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
       }.foreach { fn =>
@@ -124,12 +126,44 @@ object SqlFrontend {
     case Except(l, r, false) =>
       val lf = fold(l)
       IvmQuery.except(lf, fold(r), requireNames(lf, "EXCEPT"))
+    // WITH (common table expressions): fold each definition, then splice it
+    // in wherever the body (or a later CTE) scans its name — the IVM algebra
+    // is closed under composition, so a CTE is pure syntax. Definitions may
+    // reference earlier ones (substituted left-to-right); recursion is out
+    // of surface.
+    case w: UnresolvedWith if !w.allowRecursion =>
+      val defs = w.cteRelations.foldLeft(Map.empty[String, IvmQuery]) {
+        case (acc, (name, sub, _)) => acc + (name -> substitute(fold(sub), acc))
+      }
+      substitute(fold(w.child), defs)
     case SubqueryAlias(_, child) => fold(child)
     case u: UnresolvedRelation   => Scan(u.multipartIdentifier.last)
     case other => throw new UnsupportedOperationException(
       s"IVM SQL surface does not support ${other.nodeName} " +
         "(supported: SELECT/WHERE/GROUP BY/inner JOIN over base tables)")
   }
+
+  /** Replace scans of CTE names with their folded definitions. */
+  private def substitute(q: IvmQuery, defs: Map[String, IvmQuery]): IvmQuery =
+    if (defs.isEmpty) q
+    else q match {
+      case Scan(t) if defs.contains(t) => defs(t)
+      case s: Scan                     => s
+      case graft.ivm.Filter(c, p)      => graft.ivm.Filter(substitute(c, defs), p)
+      case graft.ivm.Project(c, cols)  => graft.ivm.Project(substitute(c, defs), cols)
+      case graft.ivm.Aggregate(c, k, a) =>
+        graft.ivm.Aggregate(substitute(c, defs), k, a)
+      case graft.ivm.Join(l, r, k) =>
+        graft.ivm.Join(substitute(l, defs), substitute(r, defs), k)
+      case graft.ivm.LeftJoin(l, r, k) =>
+        graft.ivm.LeftJoin(substitute(l, defs), substitute(r, defs), k)
+      case graft.ivm.RightJoin(l, r, k) =>
+        graft.ivm.RightJoin(substitute(l, defs), substitute(r, defs), k)
+      case graft.ivm.FullJoin(l, r, k) =>
+        graft.ivm.FullJoin(substitute(l, defs), substitute(r, defs), k)
+      case graft.ivm.Union(l, r) =>
+        graft.ivm.Union(substitute(l, defs), substitute(r, defs))
+    }
 
   /** Output column names of a folded query, when statically known. */
   private def outputNames(q: IvmQuery): Option[Seq[String]] = q match {
@@ -234,8 +268,13 @@ object SqlFrontend {
       case ("avg" | "mean", Seq(e))     => AggSpec.Avg(expr(e.sql), name)
       case ("min", Seq(e))              => AggSpec.Min(expr(e.sql), name)
       case ("max", Seq(e))              => AggSpec.Max(expr(e.sql), name)
+      case ("var_samp" | "variance", Seq(e)) => AggSpec.VarSamp(expr(e.sql), name)
+      case ("var_pop", Seq(e))          => AggSpec.VarPop(expr(e.sql), name)
+      case ("stddev_samp" | "stddev" | "std", Seq(e)) =>
+        AggSpec.StddevSamp(expr(e.sql), name)
+      case ("stddev_pop", Seq(e))       => AggSpec.StddevPop(expr(e.sql), name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
-          " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX)")
+          " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")
     }
 }

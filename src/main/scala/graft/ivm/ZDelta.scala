@@ -423,6 +423,13 @@ object ZDelta {
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
       case AggSpec.SumDistinct(e, n) =>
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      // Variance family: moments are linear in the weight, so both sums
+      // self-maintain exactly like SUM — no auxiliary state.
+      case a if AggSpec.isMoment2(a) =>
+        val e = AggSpec.expr(a).get.cast("double"); val n = a.name
+        Seq(sum(e * w).as(adj(Eval.physSum(n))),
+            sum(e * e * w).as(adj(Eval.physSum2(n))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
     } :+ sum(w).as(adj(HCOUNT))
 
     // Touched-group adjustments are consumed several times (state slice

@@ -95,6 +95,12 @@ object IvmStream {
       case AggSpec.Count(e, n)  => sum(when(e.isNotNull, w).otherwise(lit(0))).cast("long").as(n)
       case AggSpec.CountStar(n) => sum(w).cast("long").as(n)
       case AggSpec.Avg(e, n)    => (sum(e * w) / sum(when(e.isNotNull, w).otherwise(lit(0)))).as(n)
+      // Variance family: moments are linear in w, so the running state is
+      // three weighted sums — retraction-safe without multiset state.
+      case a if AggSpec.isMoment2(a) =>
+        val e = AggSpec.expr(a).get.cast("double")
+        graft.ivm.Eval.momentOutput(a, sum(e * w), sum(e * e * w),
+          sum(when(e.isNotNull, w).otherwise(lit(0)))).as(a.name)
       case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
           AggSpec.SumDistinct(_, _) =>
         throw new UnsupportedOperationException(

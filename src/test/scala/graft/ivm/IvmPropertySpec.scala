@@ -81,6 +81,14 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Seq(SumDistinct(col("v"), "sd_v"), CountStar("n"))),
       "agg_minmax_global" -> Aggregate(sc, Seq.empty,
         Seq(Min(col("v"), "min_v"), Max(col("v") + 1, "max_v1"))),
+      // variance family: second-moment state, exact for integer inputs —
+      // refresh must be bit-identical to the moment-formula recompute
+      "agg_var" -> Aggregate(sc, Seq("g"),
+        Seq(VarSamp(col("v"), "var_v"), StddevSamp(col("v"), "sd_v"),
+          VarPop(col("v"), "vp_v"), CountStar("n"))),
+      "agg_var_global" -> Aggregate(sc, Seq.empty,
+        Seq(VarSamp(col("v"), "var_v"), StddevPop(col("v"), "sp_v"),
+          CountStar("n"))),
       "nested_agg" -> Aggregate(
         Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
         Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),

@@ -198,6 +198,65 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("WITH (CTE) folds by substitution; chained defs; refresh == recompute") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_cte AS
+         WITH pos AS (SELECT g, v FROM t WHERE v > 0),
+              perg AS (SELECT g, COUNT(*) AS n FROM pos GROUP BY g)
+         SELECT n, COUNT(*) AS dist FROM perg GROUP BY n""")
+    q match {
+      case Aggregate(
+          Aggregate(Project(Filter(Scan("t"), _), _), Seq("g"), inner),
+          Seq("n"), outer) =>
+        assert(inner.map(_.name) == Seq("n"))
+        assert(outer.map(_.name) == Seq("dist"))
+      case other => fail(s"unexpected CTE AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 1), Row("a", 2), Row("b", 3), Row("b", -1), Row("c", 5)))
+    }
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("c", 6, true), Row("a", 1, false), Row("b", 3, false))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_cte", q, base, store)
+    Ivm.refreshState("sql_cte", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_cte", q, store), Ivm.recompute(q, base, deltas))
+  }
+
+  test("variance family folds from SQL and maintains under deletion") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_var AS
+         SELECT g, VAR_SAMP(v) AS vv, STDDEV(v) AS sd, VAR_POP(v) AS vp,
+                STDDEV_POP(v) AS sp, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), aggs) =>
+        assert(aggs.map(_.name) == Seq("vv", "sd", "vp", "sp", "n"))
+        assert(aggs.count(AggSpec.isMoment2) == 4)
+      case other => fail(s"unexpected AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 1), Row("a", 4), Row("a", 9), Row("b", 7), Row("b", 7),
+          Row("c", 2)))
+    }
+    // delete one of b's equal values (variance stays 0, n drops), delete
+    // a's extremum, insert into the singleton group c (NULL→defined samp)
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("b", 7, false), Row("a", 9, false), Row("c", 8, true))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_var", q, base, store)
+    Ivm.refreshState("sql_var", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_var", q, store), Ivm.recompute(q, base, deltas))
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
