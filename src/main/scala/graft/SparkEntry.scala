@@ -691,6 +691,37 @@ object SparkEntry {
         .select(col("hour"), col("event_type"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"), col("n_users"))
     }),
+
+    // Maintained TOP-K: ORDER BY + LIMIT composes with maintenance at read
+    // time — the maintained SPJ multiset absorbs inserts/deletes in O(‖Δ‖),
+    // and the top-k read is TakeOrderedAndProject over the state (per-
+    // partition heap + driver merge of k rows, never a full sort).
+    "q54_ivm_topk_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Project(
+        Filter(Scan("orders"), col("o_orderkey") % 2 === 1),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      Ivm.create("q54", v, base(s, dir), store)
+      Ivm.refreshState("q54", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q54", v, store)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Deterministic stratified sampling: per-stratum keep rates derived
+    // from an md5 hash of the row id (never rand() — retry/speculation
+    // stable, oracle-reproducible); the sample is a pure zero-shuffle
+    // filter. Aggregated per stratum so the gate checks exact membership.
+    "q55_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("event_type") === "click", 60)
+        .when(col("event_type") === "view", 5)
+        .otherwise(25)
+      ops.Sampling.stratified(tbl(s, dir, "events"), col("event_id"), rate)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -879,6 +910,32 @@ object SparkEntry {
                  CAST(SUM(CAST(value AS DECIMAL(18,2)) * c) AS DOUBLE) AS sum_value,
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
           FROM ap GROUP BY 1, 2""",
+
+    // The view keeps odd order keys only, so the derived delta hits it
+    // with deletes (odd keys in the delta carry mult=false); multiplicity
+    // stays 0/1 and the top-k is read straight off the applied multiset.
+    "q54_ivm_topk_apply" ->
+      s"""WITH ap AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w
+              FROM orders WHERE o_orderkey % 2 = 1
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END
+              FROM ($DO_) WHERE o_orderkey % 2 = 1
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT o_orderkey, o_custkey, o_totalprice FROM ap
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q55_stratified_sample" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MIN(event_id) AS min_id, MAX(event_id) AS max_id
+         FROM events
+         WHERE (CAST(CONCAT('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+               < (CASE event_type WHEN 'click' THEN 60 WHEN 'view' THEN 5 ELSE 25 END)
+         GROUP BY event_type""",
 
     "q43_ivm_union_apply" ->
       s"""SELECT src, CAST(SUM(amt * w) AS DOUBLE) AS total,

@@ -68,6 +68,22 @@ object ZDelta {
     def slice(path: String, keyDf: DataFrame, keys: Seq[String]): DataFrame =
       if (sliceFn == null) StoreOps.semiByKeys(state(path), keyDf, keys)
       else sliceFn(path, keyDf, keys)
+
+    /** Pin an O(touched)-size intermediate consumed by several downstream
+      * plans. Default mode truncates the logical plan at the pin (eager
+      * `localCheckpoint`): every pinned frame becomes a leaf, so the
+      * composite delta plan's Catalyst analysis cost stays O(level) instead
+      * of compounding over the whole lineage — on a join view at sf0.1
+      * this is most of the per-batch floor. `-Dgraft.pinMode=cache` keeps
+      * the old lazy-cache behavior (full lineage, lazily forced).
+      * Checkpointed pins free their blocks via the ContextCleaner once the
+      * refresh drops them; unpersist() on them is a harmless no-op. */
+    def pin(df: DataFrame): DataFrame = {
+      val c =
+        if (sys.props.get("graft.pinMode").contains("cache")) df.cache()
+        else df.localCheckpoint(true)
+      pins += c; c
+    }
   }
 
   /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
@@ -276,9 +292,9 @@ object ZDelta {
       if (ctx.broadcastDeltas) broadcast(df) else df
 
     lazy val dl0 = delta(l, ctx, path + ".0")
-    lazy val dl = { val c = dl0.cache(); ctx.pins += c; c }
+    lazy val dl = ctx.pin(dl0)
     lazy val dr0 = delta(r, ctx, path + ".1")
-    lazy val dr = { val c = dr0.cache(); ctx.pins += c; c }
+    lazy val dr = ctx.pin(dr0)
     lazy val bl = Eval.eval(l, ctx.base)
     lazy val br = Eval.eval(r, ctx.base)
 
@@ -321,18 +337,15 @@ object ZDelta {
         nullExtend: (DataFrame, Column) => DataFrame): Unit = {
       // new count per key = old + Σw over Δ(other), for touched keys
       val touchedNew: Option[DataFrame] = if (otherHas) {
-        val adj = {
-          val c = dOther.groupBy(keys.map(col): _*)
-            .agg(sum(col(WEIGHT)).as("__ivm_adj")).cache()
-          ctx.pins += c; c
-        }
+        val adj = ctx.pin(dOther.groupBy(keys.map(col): _*)
+          .agg(sum(col(WEIGHT)).as("__ivm_adj")))
         val oldTouched = ctx.slice(cntPath, adj, keys) // bucket-pruned read
         val upd = leftOuterByKeys(adj, oldTouched, keys, hint = bcast)
           .select((keys.map(col) :+
             (coalesce(col(HCOUNT), lit(0)) + coalesce(col("__ivm_adj"), lit(0)))
               .as(HCOUNT) :+
             coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
-        val updC = upd.cache(); ctx.pins += updC
+        val updC = ctx.pin(upd)
         ctx.updates += StateUpdate(cntPath, keys,
           updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
         // (ii) died keys: preserved rows re-enter anti (+1 each)
@@ -394,9 +407,7 @@ object ZDelta {
     val d0 = delta(child, ctx, path + ".0")
     // Child delta feeds the main adjustment plus one aux pipeline per
     // MIN/MAX spec — pin it once.
-    val d = if (aggs.exists(AggSpec.needsAux)) {
-      val c = d0.cache(); ctx.pins += c; c
-    } else d0
+    val d = if (aggs.exists(AggSpec.needsAux)) ctx.pin(d0) else d0
     val w = col(WEIGHT)
     def bcast(df: DataFrame): DataFrame =
       if (ctx.broadcastDeltas) broadcast(df) else df
@@ -435,12 +446,9 @@ object ZDelta {
     // Touched-group adjustments are consumed several times (state slice
     // key set, the state join, aux group filters) and the bucketed slice
     // evaluates them eagerly — pin once.
-    val touched = {
-      val t =
-        if (keys.isEmpty) d.agg(adjExprs.head, adjExprs.tail: _*)
-        else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*)
-      val c = t.cache(); ctx.pins += c; c
-    }
+    val touched = ctx.pin(
+      if (keys.isEmpty) d.agg(adjExprs.head, adjExprs.tail: _*)
+      else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*))
 
     // ---- MIN/MAX auxiliary value-multiset maintenance (the reference
     // poster's named future work). For each spec: adjust per-(group, value)
@@ -456,26 +464,20 @@ object ZDelta {
         val auxPath = s"$path.aux.$n"
         val auxKeys = keys :+ vCol
         val e = AggSpec.expr(a).get
-        val dAux = {
-          val c = d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
+        val dAux = ctx.pin(
+          d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
             .where(col(vCol).isNotNull)
             .groupBy(auxKeys.map(col): _*)
-            .agg(sum(w).as(adj(HCOUNT)))
-            .cache()
-          ctx.pins += c; c
-        }
+            .agg(sum(w).as(adj(HCOUNT))))
         // group-bucketed layout (value-bucketed for a global aggregate) so
         // BOTH slices below prune to touched buckets
         val auxBucketKeys = if (keys.nonEmpty) keys else auxKeys
         val oldAuxTouched = ctx.slice(auxPath, dAux, auxKeys)
-        val updatedAux = {
-          val c = leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
+        val updatedAux = ctx.pin(
+          leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
             .select((auxKeys.map(col) :+
               (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
-                .as(HCOUNT)): _*)
-            .cache()
-          ctx.pins += c; c
-        }
+                .as(HCOUNT)): _*))
         ctx.updates += StateUpdate(auxPath, auxKeys, updatedAux, auxBucketKeys,
           keyHint = if (keys.nonEmpty) touched else dAux)
 
@@ -525,10 +527,9 @@ object ZDelta {
       else leftOuterByKeys(acc, newExt, keys, hint = bcast)
     }
     // Three consumers (state update, retractions, assertions) would each
-    // recompute the state join; cache it once. O(touched groups) rows.
-    // Unpersisted by Ivm.refresh after commit.
-    val joined = joined0.cache()
-    ctx.pins += joined
+    // recompute the state join; pin it once. O(touched groups) rows.
+    // Released by Ivm.refresh after commit.
+    val joined = ctx.pin(joined0)
 
     val existed = col(HCOUNT).isNotNull
 
