@@ -708,6 +708,35 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // MIN_BY/MAX_BY with deterministic ties (arg of the lexicographic
+    // (value, arg) extremum pair), maintained under deletion through the
+    // pair-struct aux multiset — deleting the current extremum row falls
+    // back to the runner-up pair without rescanning the base.
+    "q56_ivm_argminmax_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+        Seq(MinBy(col("l_quantity"), col("l_orderkey"), "cheapest_order"),
+          MaxBy(col("l_quantity"), col("l_orderkey"), "biggest_order"),
+          CountStar("cnt")))
+      Ivm.create("q56", v, base(s, dir), store)
+      Ivm.refreshState("q56", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q56", v, store)
+    }),
+
+    // Exact percentiles (linear interpolation at position p·(n−1), the
+    // definition shared by Spark's percentile and DuckDB's quantile_cont);
+    // rounded to 6 dp on both engines to absorb last-ulp interpolation
+    // differences. At 100 TB one would switch to approx_percentile
+    // (t-digest) — exact percentile is the verification baseline here,
+    // same pattern as brute-force vs IVF ANN.
+    "q57_percentiles" -> ((s, dir) =>
+      tbl(s, dir, "events").groupBy("event_type")
+        .agg(
+          round(org.apache.spark.sql.functions.expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(org.apache.spark.sql.functions.expr("percentile(value, 0.9D)"), 6).as("p90"),
+          round(org.apache.spark.sql.functions.expr("percentile(value, 0.99D)"), 6).as("p99"),
+          count(lit(1)).as("n"))),
+
     // Deterministic stratified sampling: per-stratum keep rates derived
     // from an md5 hash of the row id (never rand() — retry/speculation
     // stable, oracle-reproducible); the sample is a pure zero-shuffle
@@ -927,6 +956,33 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    // Deterministic-ties mirror: first element of the list ordered by
+    // (value, arg) — DuckDB's arg_min/arg_max leave ties unspecified.
+    "q56_ivm_argminmax_apply" ->
+      s"""WITH a AS (
+            SELECT l_returnflag, l_quantity, l_orderkey, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_quantity, l_orderkey, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity, l_orderkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag,
+            (list(l_orderkey ORDER BY l_quantity ASC, l_orderkey ASC))[1]
+              AS cheapest_order,
+            (list(l_orderkey ORDER BY l_quantity DESC, l_orderkey DESC))[1]
+              AS biggest_order,
+            CAST(SUM(c) AS BIGINT) AS cnt
+          FROM a GROUP BY l_returnflag""",
+
+    "q57_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type""",
 
     "q55_stratified_sample" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

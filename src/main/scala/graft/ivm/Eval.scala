@@ -44,6 +44,12 @@ object Eval {
     case AggSpec.Max(e, n)    => max(e).as(n)
     case AggSpec.CountDistinct(e, n) => count_distinct(e).as(n)
     case AggSpec.SumDistinct(e, n)   => sum_distinct(e).as(n)
+    // Deterministic min_by/max_by: arg of the lexicographic extremum pair
+    // (the builtin min_by leaves ties undefined — unmaintainable).
+    case a @ AggSpec.MinBy(_, _, n) =>
+      min(AggSpec.expr(a).get).getField(AggSpec.PairA).as(n)
+    case a @ AggSpec.MaxBy(_, _, n) =>
+      max(AggSpec.expr(a).get).getField(AggSpec.PairA).as(n)
     // Variance family: evaluated via the SAME moment formula the maintained
     // state derives its output from (not the builtin Welford-style
     // var_samp), so refresh == recompute is bit-exact for exact inputs.
@@ -107,6 +113,14 @@ object Eval {
       val e = AggSpec.expr(a).get.cast("double")
       Seq(sum(e).as(physSum(a.name)), sum(e * e).as(physSum2(a.name)),
         count(e).as(physNn(a.name)))
+    // min_by/max_by: the extremum PAIR is stored; delta maintenance goes
+    // through the aux multiset exactly like MIN/MAX.
+    case a @ AggSpec.MinBy(_, _, n) =>
+      Seq(min(AggSpec.expr(a).get).as(physExt(n)),
+        count(AggSpec.expr(a).get).as(physNn(n)))
+    case a @ AggSpec.MaxBy(_, _, n) =>
+      Seq(max(AggSpec.expr(a).get).as(physExt(n)),
+        count(AggSpec.expr(a).get).as(physNn(n)))
   }
 
   /** User-visible output column derived from the physical state columns. */
@@ -128,6 +142,10 @@ object Eval {
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
+    case AggSpec.MinBy(_, _, n) =>
+      when(col(physNn(n)) > 0, col(physExt(n)).getField(AggSpec.PairA)).as(n)
+    case AggSpec.MaxBy(_, _, n) =>
+      when(col(physNn(n)) > 0, col(physExt(n)).getField(AggSpec.PairA)).as(n)
   }
 
   private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
@@ -146,6 +164,8 @@ object Eval {
     case AggSpec.SumDistinct(_, n)   => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
+    case AggSpec.MinBy(_, _, n) => Seq(physExt(n), physNn(n))
+    case AggSpec.MaxBy(_, _, n) => Seq(physExt(n), physNn(n))
   }
 
   /** Auxiliary value-multiset state for one MIN/MAX spec: per

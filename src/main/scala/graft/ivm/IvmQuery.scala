@@ -216,9 +216,25 @@ object AggSpec {
   /** STDDEV_POP(expr) — sqrt of [[VarPop]], same state. */
   final case class StddevPop(expr: Column, name: String) extends AggSpec
 
+  /** MIN_BY(arg, value) with DETERMINISTIC ties: returns the `arg` of the
+    * lexicographically smallest (value, arg) pair — SQL's min_by leaves
+    * ties undefined, which cannot be maintained (or oracle-checked)
+    * reproducibly. Maintained under deletion via the same auxiliary
+    * multiset as MIN/MAX, whose element is the (value, arg) struct; rows
+    * with NULL value are ignored (SQL semantics). `arg` should be
+    * non-null — NULL args make lexicographic order engine-dependent. */
+  final case class MinBy(value: Column, arg: Column, name: String) extends AggSpec
+  /** MAX_BY(arg, value), deterministic ties — mirror of [[MinBy]]. */
+  final case class MaxBy(value: Column, arg: Column, name: String) extends AggSpec
+
+  /** Field names of the (value, arg) pair struct [[MinBy]]/[[MaxBy]] track. */
+  private[ivm] val PairV = "v"
+  private[ivm] val PairA = "a"
+
   /** Specs needing the auxiliary (group, value) count state. */
   def needsAux(a: AggSpec): Boolean = a match {
     case _: Min | _: Max | _: CountDistinct | _: SumDistinct => true
+    case _: MinBy | _: MaxBy                                 => true
     case _                                                   => false
   }
   /** Specs maintained via second moments (Σe, Σe², n). */
@@ -226,13 +242,23 @@ object AggSpec {
     case _: VarSamp | _: VarPop | _: StddevSamp | _: StddevPop => true
     case _                                                     => false
   }
-  def expr(a: AggSpec): Option[Column] = a match {
-    case Sum(e, _) => Some(e); case Count(e, _) => Some(e)
-    case Avg(e, _) => Some(e); case Min(e, _) => Some(e)
-    case Max(e, _) => Some(e); case CountDistinct(e, _) => Some(e)
-    case SumDistinct(e, _) => Some(e)
-    case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
-    case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
-    case CountStar(_) => None
+  def expr(a: AggSpec): Option[Column] = {
+    import org.apache.spark.sql.functions.{struct, when}
+    a match {
+      case Sum(e, _) => Some(e); case Count(e, _) => Some(e)
+      case Avg(e, _) => Some(e); case Min(e, _) => Some(e)
+      case Max(e, _) => Some(e); case CountDistinct(e, _) => Some(e)
+      case SumDistinct(e, _) => Some(e)
+      case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
+      case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
+      // The tracked "value" is the pair struct, NULL when the SQL value is
+      // NULL — so the generic isNotNull guards (aux filter, non-null count)
+      // apply unchanged and MIN/MAX over it order lexicographically.
+      case MinBy(v, arg, _) =>
+        Some(when(v.isNotNull, struct(v.as(PairV), arg.as(PairA))))
+      case MaxBy(v, arg, _) =>
+        Some(when(v.isNotNull, struct(v.as(PairV), arg.as(PairA))))
+      case CountStar(_) => None
+    }
   }
 }

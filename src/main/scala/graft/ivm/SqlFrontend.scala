@@ -83,7 +83,7 @@ object SqlFrontend {
       }
       val aggFns = Set("sum", "count", "avg", "mean", "min", "max",
         "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
-        "stddev_pop")
+        "stddev_pop", "min_by", "max_by")
       cond2.collectFirst {
         case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
       }.foreach { fn =>
@@ -273,6 +273,9 @@ object SqlFrontend {
       case ("stddev_samp" | "stddev" | "std", Seq(e)) =>
         AggSpec.StddevSamp(expr(e.sql), name)
       case ("stddev_pop", Seq(e))       => AggSpec.StddevPop(expr(e.sql), name)
+      // SQL argument order is min_by(arg, value)
+      case ("min_by", Seq(a, v)) => AggSpec.MinBy(expr(v.sql), expr(a.sql), name)
+      case ("max_by", Seq(a, v)) => AggSpec.MaxBy(expr(v.sql), expr(a.sql), name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

@@ -434,6 +434,13 @@ object ZDelta {
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
       case AggSpec.SumDistinct(e, n) =>
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      // min_by/max_by track the (value, arg) pair struct; like MIN/MAX only
+      // the non-null count adjusts here — the extremum pair is recomputed
+      // from the aux multiset below.
+      case a @ (_: AggSpec.MinBy | _: AggSpec.MaxBy) =>
+        val e = AggSpec.expr(a).get
+        Seq(sum(when(e.isNotNull, w).otherwise(lit(0)))
+          .as(adj(Eval.physNn(a.name))))
       // Variance family: moments are linear in the weight, so both sums
       // self-maintain exactly like SUM — no auxiliary state.
       case a if AggSpec.isMoment2(a) =>
@@ -493,6 +500,8 @@ object ZDelta {
         val extFn = a match {
           case _: AggSpec.Min           => min(col(vCol))
           case _: AggSpec.Max           => max(col(vCol))
+          case _: AggSpec.MinBy         => min(col(vCol)) // lexicographic pair
+          case _: AggSpec.MaxBy         => max(col(vCol))
           case _: AggSpec.CountDistinct => count(lit(1)) // alive values
           case _: AggSpec.SumDistinct   => sum(col(vCol)) // sum of alive values
           case other => sys.error(s"no aux extremum for $other")

@@ -102,7 +102,8 @@ object IvmStream {
         graft.ivm.Eval.momentOutput(a, sum(e * w), sum(e * e * w),
           sum(when(e.isNotNull, w).otherwise(lit(0)))).as(a.name)
       case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
-          AggSpec.SumDistinct(_, _) =>
+          AggSpec.SumDistinct(_, _) | AggSpec.MinBy(_, _, _) |
+          AggSpec.MaxBy(_, _, _) =>
         throw new UnsupportedOperationException(
           "MIN/MAX under retraction need multiset state; use " +
             "statefulMinMax (flatMapGroupsWithState) or the foreachBatch " +

@@ -89,6 +89,14 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "agg_var_global" -> Aggregate(sc, Seq.empty,
         Seq(VarSamp(col("v"), "var_v"), StddevPop(col("v"), "sp_v"),
           CountStar("n"))),
+      // deterministic min_by/max_by: arg of the lexicographic (value, arg)
+      // extremum, maintained via the pair-struct aux multiset (h is the
+      // non-null arg; v can be NULL — such rows are ignored)
+      "agg_argminmax" -> Aggregate(sc, Seq("g"),
+        Seq(MinBy(col("v"), col("h"), "am_v"), MaxBy(col("v"), col("h"), "ax_v"),
+          Min(col("v"), "min_v"), CountStar("n"))),
+      "agg_argminmax_global" -> Aggregate(sc, Seq.empty,
+        Seq(MinBy(col("v"), col("h"), "am_v"), MaxBy(col("v"), col("h"), "ax_v"))),
       "nested_agg" -> Aggregate(
         Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
         Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),

@@ -257,6 +257,19 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("sql_var", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("min_by/max_by fold from SQL (arg order: min_by(arg, value))") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_mby AS
+         SELECT g, MIN_BY(h, v) AS am, MAX_BY(h, v) AS ax, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), aggs) =>
+        assert(aggs.map(_.name) == Seq("am", "ax", "n"))
+        assert(aggs.count(AggSpec.needsAux) == 2)
+      case other => fail(s"unexpected AST: $other")
+    }
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
