@@ -62,7 +62,13 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
     // FULL OUTER: anti-row births/deaths on both sides must chain correctly
     // across batches (a key born in batch 1 can die in batch 3)
     "foj" -> FullJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
-      Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")))
+      Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+    // variance (second-moment state) + deterministic min_by/max_by (the
+    // aux element is a STRUCT — exercises struct-typed state columns)
+    "var_mby" -> Aggregate(Scan("t"), Seq("g"),
+      Seq(VarSamp(col("v"), "vv"), StddevPop(col("v"), "sp"),
+        MinBy(col("v"), col("h"), "am"), MaxBy(col("v"), col("h"), "ax"),
+        CountStar("n"))))
 
   private def runBatches(name: String, q: IvmQuery, store: IvmStore,
       seed: Long, batches: Int): Unit = {
@@ -102,8 +108,8 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
   // SIX sequential refreshes drive overlay appends AND repeated chain
   // compactions through the full engine (aux states, match counts, group
   // deaths) — not just the store-level unit tests.
-  test("6 refreshes on a forced-LSM ParquetStore == recompute (minmax + q13)") {
-    for ((name, q) <- Seq(shapes.head, shapes(1))) {
+  test("6 refreshes on a forced-LSM ParquetStore == recompute (minmax + q13 + var/min_by)") {
+    for ((name, q) <- Seq(shapes.head, shapes(1), shapes(4))) {
       val root = java.nio.file.Files.createTempDirectory("mb-lsm").toString
       val store = new ParquetStore(spark, root, keepVersions = 2,
         buckets = 4, smallStateBytes = 0, maxChain = 2)
