@@ -708,6 +708,24 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // NOT IN (subquery) folds to the maintained ANTI-join composition:
+    // orders crossing the price threshold via inserts/deletes flip their
+    // lineitems in/out of the view through the LeftJoin match-count
+    // machinery — deltas arrive on BOTH tables in the same batch.
+    "q58_ivm_not_in" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q58 AS
+           SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sq FROM (
+             SELECT l_returnflag, l_quantity FROM lineitem
+             WHERE l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+           ) GROUP BY l_returnflag""")
+      Ivm.create("q58", v, base(s, dir), store)
+      Ivm.refreshState("q58", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q58", v, store)
+    }),
+
     // MIN_BY/MAX_BY with deterministic ties (arg of the lexicographic
     // (value, arg) extremum pair), maintained under deletion through the
     // pair-struct aux multiset — deleting the current extremum row falls
@@ -956,6 +974,29 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q58_ivm_not_in" ->
+      s"""WITH ap_l AS (
+            SELECT l_returnflag, l_quantity, l_orderkey, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_quantity, l_orderkey, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity, l_orderkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), ap_o AS (
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n,
+                 SUM(l_quantity * c) AS sq
+          FROM ap_l
+          WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM ap_o WHERE o_totalprice > 150000)
+          GROUP BY l_returnflag""",
 
     // Deterministic-ties mirror: first element of the list ordered by
     // (value, arg) — DuckDB's arg_min/arg_max leave ties unspecified.

@@ -2,7 +2,7 @@ package graft.ivm
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, InSubquery, ListQuery, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, InSubquery, ListQuery, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.expr
@@ -51,17 +51,24 @@ object SqlFrontend {
     // key-set view (group liveness = set membership) inner-joined against
     // the outer query — both halves are existing delta rules.
     case Filter(InSubquery(Seq(a: UnresolvedAttribute), lq: ListQuery), child) =>
-      val outerKey = a.nameParts.last
-      val innerName = lq.plan match {
-        case Project(Seq(ia: UnresolvedAttribute), _) => ia.nameParts.last
-        case Project(Seq(Alias(_, n)), _)             => n
-        case other => throw new UnsupportedOperationException(
-          s"IN subquery must select a single column, got: ${other.nodeName}")
-      }
-      val inner = fold(lq.plan)
-      val renamed = if (innerName == outerKey) inner
-        else graft.ivm.Project(inner, Seq(expr(innerName).as(outerKey)))
-      IvmQuery.semiJoin(fold(child), renamed, Seq(outerKey))
+      val (outerKey, keySet) = foldInList(a, lq)
+      IvmQuery.semiJoin(fold(child), keySet, Seq(outerKey))
+    // NOT IN → maintained ANTI JOIN: LEFT OUTER against the subquery's
+    // distinct keys carrying a constant marker, keeping marker-IS-NULL rows
+    // (all existing delta rules). The marker column is dropped by the
+    // enclosing select list, which must therefore name its columns.
+    // NULL-key caveat as for IN: supply null-free keys for SQL parity
+    // (SQL's NOT IN over a NULL-containing set returns nothing).
+    case Filter(Not(InSubquery(Seq(a: UnresolvedAttribute), lq: ListQuery)), child) =>
+      val (outerKey, keySet) = foldInList(a, lq)
+      val marked = IvmQuery.distinct(
+        graft.ivm.Project(keySet,
+          Seq(expr(outerKey), org.apache.spark.sql.functions.lit(1)
+            .as(IvmQuery.PRESENT))),
+        Seq(outerKey, IvmQuery.PRESENT))
+      graft.ivm.Filter(
+        graft.ivm.LeftJoin(fold(child), marked, Seq(outerKey)),
+        expr(IvmQuery.PRESENT).isNull)
     case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
     case Aggregate(grouping, aggExprs, child, _) =>
       foldAggregate(grouping, aggExprs, fold(child))
@@ -141,6 +148,23 @@ object SqlFrontend {
     case other => throw new UnsupportedOperationException(
       s"IVM SQL surface does not support ${other.nodeName} " +
         "(supported: SELECT/WHERE/GROUP BY/inner JOIN over base tables)")
+  }
+
+  /** Fold an IN-list subquery: returns (outer key name, key-set view whose
+    * single column is renamed to the outer key). */
+  private def foldInList(
+      a: UnresolvedAttribute, lq: ListQuery): (String, IvmQuery) = {
+    val outerKey = a.nameParts.last
+    val innerName = lq.plan match {
+      case Project(Seq(ia: UnresolvedAttribute), _) => ia.nameParts.last
+      case Project(Seq(Alias(_, n)), _)             => n
+      case other => throw new UnsupportedOperationException(
+        s"IN subquery must select a single column, got: ${other.nodeName}")
+    }
+    val inner = fold(lq.plan)
+    val renamed = if (innerName == outerKey) inner
+      else graft.ivm.Project(inner, Seq(expr(innerName).as(outerKey)))
+    (outerKey, renamed)
   }
 
   /** Replace scans of CTE names with their folded definitions. */

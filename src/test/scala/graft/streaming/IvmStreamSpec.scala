@@ -110,6 +110,31 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(last("b").getLong(1) == 4L && last("b").getLong(2) == 1L)
   }
 
+  test("statefulAgg: variance maintains through retraction (moment state)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val agg = IvmStream.statefulAgg(
+      mem.toDF().withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT),
+      Seq("g"), Seq(VarSamp(col("v"), "vv"), CountStar("cnt")))
+    val query = agg.writeStream.format("memory")
+      .queryName("var_stream").outputMode("update").start()
+
+    mem.addData(D("a", 2, true), D("a", 4, true), D("a", 9, true))
+    query.processAllAvailable()
+    mem.addData(D("a", 9, false)) // retract the outlier
+    query.processAllAvailable()
+    query.stop()
+
+    val updates = s.table("var_stream").collect()
+    val last = updates.zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+    // after retraction the group is {2, 4}: var_samp = 2.0
+    assert(math.abs(last("a").getDouble(1) - 2.0) < 1e-12)
+    assert(last("a").getLong(2) == 2L)
+  }
+
   test("statefulMinMax: deleting the current extremum falls back to runner-up") {
     val s = spark
     import s.implicits._
