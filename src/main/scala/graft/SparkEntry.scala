@@ -708,6 +708,20 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Maintained GROUP BY ROLLUP: one aggregate state per grouping level,
+    // null-extended and bag-unioned (Δ(A⊎B)=ΔA⊎ΔB) — subtotals and the
+    // grand total all stay incrementally maintained through one batch of
+    // inserts+deletes.
+    "q59_ivm_rollup_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = IvmQuery.rollup(Scan("lineitem"),
+        Seq("l_returnflag" -> "string", "l_linestatus" -> "string"),
+        Seq(Sum(col("l_quantity"), "sq"), CountStar("n")))
+      Ivm.create("q59", v, base(s, dir), store)
+      Ivm.refreshState("q59", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q59", v, store)
+    }),
+
     // NOT IN (subquery) folds to the maintained ANTI-join composition:
     // orders crossing the price threshold via inserts/deletes flip their
     // lineitems in/out of the view through the LeftJoin match-count
@@ -974,6 +988,19 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q59_ivm_rollup_apply" ->
+      s"""WITH ap AS (
+            SELECT l_returnflag, l_linestatus, l_quantity, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, l_linestatus, SUM(l_quantity * c) AS sq,
+                 CAST(SUM(c) AS BIGINT) AS n
+          FROM ap GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "q58_ivm_not_in" ->
       s"""WITH ap_l AS (

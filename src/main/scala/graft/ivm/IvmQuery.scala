@@ -150,6 +150,31 @@ object IvmQuery {
   def except(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery =
     antiJoin(distinct(left, cols), right, cols, cols.map(col))
 
+  /** GROUP BY ROLLUP as pure composition: one maintained Aggregate per
+    * grouping level, null-extended to the full key width and bag-unioned
+    * (Δ(A⊎B) = ΔA⊎ΔB is stateless, so each level refreshes independently
+    * in the same batch). `keys` carries (name, SQL type) so the null
+    * literals of coarser levels type-align with the finest level —
+    * unresolved ASTs cannot infer them. Spark/DuckDB evaluate ROLLUP the
+    * same way (Expand + aggregate); here each level's state makes the
+    * whole rollup incrementally maintainable. */
+  def rollup(
+      child: IvmQuery,
+      keys: Seq[(String, String)],
+      aggs: Seq[AggSpec]): IvmQuery = {
+    val names = keys.map(_._1)
+    val levels = (keys.length to 0 by -1).map { k =>
+      val kept = names.take(k)
+      val agg = Aggregate(child, kept, aggs)
+      if (k == keys.length) agg: IvmQuery
+      else Project(agg,
+        kept.map(col) ++
+          keys.drop(k).map { case (n, t) => lit(null).cast(t).as(n) } ++
+          aggs.map(a => col(a.name)))
+    }
+    levels.reduce(Union(_, _))
+  }
+
   /** LEFT ANTI equi-join (NOT EXISTS) as pure composition: LEFT OUTER
     * against the right side's distinct keys carrying a constant marker;
     * anti rows are exactly the null-extended ones, so the Filter keeps

@@ -99,4 +99,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val df = q("q50_multimodal_features")
     assert(!df.columns.contains("payload"))
   }
+
+  test("maintained top-k (q54): read is a bounded TakeOrderedAndProject, not a full sort") {
+    val p = plan(q("q54_ivm_topk_apply"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k read must plan as per-partition heap + k-row driver merge:\n$p")
+  }
+
+  test("stratified sample (q55 filter): map-only membership, no shuffle, pruned scan") {
+    import org.apache.spark.sql.functions._
+    val rate = when(col("event_type") === "click", 60).otherwise(25)
+    val sampled = graft.ops.Sampling.stratified(
+      Fixtures.tbl(spark, dir, "events"), col("event_id"), rate)
+      .select("event_id", "event_type")
+    val p = plan(sampled)
+    assert(!p.contains("Exchange"), s"sampling must be a pure filter:\n$p")
+    assert(!p.contains("props"), "sampling must not defeat column pruning")
+  }
 }

@@ -97,6 +97,11 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
           Min(col("v"), "min_v"), CountStar("n"))),
       "agg_argminmax_global" -> Aggregate(sc, Seq.empty,
         Seq(MinBy(col("v"), col("h"), "am_v"), MaxBy(col("v"), col("h"), "ax_v"))),
+      // maintained ROLLUP: one aggregate state per level, stateless union —
+      // deltas adjust every level's groups in one batch (incl. NULL keys,
+      // which must not merge wrongly with rolled-up null-extended rows)
+      "rollup" -> IvmQuery.rollup(sc, Seq("g" -> "string", "h" -> "int"),
+        Seq(Sum(col("v"), "sv"), CountStar("n"))),
       "nested_agg" -> Aggregate(
         Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
         Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),
