@@ -722,6 +722,20 @@ object SparkEntry {
       Ivm.read("q59", v, store)
     }),
 
+    // Maintained GROUP BY CUBE — the rollup composition over all 2^k key
+    // subsets; four aggregate states refresh from one orders batch.
+    "q60_ivm_cube_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = IvmQuery.cube(Scan("orders"),
+        Seq("o_orderstatus" -> "string", "o_orderpriority" -> "string"),
+        Seq(Sum(dec("o_totalprice"), "sum_price"), CountStar("n")))
+      Ivm.create("q60", v, base(s, dir), store)
+      Ivm.refreshState("q60", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q60", v, store)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("sum_price").cast("double").as("sum_price"), col("n"))
+    }),
+
     // NOT IN (subquery) folds to the maintained ANTI-join composition:
     // orders crossing the price threshold via inserts/deletes flip their
     // lineitems in/out of the view through the LeftJoin match-count
@@ -988,6 +1002,20 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q60_ivm_cube_apply" ->
+      s"""WITH ap AS (
+            SELECT o_orderstatus, o_orderpriority, o_totalprice, SUM(w) AS c FROM (
+              SELECT o_orderstatus, o_orderpriority, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderstatus, o_orderpriority, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * c) AS DOUBLE) AS sum_price,
+                 CAST(SUM(c) AS BIGINT) AS n
+          FROM ap GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q59_ivm_rollup_apply" ->
       s"""WITH ap AS (

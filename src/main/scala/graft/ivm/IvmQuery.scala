@@ -175,6 +175,27 @@ object IvmQuery {
     levels.reduce(Union(_, _))
   }
 
+  /** GROUP BY CUBE — same composition as [[rollup]] over ALL 2^k key
+    * subsets instead of prefixes. State count doubles per key, so keep the
+    * cube key list short (as with any engine's CUBE). */
+  def cube(
+      child: IvmQuery,
+      keys: Seq[(String, String)],
+      aggs: Seq[AggSpec]): IvmQuery = {
+    val levels = keys.indices.toSet.subsets().toSeq
+      .sortBy(s => -s.size) // finest level first, grand total last
+      .map { keep =>
+        val kept = keys.zipWithIndex.collect { case ((n, _), i) if keep(i) => n }
+        val agg = Aggregate(child, kept, aggs)
+        if (kept.length == keys.length) agg: IvmQuery
+        else Project(agg,
+          keys.zipWithIndex.map { case ((n, t), i) =>
+            if (keep(i)) col(n) else lit(null).cast(t).as(n)
+          } ++ aggs.map(a => col(a.name)))
+      }
+    levels.reduce(Union(_, _))
+  }
+
   /** LEFT ANTI equi-join (NOT EXISTS) as pure composition: LEFT OUTER
     * against the right side's distinct keys carrying a constant marker;
     * anti rows are exactly the null-extended ones, so the Filter keeps

@@ -102,6 +102,8 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       // which must not merge wrongly with rolled-up null-extended rows)
       "rollup" -> IvmQuery.rollup(sc, Seq("g" -> "string", "h" -> "int"),
         Seq(Sum(col("v"), "sv"), CountStar("n"))),
+      "cube" -> IvmQuery.cube(sc, Seq("g" -> "string", "h" -> "int"),
+        Seq(Sum(col("v"), "sv"), CountStar("n"))),
       "nested_agg" -> Aggregate(
         Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
         Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),
