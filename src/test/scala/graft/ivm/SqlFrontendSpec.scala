@@ -257,6 +257,17 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("sql_var", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("NOT IN subquery folds to the anti-join composition (marker filter)") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_notin AS
+         SELECT a, b FROM t WHERE a NOT IN (SELECT x FROM u WHERE y > 0)""")
+    q match {
+      case Project(Filter(LeftJoin(Scan("t"),
+          Aggregate(_, Seq("a", IvmQuery.PRESENT), Seq()), Seq("a")), _), _) => ()
+      case other => fail(s"unexpected NOT IN AST: $other")
+    }
+  }
+
   test("min_by/max_by fold from SQL (arg order: min_by(arg, value))") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_mby AS
