@@ -708,6 +708,43 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Correlated EXISTS folds to the maintained semi join: customers keep
+    // membership while at least one qualifying order is alive. The
+    // correlation aliases o_custkey to the outer name (same-name key rule).
+    "q61_ivm_exists" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q61 AS
+           SELECT c_mktsegment, COUNT(*) AS n FROM customer
+           WHERE EXISTS (
+             SELECT 1 FROM
+               (SELECT o_custkey AS c_custkey, o_totalprice FROM orders) o
+             WHERE o.c_custkey = customer.c_custkey
+               AND o_totalprice > 150000)
+           GROUP BY c_mktsegment""")
+      Ivm.create("q61", v, base(s, dir), store)
+      Ivm.refreshState("q61", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q61", v, store)
+    }),
+
+    // NOT EXISTS → the maintained anti composition (same machinery as
+    // NOT IN): customers whose last qualifying order dies enter the view.
+    "q62_ivm_not_exists" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q62 AS
+           SELECT c_mktsegment, COUNT(*) AS n FROM customer
+           WHERE NOT EXISTS (
+             SELECT 1 FROM
+               (SELECT o_custkey AS c_custkey, o_totalprice FROM orders) o
+             WHERE o.c_custkey = customer.c_custkey
+               AND o_totalprice > 150000)
+           GROUP BY c_mktsegment""")
+      Ivm.create("q62", v, base(s, dir), store)
+      Ivm.refreshState("q62", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q62", v, store)
+    }),
+
     // Maintained GROUP BY ROLLUP: one aggregate state per grouping level,
     // null-extended and bag-unioned (Δ(A⊎B)=ΔA⊎ΔB) — subtotals and the
     // grand total all stay incrementally maintained through one batch of
@@ -1002,6 +1039,36 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q61_ivm_exists" ->
+      s"""WITH ap_o AS (
+            SELECT o_custkey, o_totalprice FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+          WHERE EXISTS (SELECT 1 FROM ap_o
+                        WHERE ap_o.o_custkey = customer.c_custkey
+                          AND o_totalprice > 150000)
+          GROUP BY c_mktsegment""",
+
+    "q62_ivm_not_exists" ->
+      s"""WITH ap_o AS (
+            SELECT o_custkey, o_totalprice FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM ap_o
+                            WHERE ap_o.o_custkey = customer.c_custkey
+                              AND o_totalprice > 150000)
+          GROUP BY c_mktsegment""",
 
     "q60_ivm_cube_apply" ->
       s"""WITH ap AS (

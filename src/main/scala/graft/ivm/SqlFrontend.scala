@@ -2,7 +2,7 @@ package graft.ivm
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, InSubquery, ListQuery, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Exists, Expression, InSubquery, ListQuery, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter, UsingJoin}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.expr
@@ -61,14 +61,16 @@ object SqlFrontend {
     // (SQL's NOT IN over a NULL-containing set returns nothing).
     case Filter(Not(InSubquery(Seq(a: UnresolvedAttribute), lq: ListQuery)), child) =>
       val (outerKey, keySet) = foldInList(a, lq)
-      val marked = IvmQuery.distinct(
-        graft.ivm.Project(keySet,
-          Seq(expr(outerKey), org.apache.spark.sql.functions.lit(1)
-            .as(IvmQuery.PRESENT))),
-        Seq(outerKey, IvmQuery.PRESENT))
-      graft.ivm.Filter(
-        graft.ivm.LeftJoin(fold(child), marked, Seq(outerKey)),
-        expr(IvmQuery.PRESENT).isNull)
+      antiComposition(fold(child), keySet, Seq(outerKey))
+    // Correlated EXISTS / NOT EXISTS → the same maintained semi/anti
+    // compositions. The correlation must be same-name equi conditions
+    // (x.k = y.k — alias the subquery side if names differ), matching the
+    // engine's join-key surface; remaining conjuncts stay as the
+    // subquery's own filter.
+    case Filter(Exists(sub, _, _, _, _), child) =>
+      foldExists(sub, child, negated = false)
+    case Filter(Not(Exists(sub, _, _, _, _)), child) =>
+      foldExists(sub, child, negated = true)
     case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
     case Aggregate(grouping, aggExprs, child, _) =>
       foldAggregate(grouping, aggExprs, fold(child))
@@ -165,6 +167,63 @@ object SqlFrontend {
     val renamed = if (innerName == outerKey) inner
       else graft.ivm.Project(inner, Seq(expr(innerName).as(outerKey)))
     (outerKey, renamed)
+  }
+
+  /** ANTI composition shared by NOT IN and NOT EXISTS: LEFT OUTER against
+    * the marked distinct key set, keeping marker-IS-NULL rows. The marker
+    * column is dropped by the enclosing select list (which must therefore
+    * name its columns). NULL keys never match — SQL NOT EXISTS semantics
+    * (for NOT IN's empty-result-on-NULL rule, supply null-free keys). */
+  private def antiComposition(
+      left: IvmQuery, keySet: IvmQuery, keys: Seq[String]): IvmQuery = {
+    import org.apache.spark.sql.functions.lit
+    val marked = IvmQuery.distinct(
+      graft.ivm.Project(keySet, keys.map(expr) :+ lit(1).as(IvmQuery.PRESENT)),
+      keys :+ IvmQuery.PRESENT)
+    graft.ivm.Filter(
+      graft.ivm.LeftJoin(left, marked, keys),
+      expr(IvmQuery.PRESENT).isNull)
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other     => Seq(other)
+  }
+
+  /** Correlated EXISTS/NOT EXISTS: partition the subquery's predicate into
+    * same-name equi correlations (the join keys) and inner-only conjuncts
+    * (the subquery's filter, with qualifiers stripped so they resolve over
+    * the folded inner view). */
+  private def foldExists(
+      sub: LogicalPlan, child: LogicalPlan, negated: Boolean): IvmQuery = {
+    val (cond, inner) = sub match {
+      case Project(_, Filter(c, i)) => (c, i)
+      case Filter(c, i)             => (c, i)
+      case other => throw new UnsupportedOperationException(
+        s"EXISTS subquery must be SELECT ... WHERE <correlation [AND filter]>, got: ${other.nodeName}")
+    }
+    val (corr, rest) = splitAnd(cond).partition {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        a.nameParts.last == b.nameParts.last && a.nameParts != b.nameParts
+      case _ => false
+    }
+    if (corr.isEmpty) throw new UnsupportedOperationException(
+      "EXISTS requires a same-name equi correlation (x.k = y.k; alias the " +
+        "subquery side if column names differ)")
+    val keys = corr.map {
+      case EqualTo(a: UnresolvedAttribute, _) => a.nameParts.last
+    }
+    def stripQualifiers(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    val innerFolded = fold(inner)
+    val innerFiltered =
+      if (rest.isEmpty) innerFolded
+      else graft.ivm.Filter(innerFolded,
+        rest.map(c => expr(stripQualifiers(c).sql)).reduce(_ && _))
+    val keySet = graft.ivm.Project(innerFiltered, keys.map(k => expr(k)))
+    if (negated) antiComposition(fold(child), keySet, keys)
+    else IvmQuery.semiJoin(fold(child), keySet, keys)
   }
 
   /** Replace scans of CTE names with their folded definitions. */

@@ -268,6 +268,35 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("correlated EXISTS/NOT EXISTS fold to semi/anti compositions") {
+    val (_, qe) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_ex AS
+         SELECT a, b FROM t
+         WHERE EXISTS (SELECT 1 FROM u WHERE u.a = t.a AND y > 0)""")
+    qe match {
+      case Project(Join(Scan("t"), Aggregate(inner, Seq("a"), Seq()), Seq("a")), _) =>
+        inner match {
+          case Project(Filter(Scan("u"), _), _) => ()
+          case other => fail(s"unexpected inner AST: $other")
+        }
+      case other => fail(s"unexpected EXISTS AST: $other")
+    }
+    val (_, qn) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_nex AS
+         SELECT a, b FROM t
+         WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = t.a)""")
+    qn match {
+      case Project(Filter(LeftJoin(Scan("t"),
+          Aggregate(_, Seq("a", IvmQuery.PRESENT), Seq()), Seq("a")), _), _) => ()
+      case other => fail(s"unexpected NOT EXISTS AST: $other")
+    }
+    // correlation must be a same-name equi condition
+    intercept[UnsupportedOperationException] {
+      SqlFrontend.createImmv(spark,
+        "CREATE IMMV bad_ex AS SELECT a FROM t WHERE EXISTS (SELECT 1 FROM u WHERE u.x = t.a)")
+    }
+  }
+
   test("min_by/max_by fold from SQL (arg order: min_by(arg, value))") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_mby AS
