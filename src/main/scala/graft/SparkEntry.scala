@@ -708,6 +708,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // The composed data-curation pipeline a 100 TB pretraining run
+    // executes, end-to-end and oracle-gated: deterministic hash sample →
+    // quality/language scoring → quality gate → exact near-dup removal
+    // (keep lowest doc_id per text digest) → per-language corpus stats.
+    // Every stage is a zero-or-one-shuffle deterministic op; thresholding
+    // on `quality` is engine-safe because the score itself hash-matches
+    // DuckDB bit-for-bit (q27).
+    "q63_curation_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sampled = ops.Sampling.uniform(docs, col("doc_id"), 80)
+      val scored = ops.TextOps.analyze(sampled)
+        .where(col("quality") > 0.5)
+      val keep = sampled.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(scored.select("doc_id"), "doc_id")
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+      scored.join(keep.select("doc_id"), "doc_id")
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+    }),
+
     // Correlated EXISTS folds to the maintained semi join: customers keep
     // membership while at least one qualifying order is alive. The
     // correlation aliases o_custkey to the outer name (same-name key rule).
@@ -1039,6 +1061,22 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q63_curation_pipeline" ->
+      s"""WITH sampled AS (
+            SELECT * FROM documents
+            WHERE (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 80
+          ), scored AS (
+            SELECT * FROM (${textAnalyzeSql("sampled")}) WHERE quality > 0.5
+          ), keep AS (
+            SELECT MIN(s.doc_id) AS doc_id FROM sampled s
+            JOIN scored USING (doc_id) GROUP BY md5(s.text)
+          )
+          SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 round(AVG(quality), 6) AS avg_quality
+          FROM scored JOIN keep USING (doc_id)
+          GROUP BY pred_lang""",
 
     "q61_ivm_exists" ->
       s"""WITH ap_o AS (
@@ -1429,7 +1467,7 @@ object SparkEntry {
               PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
             FROM scored) WHERE rank <= 5""",
 
-    "q27_text_analyze" -> textAnalyzeSql,
+    "q27_text_analyze" -> textAnalyzeSql(),
 
     "q42_hash_split" ->
       """SELECT (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10) AS split,
@@ -1586,7 +1624,7 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   /** Mirror of ops.TextOps.analyze. */
-  private def textAnalyzeSql: String = {
+  private def textAnalyzeSql(from: String = "documents"): String = {
     import ops.TextOps.{Stopwords, BpePattern, FpMod}
     def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val langs = Stopwords.keys.toSeq.sorted
@@ -1614,6 +1652,6 @@ object SparkEntry {
           list_transform(string_split(text, ' '),
             t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
           (a, b) -> (a * 31 + b) % $FpMod) AS fingerprint
-        FROM documents"""
+        FROM $from"""
   }
 }
