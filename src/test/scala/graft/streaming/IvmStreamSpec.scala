@@ -51,6 +51,42 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(!m.contains("b") && m("c") == 3L)
   }
 
+  test("maintain: variance + min_by view streams on the LSM parquet store") {
+    val s = spark
+    import s.implicits._
+
+    val baseRows = Seq(("a", 1), ("a", 4), ("a", 9), ("b", 7)).toDF("g", "v")
+    val base: String => DataFrame = { case "t" => baseRows }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(VarSamp(col("v"), "vv"), MinBy(col("v"), col("v") * 10, "am"),
+        CountStar("cnt")))
+
+    val store = new ParquetStore(s,
+      Files.createTempDirectory("ivm-vstream").toString,
+      buckets = 4, smallStateBytes = 0, maxChain = 2)
+    Ivm.create("vv", q, base, store)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val query = IvmStream.maintain("vv", q, "t", base, store,
+      mem.toDF(), Files.createTempDirectory("ivm-vckpt").toString)
+
+    val batches = Seq(
+      Seq(D("a", 9, false), D("b", 7, true)),   // retract a's outlier
+      Seq(D("b", 7, false), D("b", 7, false)))  // b dies entirely
+    batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val got = Ivm.read("vv", q, store)
+    val allDeltas = batches.flatten.toDS().toDF()
+      .withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT)
+    val want = Ivm.recompute(q, base, t => if (t == "t") Some(allDeltas) else None)
+    assertSameRows(got, want)
+    val a = got.where(col("g") === "a").collect()(0)
+    assert(math.abs(a.getDouble(1) - 4.5) < 1e-12) // var_samp{1,4} = 4.5
+    assert(a.getInt(2) == 10)                      // min_by arg = 1*10
+  }
+
   test("maintain: a COMPOSED view (semi join) streams on the LSM parquet store") {
     val s = spark
     import s.implicits._
