@@ -443,6 +443,17 @@ object SparkEntry {
     "q23_dedup_simhash" -> ((s, dir) =>
       ops.Dedup.simhashDocs(tbl(s, dir, "documents"))),
 
+    // Duplicate CLUSTERS from the MinHash pairs: connected components via
+    // min-label propagation (diameter-bounded shuffle rounds), then one
+    // row per cluster — the keep-one-per-cluster decision a dedup pipeline
+    // actually executes. Oracle: DuckDB recursive-CTE transitive closure.
+    "q64_dedup_clusters" -> ((s, dir) => {
+      val pairs = ops.Dedup.minhashLshPairs(tbl(s, dir, "documents"), k = 8, bands = 4)
+      ops.Dedup.clusters(pairs)
+        .groupBy("rep")
+        .agg(count(lit(1)).as("size"), max("id").as("max_id"))
+    }),
+
     // Embedding cosine near-dup pairs, label-blocked.
     "q24_dedup_embedding" -> ((s, dir) =>
       ops.Dedup.embeddingNearDup(tbl(s, dir, "embeddings"), threshold = 0.35)
@@ -1393,20 +1404,24 @@ object SparkEntry {
           FROM pairs JOIN sizes na ON na.id = a_id JOIN sizes nb ON nb.id = b_id
           WHERE CAST(inter AS DOUBLE) / (na.c + nb.c - inter) >= 0.5""",
 
-    "q22_dedup_minhash" -> {
-      val mhs = (0 until 8).map(s0 =>
-        s"MIN(substr(md5(concat('${s0 / 4}', '|', shingle)), ${1 + 8 * (s0 % 4)}, 8)) AS mh$s0")
-        .mkString(", ")
-      val bandKeys = (0 until 4).map(b =>
-        s"md5(concat_ws('|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")
-      s"""$ShingleCte,
-          sig AS (SELECT id, $mhs FROM sh GROUP BY id),
-          banded AS (SELECT id, unnest([0,1,2,3]) AS band,
-            unnest([$bandKeys]) AS band_key FROM sig)
-          SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM banded a
-          JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-            AND a.id < b.id"""
-    },
+    "q22_dedup_minhash" ->
+      s"$minhashPairsCtes SELECT a_id, b_id FROM pairs",
+
+    // Transitive closure of the undirected pair graph via a recursive CTE;
+    // each node's component rep = the minimum reachable id (including
+    // itself), mirroring min-label propagation's fixpoint exactly.
+    "q64_dedup_clusters" ->
+      s"""${minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          edges AS (SELECT a_id AS x, b_id AS y FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          reach(x, label) AS (
+            SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+            UNION
+            SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.x
+          ),
+          comp AS (SELECT x AS id, MIN(label) AS rep FROM reach GROUP BY x)
+          SELECT rep, CAST(COUNT(*) AS BIGINT) AS size, MAX(id) AS max_id
+          FROM comp GROUP BY rep""",
 
     "q23_dedup_simhash" ->
       s"SELECT doc_id, ${simhashSql("text")} AS simhash FROM documents",
@@ -1588,6 +1603,23 @@ object SparkEntry {
   /** Distinct 3-token shingles per doc — mirror of ops.Dedup.shingles.
     * DuckDB lists are 1-based; out-of-range indexing yields NULL which
     * concat_ws skips, exactly like Spark's element_at + concat_ws. */
+  /** MinHash-LSH candidate pairs as a reusable CTE chain ending in
+    * `pairs(a_id, b_id)` — mirror of ops.Dedup.minhashLshPairs. */
+  private lazy val minhashPairsCtes: String = {
+    val mhs = (0 until 8).map(s0 =>
+      s"MIN(substr(md5(concat('${s0 / 4}', '|', shingle)), ${1 + 8 * (s0 % 4)}, 8)) AS mh$s0")
+      .mkString(", ")
+    val bandKeys = (0 until 4).map(b =>
+      s"md5(concat_ws('|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")
+    s"""$ShingleCte,
+        sig AS (SELECT id, $mhs FROM sh GROUP BY id),
+        banded AS (SELECT id, unnest([0,1,2,3]) AS band,
+          unnest([$bandKeys]) AS band_key FROM sig),
+        pairs AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM banded a
+          JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.id < b.id)"""
+  }
+
   private val ShingleCte =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        sh0 AS (SELECT doc_id AS id, toks,

@@ -197,4 +197,43 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
+
+  // --------------------------------------------------- duplicate clusters
+
+  /** Connected components over near-dup pair edges — the step that turns
+    * pairwise candidates into KEEP-ONE-PER-CLUSTER decisions. Min-label
+    * propagation: every node starts labeled by itself and repeatedly
+    * adopts the minimum label among itself and its neighbors; at the
+    * fixpoint each node carries its component's minimum id (`rep`).
+    * Converges in graph-diameter rounds — near-dup graphs are shallow
+    * (mostly cliques and short chains), so a handful of shuffle rounds;
+    * each round's lineage is truncated (localCheckpoint) so plans stay
+    * O(1) across iterations. At extreme diameters switch to the
+    * large-star/small-star variant (halves distances per round) — same
+    * join-per-round shape. Returns (id, rep). */
+  def clusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionByName(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct().cache()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "y"), "y")
+        .select(col("x").as("id"), col("rep"))
+      val next = labels.unionByName(nbr)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .where(col("rep") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"clusters did not converge in $maxIter rounds " +
+      "(graph diameter too large — use a star-contraction variant)")
+    labels
+  }
 }
