@@ -34,15 +34,22 @@ object Fixtures {
       .where(col("event_id") % 37 === 0)
       .withColumn(IvmCore.MULT, col("event_id") % 2 === 0)
 
+  /** SQL mirror: WHERE doc_id % 13 = 0, mult = (doc_id % 2 = 0). */
+  def deltaDocuments(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .where(col("doc_id") % 13 === 0)
+      .withColumn(IvmCore.MULT, col("doc_id") % 2 === 0)
+
   /** Base resolver over the sf dir. */
   def base(s: SparkSession, dir: String): String => DataFrame =
     name => tbl(s, dir, name)
 
   /** Delta resolver: only the tables above have deltas. */
   def deltas(s: SparkSession, dir: String): String => Option[DataFrame] = {
-    case "lineitem" => Some(deltaLineitem(s, dir))
-    case "orders"   => Some(deltaOrders(s, dir))
-    case "events"   => Some(deltaEvents(s, dir))
-    case _          => None
+    case "lineitem"  => Some(deltaLineitem(s, dir))
+    case "orders"    => Some(deltaOrders(s, dir))
+    case "events"    => Some(deltaEvents(s, dir))
+    case "documents" => Some(deltaDocuments(s, dir))
+    case _           => None
   }
 }

@@ -719,6 +719,37 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // INCREMENTAL DEDUP MAINTENANCE: the keep-one-per-digest table as a
+    // maintained view — document inserts/deletes update keep decisions in
+    // O(‖Δ‖) (deleting the kept copy falls back to the next-lowest id via
+    // the MIN aux multiset) instead of re-hashing the corpus.
+    "q65_ivm_dedup_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(
+        Project(Scan("documents"), Seq(md5(col("text")).as("h"), col("doc_id"))),
+        Seq("h"), Seq(Min(col("doc_id"), "keep_id"), CountStar("n_copies")))
+      Ivm.create("q65", v, base(s, dir), store)
+      Ivm.refreshState("q65", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q65", v, store)
+    }),
+
+    // Maintained per-language corpus statistics: language-ID and token
+    // count are deterministic Catalyst expressions, so they ride the delta
+    // rules as computed group key / aggregate input — corpus dashboards
+    // stay fresh under document churn without rescans.
+    "q66_ivm_corpus_stats_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(
+        Project(Scan("documents"), Seq(
+          ops.TextOps.langId(col("text")).as("pred_lang"),
+          ops.TextOps.nTokens(col("text")).cast("long").as("toks"))),
+        Seq("pred_lang"),
+        Seq(Sum(col("toks"), "n_tokens"), CountStar("n_docs")))
+      Ivm.create("q66", v, base(s, dir), store)
+      Ivm.refreshState("q66", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q66", v, store)
+    }),
+
     // The composed data-curation pipeline a 100 TB pretraining run
     // executes, end-to-end and oracle-gated: deterministic hash sample →
     // quality/language scoring → quality gate → exact near-dup removal
@@ -880,6 +911,8 @@ object SparkEntry {
     s"SELECT *, (c_custkey % 2 = 0) AS $M FROM customer WHERE c_custkey % 29 = 0"
   private val DE =
     s"SELECT *, (event_id % 2 = 0) AS $M FROM events WHERE event_id % 37 = 0"
+  private val DD =
+    s"SELECT *, (doc_id % 2 = 0) AS $M FROM documents WHERE doc_id % 13 = 0"
 
   def oracleSql: Map[String, String] = Map(
     "q01_ivm_select_all" -> DL,
@@ -1072,6 +1105,34 @@ object SparkEntry {
           )
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q65_ivm_dedup_apply" ->
+      s"""WITH ap AS (
+            SELECT doc_id, text, SUM(w) AS c FROM (
+              SELECT doc_id, text, 1 AS w FROM documents
+              UNION ALL
+              SELECT doc_id, text,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DD)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+                 CAST(SUM(c) AS BIGINT) AS n_copies
+          FROM ap GROUP BY md5(text)""",
+
+    "q66_ivm_corpus_stats_apply" ->
+      s"""WITH ap AS (
+            SELECT doc_id, text, SUM(w) AS c FROM (
+              SELECT doc_id, text, 1 AS w FROM documents
+              UNION ALL
+              SELECT doc_id, text,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DD)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), a AS (${textAnalyzeSql("ap")})
+          SELECT pred_lang,
+                 CAST(SUM(n_tokens * c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c) AS BIGINT) AS n_docs
+          FROM a JOIN ap USING (doc_id)
+          GROUP BY pred_lang""",
 
     "q63_curation_pipeline" ->
       s"""WITH sampled AS (
