@@ -70,18 +70,27 @@ object ZDelta {
       else sliceFn(path, keyDf, keys)
 
     /** Pin an O(touched)-size intermediate consumed by several downstream
-      * plans. Default mode truncates the logical plan at the pin (eager
-      * `localCheckpoint`): every pinned frame becomes a leaf, so the
-      * composite delta plan's Catalyst analysis cost stays O(level) instead
-      * of compounding over the whole lineage — on a join view at sf0.1
-      * this is most of the per-batch floor. `-Dgraft.pinMode=cache` keeps
-      * the old lazy-cache behavior (full lineage, lazily forced).
-      * Checkpointed pins free their blocks via the ContextCleaner once the
-      * refresh drops them; unpersist() on them is a harmless no-op. */
+      * plans. Default mode is a LAZY `localCheckpoint`: the logical plan
+      * truncates to a leaf IMMEDIATELY (so the composite delta plan's
+      * Catalyst analysis cost stays O(level) instead of compounding over
+      * the whole lineage — on a join view at sf0.1 this is most of the
+      * per-batch floor), while the data materializes on first use INSIDE
+      * the commit actions — the pin chain executes as stages of the
+      * merges' own (concurrent) jobs instead of one serial driver-blocking
+      * job per pin; concurrent consumers dedupe through the RDD cache
+      * locks. `-Dgraft.pinMode=eager` forces each pin as its own job at
+      * plan time; `-Dgraft.pinMode=cache` keeps the lazy-cache behavior
+      * (full lineage). Checkpointed pins free their blocks via the
+      * ContextCleaner once the refresh drops them; unpersist() on them is
+      * a harmless no-op. Like any localCheckpoint, losing an executor
+      * mid-refresh fails the batch (retry the refresh) rather than
+      * recomputing lineage — acceptable for a maintenance loop. */
     def pin(df: DataFrame): DataFrame = {
-      val c =
-        if (sys.props.get("graft.pinMode").contains("cache")) df.cache()
-        else df.localCheckpoint(true)
+      val c = sys.props.getOrElse("graft.pinMode", "lazy") match {
+        case "cache" => df.cache()
+        case "eager" => df.localCheckpoint(true)
+        case _       => df.localCheckpoint(false)
+      }
       pins += c; c
     }
   }
