@@ -224,6 +224,39 @@ object Demo {
     require(rj.count() > 0, "range join matched nothing")
     println("temporal joins OK")
 
+    // ---- 8. round-3 surface: variance/min_by aggregates + a WITH chain
+    // through the SQL front-end, maintained on the LSM store; ROLLUP as a
+    // maintained composition; duplicate clustering
+    val (_, varQ) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV var_v AS
+         WITH biggish AS (SELECT l_returnflag, l_quantity FROM lineitem
+                          WHERE l_quantity > 10)
+         SELECT l_returnflag, VAR_SAMP(l_quantity) AS vq,
+                STDDEV(l_quantity) AS sq,
+                MIN_BY(l_quantity, l_quantity) AS mn, COUNT(*) AS n
+         FROM biggish GROUP BY l_returnflag""")
+    Ivm.create("var_v", varQ, base, lsmStore)
+    Ivm.refreshState("var_v", varQ, base, deltas, lsmStore)
+    require(Ivm.read("var_v", varQ, lsmStore).exceptAll(
+      Ivm.recompute(varQ, base, deltas)).isEmpty,
+      "variance/min_by refresh mismatch on LSM store")
+    val rollQ = IvmQuery.rollup(Scan("lineitem"),
+      Seq("l_returnflag" -> "string", "l_linestatus" -> "string"),
+      Seq(AggSpec.Sum(org.apache.spark.sql.functions.col("l_quantity"), "sq"),
+        AggSpec.CountStar("n")))
+    Ivm.create("roll_v", rollQ, base, lsmStore)
+    Ivm.refreshState("roll_v", rollQ, base, deltas, lsmStore)
+    require(Ivm.read("roll_v", rollQ, lsmStore).exceptAll(
+      Ivm.recompute(rollQ, base, deltas)).isEmpty,
+      "maintained ROLLUP refresh mismatch")
+    val comps = graft.ops.Dedup.clusters(
+      spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (7L, 8L)))
+        .toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
+      s"duplicate clustering wrong: $comps")
+    println("variance/rollup/clusters OK")
+
     println("DEMO OK")
     spark.stop()
   }
