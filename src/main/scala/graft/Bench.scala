@@ -106,6 +106,41 @@ object Bench {
       f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
+    // Scaling evidence for the Q13 join-view floor claim: refresh cost is
+    // O(‖Δ‖ + fixed floor) while recompute is O(base), so across a 10×
+    // base-size change (sf0.01 → sf0.1; the delta predicate keeps ‖Δ‖ a
+    // constant fraction) refresh time should stay near-flat and recompute
+    // should grow — the measured basis of the "crossover near sf0.2"
+    // extrapolation in README known limits.
+    val scalingJson = try {
+      import graft.ivm._
+      val pts = Seq("/root/testdata/sf0.01", sfDir).distinct
+        .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+        .map { d =>
+          val store = new ParquetStore(spark,
+            java.nio.file.Files.createTempDirectory("ivm-scale").toString)
+          val dd = java.nio.file.Files.createTempDirectory("ivm-scale-d").toString
+          Fixtures.deltaOrders(spark, d).write.mode("overwrite").parquet(dd)
+          val deltas: String => Option[DataFrame] = {
+            case "orders" => Some(spark.read.parquet(dd))
+            case _        => None
+          }
+          val q13 = SparkEntry.q13RealView
+          Ivm.create("scale_q13", q13, Fixtures.base(spark, d), store)
+          def refresh() = Ivm.refreshState("scale_q13", q13,
+            Fixtures.base(spark, d), deltas, store)
+          def recompute(tag: String) = store.put(s"scale_full$tag",
+            Ivm.recompute(q13, Fixtures.base(spark, d), deltas))
+          refresh(); refresh() // warm-ups
+          val tR = (1 to 2).map(_ => time(refresh())).sum / 2
+          recompute("w")
+          val tC = (1 to 2).map(i => time(recompute(s"s$i"))).sum / 2
+          val sf = d.split("/").last
+          f""""$sf":{"q13_refresh_sec":$tR%.3f,"q13_recompute_sec":$tC%.3f}"""
+        }
+      pts.mkString("{", ",", "}")
+    } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
+
     // LSM state store: steady-state refresh of a WIDE high-cardinality
     // view (~600k (orderkey, linenumber) groups at sf0.1) on a
     // FORCED-bucketed store — overlay appends (maxChain=8) vs
@@ -234,7 +269,7 @@ object Bench {
       f"""{"batches":$nBatches,"total_sec":$total%.3f,"per_batch_sec":${total / nBatches}%.3f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
