@@ -78,11 +78,16 @@ object VecDot {
         classOf[VecDot].getCanonicalName, FnName),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
 
-  /** Register `graft_vec_dot` in the session's function registry (idempotent)
-    * so it is reachable from the public Column API via `call_function`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
+  /** Register `graft_vec_dot` in the session's function registry (idempotent —
+    * skips when already present, so repeated calls don't log replacement
+    * warnings) so it is reachable from the Column API via `call_function`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        FnName, exprs => VecDot(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Dot product column; requires [[register]] on the owning session. */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
