@@ -114,7 +114,7 @@ object Bench {
     // extrapolation in README known limits.
     val scalingJson = try {
       import graft.ivm._
-      val pts = Seq("/root/testdata/sf0.01", sfDir).distinct
+      val pts = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir).distinct
         .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
         .map { d =>
           val store = new ParquetStore(spark,
