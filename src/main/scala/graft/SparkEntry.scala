@@ -719,6 +719,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Multi-view SHARED-STATE maintenance under the oracle gate: two views
+    // over the same per-customer order counts (the Q13 interior) share ONE
+    // content-addressed interior state, refreshed once per batch; the gate
+    // reads the Q13 histogram view, whose oracle is the q14 SQL.
+    "q67_ivm_shared_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val interior = Aggregate(
+        LeftJoin(
+          Project(Scan("customer"), Seq(col("c_custkey").as("custkey"))),
+          Project(Scan("orders"), Seq(col("o_custkey").as("custkey"),
+            col("o_orderkey"))),
+          Seq("custkey")),
+        Seq("custkey"), Seq(Count(col("o_orderkey"), "c_count")))
+      val hist = Aggregate(interior, Seq("c_count"), Seq(CountStar("custdist")))
+      val tot = Aggregate(interior, Seq.empty,
+        Seq(Sum(col("c_count"), "torders"), CountStar("ncust")))
+      val views = Map("hist" -> hist, "tot" -> tot)
+      Ivm.createShared(views, base(s, dir), store)
+      Ivm.refreshShared(views, base(s, dir), deltas(s, dir), store)
+      Ivm.readShared(hist, store)
+    }),
+
     // INCREMENTAL DEDUP MAINTENANCE: the keep-one-per-digest table as a
     // maintained view — document inserts/deletes update keep decisions in
     // O(‖Δ‖) (deleting the kept copy falls back to the next-lowest id via
@@ -1002,6 +1024,23 @@ object SparkEntry {
       s"""WITH o2 AS (
             -- multiset apply: m = post-delta multiplicity per order row
             -- (a derived "insert" duplicates an existing base row -> m = 2)
+            SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY o_orderkey, o_custkey HAVING SUM(w) > 0
+          ), c1 AS (
+            SELECT c_custkey, CAST(COALESCE(SUM(m), 0) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN o2 ON c_custkey = o_custkey
+            GROUP BY c_custkey
+          )
+          SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+          FROM c1 GROUP BY c_count""",
+
+    // Shared-state maintenance of the same Q13 view — identical oracle.
+    "q67_ivm_shared_apply" ->
+      s"""WITH o2 AS (
             SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
               SELECT o_orderkey, o_custkey, 1 AS w FROM orders
               UNION ALL
