@@ -435,6 +435,17 @@ object SparkEntry {
       ops.Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
         n = 3, threshold = 0.5, maxShingleDf = 100)),
 
+    // Benchmark decontamination: corpus docs sharing >= 2 distinct 3-gram
+    // shingles with an eval-set doc (eval set = doc_id % 101 = 0). The
+    // bench shingle set broadcasts; the corpus never self-joins.
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ops.Dedup.benchmarkOverlap(
+        docs.where(col("doc_id") % 101 =!= 0),
+        docs.where(col("doc_id") % 101 === 0),
+        n = 3, minHits = 2)
+    }),
+
     // MinHash + LSH banding candidate pairs.
     "q22_dedup_minhash" -> ((s, dir) =>
       ops.Dedup.minhashLshPairs(tbl(s, dir, "documents"), k = 8, bands = 4)),
@@ -677,6 +688,117 @@ object SparkEntry {
       Ivm.refreshState("q48", v, base(s, dir), deltas(s, dir), store)
       Ivm.read("q48", v, store)
         .select(col("n"), col("dist"), col("total").cast("double").as("total"))
+    }),
+
+    // SQL FILTER (WHERE …) clause on aggregates: folds to a CASE-WHEN-
+    // guarded argument (rows failing the predicate contribute NULL, which
+    // every aggregate's null guard already ignores), so the standard
+    // equivalence makes filtered aggregates maintainable under deletion
+    // with zero new delta machinery. AVG stays on the integer-valued
+    // l_quantity so both engines sum exactly and divide once.
+    "q68_immv_agg_filter" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q68 AS
+           SELECT l_returnflag,
+                  SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+                  COUNT(*) FILTER (WHERE l_quantity > 25) AS cnt_big,
+                  AVG(l_quantity) FILTER (WHERE l_tax > 0.03) AS avg_taxed,
+                  COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag""")
+      Ivm.create("q68", v, base(s, dir), store)
+      Ivm.refreshState("q68", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q68", v, store)
+    }),
+
+    // ------------- maintained TPC-H pack (the queries users actually run;
+    // all through the SQL front-end, maintained under both-table deltas).
+    // Money expressions stay in narrow DECIMALs sized to the data
+    // (extendedprice<=105k -> 12,2; discount/tax<=0.10 -> 4,2; the literal
+    // 1 cast to 3,2 keeps Spark's decimal-precision growth under the
+    // 38-digit cap with no rounding), so both engines sum exactly in any
+    // order and the gate compares one final double cast.
+
+    // TPC-H Q1: pricing summary over lineitem (avg_price/avg_disc shapes
+    // are the q16 AVG path; the gate keeps the exactly-summable ones).
+    "q69_tpch_q1" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q69 AS
+           SELECT l_returnflag, l_linestatus,
+                  SUM(l_quantity) AS sum_qty,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS sum_disc_price,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+                      (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                    AS sum_charge,
+                  AVG(l_quantity) AS avg_qty,
+                  COUNT(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""")
+      Ivm.create("q69", v, base(s, dir), store)
+      Ivm.refreshState("q69", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q69", v, store)
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price").cast("double").as("sum_base_price"),
+          col("sum_disc_price").cast("double").as("sum_disc_price"),
+          col("sum_charge").cast("double").as("sum_charge"),
+          col("avg_qty"), col("count_order"))
+    }),
+
+    // TPC-H Q3 (adapted to the synthetic schema: o_orderpriority for the
+    // missing o_shippriority): 3-way join + grouped revenue, maintained
+    // with deltas on BOTH orders and lineitem. Sub-selects align the join
+    // key names, the shape the frontend's USING surface expects.
+    "q70_tpch_q3" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q70 AS
+           SELECT o_orderkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS revenue,
+                  o_orderdate, o_orderpriority
+           FROM (SELECT c_custkey AS o_custkey FROM customer
+                 WHERE c_mktsegment = 'BUILDING') c
+           JOIN (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+                 FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00') o
+             USING (o_custkey)
+           JOIN (SELECT l_orderkey AS o_orderkey, l_extendedprice, l_discount
+                 FROM lineitem
+                 WHERE l_shipdate > TIMESTAMP '1998-07-01 00:00:00') l
+             USING (o_orderkey)
+           GROUP BY o_orderkey, o_orderdate, o_orderpriority""")
+      Ivm.create("q70", v, base(s, dir), store)
+      Ivm.refreshState("q70", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q70", v, store)
+        .select(col("o_orderkey"), col("revenue").cast("double").as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    // TPC-H Q6: global forecast-revenue aggregate behind a conjunctive
+    // band filter — the filter prunes the delta before any state work.
+    "q71_tpch_q6" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q71 AS
+           SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(4,2))) AS revenue,
+                  COUNT(*) AS cnt
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             AND l_discount BETWEEN 0.02 AND 0.06
+             AND l_quantity < 24""")
+      Ivm.create("q71", v, base(s, dir), store)
+      Ivm.refreshState("q71", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q71", v, store)
+        .select(col("revenue").cast("double").as("revenue"), col("cnt"))
     }),
 
     // Event-time tumbling-window aggregation as a MAINTAINED view: the
@@ -1113,6 +1235,97 @@ object SparkEntry {
                  CAST(SUM(amt) AS DOUBLE) AS total
           FROM percust GROUP BY n""",
 
+    "q68_immv_agg_filter" ->
+      s"""SELECT l_returnflag,
+            SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END * w) AS qty_f,
+            CAST(SUM(CASE WHEN l_quantity > 25 THEN w ELSE 0 END) AS BIGINT)
+              AS cnt_big,
+            SUM(CASE WHEN l_tax > 0.03 THEN l_quantity END * w)
+              / SUM(CASE WHEN l_tax > 0.03 THEN w END) AS avg_taxed,
+            CAST(SUM(w) AS BIGINT) AS cnt
+          FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity, l_tax, 1 AS w
+            FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_quantity, l_tax,
+                   CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+          ) GROUP BY l_returnflag HAVING SUM(w) > 0""",
+
+    "q69_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            SUM(l_quantity * w) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * w) AS DOUBLE)
+              AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                     * w) AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+                     (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+                     * w) AS DOUBLE) AS sum_charge,
+            SUM(l_quantity * w) / SUM(w) AS avg_qty,
+            CAST(SUM(w) AS BIGINT) AS count_order
+          FROM (
+            SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+                   l_discount, l_tax, 1 AS w FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            UNION ALL
+            SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+                   l_discount, l_tax, CASE WHEN $M THEN 1 ELSE -1 END
+            FROM ($DL) WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          ) GROUP BY l_returnflag, l_linestatus HAVING SUM(w) > 0""",
+
+    "q70_tpch_q3" ->
+      s"""WITH o2 AS (
+            SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority, 1 AS w
+              FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+                     CASE WHEN $M THEN 1 ELSE -1 END
+              FROM ($DO_) WHERE o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+            ) GROUP BY 1, 2, 3, 4 HAVING SUM(w) > 0
+          ), l2 AS (
+            SELECT l_orderkey, l_extendedprice, l_discount,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_orderkey, l_extendedprice, l_discount, 1 AS w
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+              UNION ALL
+              SELECT l_orderkey, l_extendedprice, l_discount,
+                     CASE WHEN $M THEN 1 ELSE -1 END
+              FROM ($DL) WHERE l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT o2.o_orderkey,
+            CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2)) *
+                     (CAST(1 AS DECIMAL(3,2)) - CAST(l2.l_discount AS DECIMAL(4,2)))
+                     * o2.m * l2.m) AS DOUBLE) AS revenue,
+            o2.o_orderdate, o2.o_orderpriority
+          FROM customer
+          JOIN o2 ON c_custkey = o2.o_custkey
+          JOIN l2 ON l2.l_orderkey = o2.o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY 1, 3, 4""",
+
+    "q71_tpch_q6" ->
+      s"""SELECT
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     CAST(l_discount AS DECIMAL(4,2)) * w) AS DOUBLE) AS revenue,
+            CAST(SUM(w) AS BIGINT) AS cnt
+          FROM (
+            SELECT l_extendedprice, l_discount, 1 AS w FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+            UNION ALL
+            SELECT l_extendedprice, l_discount, CASE WHEN $M THEN 1 ELSE -1 END
+            FROM ($DL)
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+          )""",
+
     "q49_ivm_window_apply" ->
       s"""WITH ap AS (
             SELECT "hour", event_type, user_id, value, SUM(w) AS c FROM (
@@ -1506,6 +1719,14 @@ object SparkEntry {
 
     "q22_dedup_minhash" ->
       s"$minhashPairsCtes SELECT a_id, b_id FROM pairs",
+
+    "q72_decontaminate" ->
+      s"""$ShingleCte
+          SELECT c.id AS doc_id, b.id AS bench_id,
+                 CAST(COUNT(*) AS BIGINT) AS hits
+          FROM sh c JOIN sh b ON c.shingle = b.shingle
+          WHERE c.id % 101 <> 0 AND b.id % 101 = 0
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // Transitive closure of the undirected pair graph via a recursive CTE;
     // each node's component rep = the minimum reachable id (including

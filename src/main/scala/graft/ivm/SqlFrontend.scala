@@ -46,6 +46,11 @@ object SqlFrontend {
   private def fold(plan: LogicalPlan): IvmQuery = plan match {
     case Project(exprs, child) if exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
       fold(child) // SELECT * — passthrough (reference tests/ivm.test:29)
+    // Global aggregate: the parser leaves SELECT SUM(x) FROM t (no GROUP
+    // BY) as a Project — aggregation is normally inferred at analysis
+    // time, which the fold replaces. Detect by aggregate-function name.
+    case Project(exprs, child) if exprs.exists(isGlobalAggItem) =>
+      foldAggregate(Nil, exprs, fold(child))
     case Project(exprs, child) => Filterable.project(exprs, fold(child))
     // IN-subquery → maintained SEMI JOIN: the subquery becomes a DISTINCT
     // key-set view (group liveness = set membership) inner-joined against
@@ -283,6 +288,19 @@ object SqlFrontend {
     case _                     => false
   }
 
+  private val AggFnNames = Set("sum", "count", "avg", "mean", "min", "max",
+    "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
+    "stddev_pop", "min_by", "max_by")
+
+  /** True for a select item that is an aggregate call by NAME (the naive
+    * [[isAggCall]] matches any function — too broad to distinguish a
+    * global aggregate from a scalar projection). */
+  private def isGlobalAggItem(e: NamedExpression): Boolean = e match {
+    case Alias(UnresolvedFunction(fn, _, _, _, _, _, _), _) =>
+      AggFnNames(fn.last.toLowerCase)
+    case _ => false
+  }
+
   /** Fold GROUP BY + select list. Grouping items may be plain columns,
     * arbitrary scalar EXPRESSIONS, or references to a select-list alias
     * (`GROUP BY year(d)` with `SELECT year(d) AS y`, or `GROUP BY y`);
@@ -315,14 +333,14 @@ object SqlFrontend {
     val aggs = aggExprs.flatMap {
       case a: UnresolvedAttribute if keys.contains(a.nameParts.last) => None
       case Alias(e, name) if keys.contains(name) && !isAggCall(e) => None
-      case Alias(UnresolvedFunction(fn, args, false, _, _, _, _), name) =>
-        Some(toAggSpec(fn.last.toLowerCase, args, name))
-      case Alias(UnresolvedFunction(fn, Seq(e), true, _, _, _, _), name)
+      case Alias(UnresolvedFunction(fn, args, false, filt, _, _, _), name) =>
+        Some(toAggSpec(fn.last.toLowerCase, args, filt, name))
+      case Alias(UnresolvedFunction(fn, Seq(e), true, filt, _, _, _), name)
           if fn.last.toLowerCase == "count" => // COUNT(DISTINCT e)
-        Some(AggSpec.CountDistinct(expr(e.sql), name))
-      case Alias(UnresolvedFunction(fn, Seq(e), true, _, _, _, _), name)
+        Some(AggSpec.CountDistinct(filtered(e, filt), name))
+      case Alias(UnresolvedFunction(fn, Seq(e), true, filt, _, _, _), name)
           if fn.last.toLowerCase == "sum" => // SUM(DISTINCT e)
-        Some(AggSpec.SumDistinct(expr(e.sql), name))
+        Some(AggSpec.SumDistinct(filtered(e, filt), name))
       case other => throw new UnsupportedOperationException(
         s"unsupported select item in aggregate: ${other.sql}")
     }
@@ -343,22 +361,41 @@ object SqlFrontend {
     graft.ivm.Aggregate(foldedChild, keys, aggs)
   }
 
-  private def toAggSpec(fn: String, args: Seq[Expression], name: String): AggSpec =
+  /** Aggregate argument with its `FILTER (WHERE p)` clause applied: rows
+    * failing the predicate contribute a NULL argument, which every
+    * aggregate's null guard already ignores — the standard CASE-WHEN
+    * equivalence, so the maintained delta rules need no new machinery. */
+  private def filtered(
+      e: Expression, filt: Option[Expression]): org.apache.spark.sql.Column =
+    filt match {
+      case None    => expr(e.sql)
+      case Some(f) => org.apache.spark.sql.functions.when(expr(f.sql), expr(e.sql))
+    }
+
+  private def toAggSpec(fn: String, args: Seq[Expression],
+      filt: Option[Expression], name: String): AggSpec =
     (fn, args) match {
-      case ("sum", Seq(e))              => AggSpec.Sum(expr(e.sql), name)
-      case ("count", Seq(_: UnresolvedStar)) => AggSpec.CountStar(name)
-      case ("count", Seq(e))            => AggSpec.Count(expr(e.sql), name)
-      case ("avg" | "mean", Seq(e))     => AggSpec.Avg(expr(e.sql), name)
-      case ("min", Seq(e))              => AggSpec.Min(expr(e.sql), name)
-      case ("max", Seq(e))              => AggSpec.Max(expr(e.sql), name)
-      case ("var_samp" | "variance", Seq(e)) => AggSpec.VarSamp(expr(e.sql), name)
-      case ("var_pop", Seq(e))          => AggSpec.VarPop(expr(e.sql), name)
+      // COUNT(*) FILTER (WHERE p) counts qualifying rows = COUNT(p-guarded 1)
+      case ("count", Seq(_: UnresolvedStar)) => filt match {
+        case None    => AggSpec.CountStar(name)
+        case Some(f) => AggSpec.Count(
+          org.apache.spark.sql.functions.when(expr(f.sql),
+            org.apache.spark.sql.functions.lit(1)), name)
+      }
+      case ("sum", Seq(e))              => AggSpec.Sum(filtered(e, filt), name)
+      case ("count", Seq(e))            => AggSpec.Count(filtered(e, filt), name)
+      case ("avg" | "mean", Seq(e))     => AggSpec.Avg(filtered(e, filt), name)
+      case ("min", Seq(e))              => AggSpec.Min(filtered(e, filt), name)
+      case ("max", Seq(e))              => AggSpec.Max(filtered(e, filt), name)
+      case ("var_samp" | "variance", Seq(e)) => AggSpec.VarSamp(filtered(e, filt), name)
+      case ("var_pop", Seq(e))          => AggSpec.VarPop(filtered(e, filt), name)
       case ("stddev_samp" | "stddev" | "std", Seq(e)) =>
-        AggSpec.StddevSamp(expr(e.sql), name)
-      case ("stddev_pop", Seq(e))       => AggSpec.StddevPop(expr(e.sql), name)
-      // SQL argument order is min_by(arg, value)
-      case ("min_by", Seq(a, v)) => AggSpec.MinBy(expr(v.sql), expr(a.sql), name)
-      case ("max_by", Seq(a, v)) => AggSpec.MaxBy(expr(v.sql), expr(a.sql), name)
+        AggSpec.StddevSamp(filtered(e, filt), name)
+      case ("stddev_pop", Seq(e))       => AggSpec.StddevPop(filtered(e, filt), name)
+      // SQL argument order is min_by(arg, value); a filtered-out row gets a
+      // NULL value, and a NULL value never enters the (value, arg) pair state
+      case ("min_by", Seq(a, v)) => AggSpec.MinBy(filtered(v, filt), expr(a.sql), name)
+      case ("max_by", Seq(a, v)) => AggSpec.MaxBy(filtered(v, filt), expr(a.sql), name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

@@ -55,6 +55,32 @@ object Dedup {
       }.toDF("id", "shingle")
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark-contamination detection: corpus documents sharing at least
+    * `minHits` distinct word n-grams with an evaluation-set document.
+    * Training pipelines run this before every release — eval rows that
+    * leak into the corpus invalidate the benchmark.
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval sets
+    * are thousands of docs against a 100 TB corpus), so its distinct
+    * shingle set is broadcast and the corpus streams through a map-side
+    * hash join — the only shuffle is the per-(doc, bench) hit count.
+    * Shingles meet as xxhash64 keys (8 bytes, collision odds
+    * ~|shingles|²/2⁶⁴), never as strings. */
+  def benchmarkOverlap(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+      minHits: Int = 2): DataFrame = {
+    def hashed(docs: DataFrame, as: String) =
+      shingles(docs, n)
+        .select(col("id").as(as), xxhash64(col("shingle")).as("h"))
+        .distinct()
+    hashed(corpus, "doc_id")
+      .join(broadcast(hashed(bench, "bench_id")), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+  }
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Near-duplicate pairs by n-gram Jaccard similarity ≥ `threshold`.

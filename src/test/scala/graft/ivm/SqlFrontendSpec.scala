@@ -28,6 +28,19 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       Seq("k", 2, 1, false)))
   }
 
+  test("CREATE IMMV with FILTER (WHERE ...) on aggregates") {
+    fixtures()
+    SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_vf AS
+         SELECT b, SUM(a) FILTER (WHERE c <> 'Mark') AS sum_nm,
+                COUNT(*) FILTER (WHERE a > 1) AS cnt_big
+         FROM hello GROUP BY b""")
+    // delta rows: (1,k,Mark,+) — both filters reject; (2,k,Hannes,-) — both pass
+    assertRows(Ivm.upsert(spark, "sql_vf"), Set(
+      Seq("k", null, 0L, true),
+      Seq("k", 2L, 1L, false)))
+  }
+
   test("CREATE IMMV with WHERE and SELECT *") {
     fixtures()
     SqlFrontend.createImmv(spark,
