@@ -801,6 +801,30 @@ object SparkEntry {
         .select(col("revenue").cast("double").as("revenue"), col("cnt"))
     }),
 
+    // CROSS-BATCH multi-table maintenance under the oracle: batch 1
+    // applies the orders delta alone, batch 2 the lineitem delta alone.
+    // Batch 2's Δlineitem must join orders AS OF batch 1 (base ⊎ Δorders,
+    // read from the per-table delta accumulator) — the interaction the
+    // one-batch join formula misses. The oracle applies both deltas.
+    "q73_ivm_crossbatch" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(
+        Join(
+          Project(Scan("orders"), Seq(col("o_orderkey").as("k"),
+            col("o_orderpriority"))),
+          Project(Scan("lineitem"), Seq(col("l_orderkey").as("k"),
+            col("l_quantity"))),
+          Seq("k")),
+        Seq("o_orderpriority"),
+        Seq(Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
+      Ivm.create("q73", v, base(s, dir), store)
+      Ivm.refreshState("q73", v, base(s, dir),
+        t => if (t == "orders") Some(deltaOrders(s, dir)) else None, store)
+      Ivm.refreshState("q73", v, base(s, dir),
+        t => if (t == "lineitem") Some(deltaLineitem(s, dir)) else None, store)
+      Ivm.read("q73", v, store)
+    }),
+
     // Event-time tumbling-window aggregation as a MAINTAINED view: the
     // window bucket is a computed group key (Project below the Aggregate),
     // so late/retracted events adjust exactly the touched hour buckets —
@@ -1325,6 +1349,27 @@ object SparkEntry {
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
               AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
           )""",
+
+    "q73_ivm_crossbatch" ->
+      s"""WITH o2 AS (
+            SELECT o_orderkey, o_orderpriority, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_orderpriority, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), l2 AS (
+            SELECT l_orderkey, l_quantity, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_orderkey, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT o_orderpriority, SUM(l_quantity * o2.m * l2.m) AS sum_qty,
+                 CAST(SUM(o2.m * l2.m) AS BIGINT) AS cnt
+          FROM o2 JOIN l2 ON o_orderkey = l_orderkey
+          GROUP BY 1""",
 
     "q49_ivm_window_apply" ->
       s"""WITH ap AS (

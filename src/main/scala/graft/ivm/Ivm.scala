@@ -93,13 +93,42 @@ object Ivm {
       view: String,
       q: IvmQuery,
       base: String => DataFrame,
-      store: IvmStore): DataFrame = {
+      store: IvmStore): DataFrame =
+    create(view, q, base, store, deltaTables = null)
+
+  /** [[create]] with a DECLARED set of base tables that will ever receive
+    * deltas (default: all of the view's tables). The declaration is the
+    * perf knob for join views: a table's delta ACCUMULATOR (the state that
+    * lets later batches join against the side's current content) is
+    * maintained only when the OPPOSITE join side contains a declared
+    * table — a Q13 loop fed by orders deltas alone declares
+    * `Set("orders")` and pays zero accumulator work per batch. Refresh
+    * rejects a delta for an undeclared table (the maintained result would
+    * silently drift). */
+  def create(
+      view: String,
+      q: IvmQuery,
+      base: String => DataFrame,
+      store: IvmStore,
+      deltaTables: Set[String]): DataFrame = {
     store.transaction {
       createStates(q, base, store, (_, p) => stateName(view, p),
         topName = stateName(view, TOP), skipExisting = false)
+      if (deltaTables != null) {
+        val unknown = deltaTables -- q.tables.toSet
+        require(unknown.isEmpty, s"declared delta tables not in view: $unknown")
+        store.setTag(s"$view/_delta_tables", deltaTables.toSeq.sorted.mkString(","))
+      }
     }
     read(view, q, store)
   }
+
+  /** Declared delta tables of a view (absent tag → all tables). */
+  private def declaredDeltaTables(view: String, q: IvmQuery, store: IvmStore): Set[String] =
+    store.getTag(s"$view/_delta_tables") match {
+      case Some(s) => s.split(',').filter(_.nonEmpty).toSet
+      case None    => q.tables.toSet
+    }
 
   /** Materialize every interior state of `q` (bottom-up), naming each
     * stateful node via `nameOf` and declaring its bucketing keys so the
@@ -243,12 +272,21 @@ object Ivm {
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
-        timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)))
+        timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)),
+      stateOpt = p => store.get(stateName(view, p)))
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))
       return Eval.eval(q, base).limit(0).withColumn(WEIGHT, lit(1)).limit(0)
+    val declared = declaredDeltaTables(view, q, store)
+    for (t <- q.tables.distinct if deltas(t).isDefined && !declared(t))
+      throw new IllegalStateException(
+        s"IVM: view '$view' received a delta for undeclared table '$t' — " +
+          s"declare it in Ivm.create(deltaTables=...) (declared: $declared)")
     val dv0 = timed("plan-delta")(ZDelta.delta(q, ctx))
+    // Per-table delta accumulators (join-side tables only): the NEXT
+    // batch's join terms read current sides from them.
+    ZDelta.queueAccUpdates(q, ctx, declared)
     // Pin ΔV before commits when the caller (or the SPJ top merge) reads
     // it: the pinned frame survives the pins-unpersist below, and forcing
     // it here also warms the shared state-join caches the merges reuse.
@@ -284,9 +322,15 @@ object Ivm {
   private def commitUpdate(store: IvmStore, name: String, u: ZDelta.StateUpdate): Unit =
     if (u.keys.isEmpty)
       store.put(name, u.updated) // global agg state: always one live row
-    else
-      store.merge(name, u.updated, u.keys,
-        col(HCOUNT) > 0, u.bucketKeys, u.keyHint)
+    else {
+      val alive = Option(u.alive).getOrElse(col(HCOUNT) > 0)
+      if (store.get(name).isEmpty)
+        // lazily-created state (the per-table delta accumulators): first
+        // batch writes the live rows directly
+        store.putKeyed(name, u.updated.where(alive),
+          if (u.bucketKeys.nonEmpty) u.bucketKeys else u.keys)
+      else store.merge(name, u.updated, u.keys, alive, u.bucketKeys, u.keyHint)
+    }
 
   /** Fold ΔV into an SPJ view's stored multiset — per-key count
     * adjustments over touched rows only (never a full-state groupBy). */
@@ -347,11 +391,12 @@ object Ivm {
       store: IvmStore): Unit = {
     val ctx = ZDelta.Ctx(base, deltas, p => store(p),
       sliceFn = (p, kdf, ks) => store.slice(p, kdf, ks),
-      namer = sharedNamer)
+      namer = sharedNamer,
+      stateOpt = p => store.get(p))
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
       for (q <- views.values.toSeq.distinctBy(_.toString)
-             if ZDelta.hasDelta(q, ctx)) // untouched views are no-ops
+             if ZDelta.hasDelta(q, ctx)) { // untouched views are no-ops
         q match {
           case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
           case _ =>
@@ -359,6 +404,9 @@ object Ivm {
             c.count() // pin ΔV before any commit
             spjTops += ((q, c))
         }
+        // shared accumulators dedupe by path (content-addressed per table)
+        ZDelta.queueAccUpdates(q, ctx, q.tables.toSet)
+      }
       inParallel(ctx.updates.toSeq.distinctBy(_.path)) { u =>
         commitUpdate(store, u.path, u)
       }

@@ -223,9 +223,14 @@ final class ParquetStore(
 
   // Staged (uncommitted) edits of the open transaction. Store-level (not
   // thread-local): a refresh stages puts from its parallel state-commit
-  // worker threads, and all of them must land in ONE manifest flip. One
-  // open transaction per store at a time (the engine refreshes serially).
-  private val txnLock = new Object
+  // worker threads, and all of them must land in ONE manifest flip.
+  // Outer transactions SERIALIZE on txnMonitor (held for the whole body):
+  // two streaming queries maintaining views in one store commit one at a
+  // time, each with its own atomic manifest flip — without the lock their
+  // stages would interleave into one flip and a crash could publish one
+  // stream's partial refresh under the other's batch tag. Same-thread
+  // nesting still stages into the outer flip (the lock is reentrant).
+  private val txnMonitor = new java.util.concurrent.locks.ReentrantLock()
   @volatile private var txnDepth = 0
   @volatile private var txnEntries: TrieMap[String, Entry] = _
   @volatile private var txnTags: TrieMap[String, String] = _
@@ -424,18 +429,18 @@ final class ParquetStore(
   /** Reentrant: a transaction opened inside another stages into the outer
     * one, so `applyBatch { refresh { … }; setTag }` flips once. */
   override def transaction[A](body: => A): A = {
-    val isOuter = txnLock.synchronized {
-      if (txnDepth == 0) { txnEntries = TrieMap.empty; txnTags = TrieMap.empty }
-      txnDepth += 1
-      txnDepth == 1
-    }
+    txnMonitor.lock()
+    val isOuter = txnDepth == 0
+    if (isOuter) { txnEntries = TrieMap.empty; txnTags = TrieMap.empty }
+    txnDepth += 1
     try {
       val r = body
       if (isOuter) commit(txnEntries.toMap, txnTags.toMap)
       r
-    } finally txnLock.synchronized {
+    } finally {
       txnDepth -= 1
       if (txnDepth == 0) { txnEntries = null; txnTags = null }
+      txnMonitor.unlock()
     }
   }
 

@@ -44,7 +44,11 @@ object ZDelta {
       bucketKeys: Seq[String] = Seq.empty,
       /** small cached frame covering `updated`'s bucket keys — lets the
         * store find touched buckets without re-running `updated`'s plan */
-      keyHint: DataFrame = null)
+      keyHint: DataFrame = null,
+      /** liveness predicate for merged rows; null → the default
+        * `HCOUNT > 0`. Delta accumulators keep NEGATIVE counts (a net
+        * deletion of a base row) and die only at exactly 0. */
+      alive: Column = null)
 
   final case class Ctx(
       base: String => DataFrame,
@@ -60,7 +64,12 @@ object ZDelta {
         * the SAME state, and [[memo]] then computes each shared subtree's
         * delta (and queues its StateUpdate) exactly once per batch. */
       namer: (IvmQuery, String) => String = (_, p) => p,
-      memo: mutable.Map[String, DataFrame] = mutable.Map.empty) {
+      memo: mutable.Map[String, DataFrame] = mutable.Map.empty,
+      /** Optional state read: None when the state was never created. Used
+        * by [[currentW]] for the per-table delta accumulators, which are
+        * created lazily on a table's first delta — so a view that never
+        * saw a second batch reads pure base with zero plan overhead. */
+      stateOpt: String => Option[DataFrame] = _ => None) {
     /** State rows for the touched keys in `keyDf` — bucket-pruned when the
       * backing store supports it ([[IvmStore.slice]]), else a broadcast
       * semi-join over the full state. NOTE: the bucketed path evaluates
@@ -98,6 +107,160 @@ object ZDelta {
   /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
   def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
     q.tables.exists(t => ctx.deltaOf(t).isDefined)
+
+  // ---- current relations (base ⊎ applied deltas) ------------------------
+
+  /** State path of table `t`'s delta accumulator (the signed multiset of
+    * all deltas applied so far). Routed through the namer so shared-state
+    * view groups share one accumulator per table. */
+  private[ivm] def accPath(ctx: Ctx, t: String): String =
+    ctx.namer(Scan(t), s"acc.$t")
+
+  /** Tables needing a delta accumulator: reachable under a join side
+    * without crossing a stateful node (stateful nodes read their own
+    * state), THEMSELVES declared (a never-delta'd table is never stale),
+    * and with a declared table on the OPPOSITE side (only an other-side
+    * delta ever reads this side's current content). */
+  private[ivm] def accTables(q: IvmQuery, declared: Set[String]): Set[String] = {
+    def linear(n: IvmQuery): Set[String] = n match {
+      case Scan(t)            => Set(t)
+      case Filter(c, _)       => linear(c)
+      case Project(c, _)      => linear(c)
+      case Union(l, r)        => linear(l) ++ linear(r)
+      case Join(l, r, _)      => linear(l) ++ linear(r)
+      case LeftJoin(l, r, _)  => linear(l) ++ linear(r)
+      case RightJoin(l, r, _) => linear(l) ++ linear(r)
+      case FullJoin(l, r, _)  => linear(l) ++ linear(r)
+      case _: Aggregate       => Set.empty
+    }
+    def joinAcc(l: IvmQuery, r: IvmQuery): Set[String] = {
+      val accL = if (r.tables.exists(declared)) linear(l) & declared else Set.empty[String]
+      val accR = if (l.tables.exists(declared)) linear(r) & declared else Set.empty[String]
+      accL ++ accR ++ accTables(l, declared) ++ accTables(r, declared)
+    }
+    q match {
+      case Scan(_)            => Set.empty
+      case Filter(c, _)       => accTables(c, declared)
+      case Project(c, _)      => accTables(c, declared)
+      case Aggregate(c, _, _) => accTables(c, declared)
+      case Union(l, r)        => accTables(l, declared) ++ accTables(r, declared)
+      case Join(l, r, _)      => joinAcc(l, r)
+      case LeftJoin(l, r, _)  => joinAcc(l, r)
+      case RightJoin(l, r, _) => joinAcc(l, r)
+      case FullJoin(l, r, _)  => joinAcc(l, r)
+    }
+  }
+
+  /** CURRENT contents of a subtree as a weighted Z-relation (its output
+    * columns + WEIGHT = signed multiplicity): the create-time base
+    * snapshot ⊎ every PREVIOUSLY applied delta. Join delta terms must meet
+    * the other side AS OF the previous batch — reading the raw base here
+    * (the pre-accumulator behavior) silently dropped every cross-batch
+    * interaction between tables delta'd in different batches. Stateful
+    * nodes never replay: an Aggregate's current output IS its state; an
+    * outer join composes current sides with anti rows driven by its
+    * maintained match counts. */
+  private[ivm] def currentW(q: IvmQuery, ctx: Ctx, path: String): DataFrame = q match {
+    case Scan(t) =>
+      val cols = ctx.base(t).columns.toSeq
+      val b = ctx.base(t).withColumn(WEIGHT, lit(1L))
+      ctx.stateOpt(accPath(ctx, t)) match {
+        case Some(a) => b.unionByName(
+          a.select(cols.map(col) :+ col(HCOUNT).cast("long").as(WEIGHT): _*))
+        case None => b
+      }
+    case Filter(c, pred)  => currentW(c, ctx, path + ".0").filter(pred)
+    case Project(c, cols) => currentW(c, ctx, path + ".0").select(cols :+ col(WEIGHT): _*)
+    case Union(l, r) =>
+      currentW(l, ctx, path + ".0").unionByName(currentW(r, ctx, path + ".1"))
+    case Join(l, r, keys) => joinCurrent(l, r, keys, ctx, path)
+    case agg @ Aggregate(_, keys, aggs) =>
+      ctx.state(ctx.namer(agg, path))
+        .select(keys.map(col) ++ aggs.map(Eval.stateOutput): _*)
+        .withColumn(WEIGHT, lit(1L))
+    case lj @ LeftJoin(l, r, keys) =>
+      outerCurrent(l, r, keys, ctx, ctx.namer(lj, path), path,
+        preserveL = true, preserveR = false)
+    case rj @ RightJoin(l, r, keys) =>
+      outerCurrent(l, r, keys, ctx, ctx.namer(rj, path), path,
+        preserveL = false, preserveR = true)
+    case fj @ FullJoin(l, r, keys) =>
+      outerCurrent(l, r, keys, ctx, ctx.namer(fj, path), path,
+        preserveL = true, preserveR = true)
+  }
+
+  /** current(A) ⋈ current(B): weights multiply. */
+  private def joinCurrent(
+      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
+    val lw = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, "__ivm_cwl")
+    val rw = currentW(r, ctx, path + ".1").withColumnRenamed(WEIGHT, "__ivm_cwr")
+    lw.join(rw, keys)
+      .withColumn(WEIGHT, col("__ivm_cwl") * col("__ivm_cwr"))
+      .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
+  }
+
+  /** Current contents of an outer join: current inner part ⊎ preserved
+    * anti rows. Anti keys are exactly those ABSENT from the other side's
+    * match-count state (commit drops counts at 0), so a plain equi
+    * left_anti both finds them and keeps SQL's NULL-keys-never-match. */
+  private def outerCurrent(
+      l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, name: String,
+      path: String, preserveL: Boolean, preserveR: Boolean): DataFrame = {
+    val outCols = joinOut(l, r, keys, ctx)
+    val lNonKey = outputNames(l, ctx).filterNot(keys.contains)
+    val rNonKey = outputNames(r, ctx).filterNot(keys.contains)
+    val lSchema = Eval.eval(l, ctx.base).schema
+    val rSchema = Eval.eval(r, ctx.base).schema
+    val nullL: Seq[Column] = lNonKey.map(n => lit(null).cast(lSchema(n).dataType).as(n))
+    val nullR: Seq[Column] = rNonKey.map(n => lit(null).cast(rSchema(n).dataType).as(n))
+    val terms = mutable.Buffer(joinCurrent(l, r, keys, ctx, path))
+    if (preserveL) {
+      val live = ctx.state(s"$name.rcnt").where(col(HCOUNT) > 0)
+        .select(keys.map(col): _*)
+      terms += currentW(l, ctx, path + ".0")
+        .join(broadcast(live), keys, "left_anti")
+        .select((keys.map(col) ++ lNonKey.map(col) ++ nullR :+ col(WEIGHT)): _*)
+        .select(outCols :+ col(WEIGHT): _*)
+    }
+    if (preserveR) {
+      val live = ctx.state(s"$name.lcnt").where(col(HCOUNT) > 0)
+        .select(keys.map(col): _*)
+      terms += currentW(r, ctx, path + ".1")
+        .join(broadcast(live), keys, "left_anti")
+        .select((keys.map(col) ++ nullL ++ rNonKey.map(col) :+ col(WEIGHT)): _*)
+        .select(outCols :+ col(WEIGHT): _*)
+    }
+    terms.reduce(_.unionByName(_))
+  }
+
+  /** Queue this batch's delta-accumulator merges: for every join-side
+    * table with a delta, `acc.<t> += Δt` as a signed row multiset. Reads
+    * resolve the pre-batch snapshot (commits happen after), and the
+    * accumulator is CREATED on a table's first delta — single-batch
+    * refreshes never pay for it. */
+  private[ivm] def queueAccUpdates(q: IvmQuery, ctx: Ctx, declared: Set[String]): Unit =
+    for (t <- accTables(q, declared).toSeq.sorted; d <- ctx.deltaOf(t)) {
+      val p = accPath(ctx, t)
+      if (!ctx.updates.exists(_.path == p)) {
+        val cols = ctx.base(t).columns.toSeq
+        val adj = ctx.pin(weighted(d).groupBy(cols.map(col): _*)
+          .agg(sum(WEIGHT).cast("long").as("__ivm_adj")))
+        val newTotals = ctx.stateOpt(p) match {
+          case Some(_) =>
+            val oldTouched = ctx.slice(p, adj, cols)
+              .withColumnRenamed(HCOUNT, "__ivm_oldacc")
+            leftOuterByKeys(adj, oldTouched, cols,
+                hint = if (ctx.broadcastDeltas) broadcast else identity)
+              .select(cols.map(col) :+
+                (coalesce(col("__ivm_oldacc"), lit(0L)) + col("__ivm_adj"))
+                  .as(HCOUNT): _*)
+          case None =>
+            adj.select(cols.map(col) :+ col("__ivm_adj").as(HCOUNT): _*)
+        }
+        ctx.updates += StateUpdate(p, cols, newTotals, keyHint = adj,
+          alive = col(HCOUNT) =!= 0)
+      }
+    }
 
   // ---- null-safe state joins -------------------------------------------
   // Group keys can be NULL (SQL GROUP BY treats NULL as a group), but an
@@ -199,6 +362,10 @@ object ZDelta {
 
   // ---------------------------------------------------------------- joins
 
+  /** Weight column of a CURRENT side in a join delta term (the delta side
+    * keeps WEIGHT; the two multiply into the term's weight). */
+  private val CW = "__ivm_cw"
+
   private def deltaJoin(
       l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
     val lHas = hasDelta(l, ctx)
@@ -210,18 +377,24 @@ object ZDelta {
 
     lazy val dl = delta(l, ctx, path + ".0")
     lazy val dr = delta(r, ctx, path + ".1")
-    lazy val bl = Eval.eval(l, ctx.base)
-    lazy val br = Eval.eval(r, ctx.base)
+    // CURRENT sides (base ⊎ applied deltas), weighted — a side delta'd in
+    // an EARLIER batch must be visible to this batch's other-side delta.
+    lazy val bl = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, CW)
+    lazy val br = currentW(r, ctx, path + ".1").withColumnRenamed(WEIGHT, CW)
 
     val terms = mutable.Buffer.empty[DataFrame]
     if (lHas) {
       // ΔA ⋈ B : broadcast the (small) delta side; B streams from parquet
       // with pushdown — no shuffle of the base at any scale.
-      terms += bcast(dl).join(br, keys).select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
+      terms += bcast(dl).join(br, keys)
+        .withColumn(WEIGHT, col(WEIGHT) * col(CW))
+        .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
     if (rHas) {
       // A ⋈ ΔB
-      terms += bl.join(bcast(dr), keys).select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
+      terms += bl.join(bcast(dr), keys)
+        .withColumn(WEIGHT, col(WEIGHT) * col(CW))
+        .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
     if (lHas && rHas) {
       // ΔA ⋈ ΔB : both small; weights multiply.
@@ -304,8 +477,10 @@ object ZDelta {
     lazy val dl = ctx.pin(dl0)
     lazy val dr0 = delta(r, ctx, path + ".1")
     lazy val dr = ctx.pin(dr0)
-    lazy val bl = Eval.eval(l, ctx.base)
-    lazy val br = Eval.eval(r, ctx.base)
+    // CURRENT sides, weighted (see deltaJoin) — both the inner terms and
+    // the preserved-side anti scans must see earlier batches' deltas.
+    lazy val bl = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, CW)
+    lazy val br = currentW(r, ctx, path + ".1").withColumnRenamed(WEIGHT, CW)
 
     val outCols = joinOut(l, r, keys, ctx)
     val lNonKey = outputNames(l, ctx).filterNot(keys.contains)
@@ -325,9 +500,13 @@ object ZDelta {
     // ---- inner-join delta terms (same as deltaJoin)
     val terms = mutable.Buffer.empty[DataFrame]
     if (lHas)
-      terms += bcast(dl).join(br, keys).select(outCols :+ col(WEIGHT): _*)
+      terms += bcast(dl).join(br, keys)
+        .withColumn(WEIGHT, col(WEIGHT) * col(CW))
+        .select(outCols :+ col(WEIGHT): _*)
     if (rHas)
-      terms += bl.join(bcast(dr), keys).select(outCols :+ col(WEIGHT): _*)
+      terms += bl.join(bcast(dr), keys)
+        .withColumn(WEIGHT, col(WEIGHT) * col(CW))
+        .select(outCols :+ col(WEIGHT): _*)
     if (lHas && rHas) {
       val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
       val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
@@ -357,14 +536,14 @@ object ZDelta {
         val updC = ctx.pin(upd)
         ctx.updates += StateUpdate(cntPath, keys,
           updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
-        // (ii) died keys: preserved rows re-enter anti (+1 each)
+        // (ii) died keys: preserved rows re-enter anti (+multiplicity each)
         val died = updC.where(col("__ivm_oldcnt") > 0 && col(HCOUNT) <= 0)
           .select(keys.map(col): _*)
-        terms += nullExtend(driveBase.join(bcast(died), keys, "left_semi"), lit(1))
-        // (iii) born keys: preserved rows leave anti (−1 each)
+        terms += nullExtend(driveBase.join(bcast(died), keys, "left_semi"), col(CW))
+        // (iii) born keys: preserved rows leave anti (−multiplicity each)
         val born = updC.where(col("__ivm_oldcnt") <= 0 && col(HCOUNT) > 0)
           .select(keys.map(col): _*)
-        terms += nullExtend(driveBase.join(bcast(born), keys, "left_semi"), lit(-1))
+        terms += nullExtend(driveBase.join(bcast(born), keys, "left_semi"), -col(CW))
         Some(updC)
       } else None
 

@@ -69,7 +69,10 @@ object IvmStream {
       table: String,
       base: String => DataFrame,
       store: IvmStore)(batch: DataFrame, batchId: Long): Unit = {
-    val marker = s"$view/_last_batch"
+    // Marker is per (view, base table): several streams may maintain the
+    // same view — one per delta'd base table — and each streaming query
+    // numbers its own batches independently.
+    val marker = s"$view/_last_batch/$table"
     val last = store.getTag(marker).map(_.toLong).getOrElse(-1L)
     if (batchId > last && !batch.isEmpty) {
       val deltas: String => Option[DataFrame] =

@@ -104,6 +104,48 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
         runBatches(name, q, new MemStore, seed, Batches)
     }
 
+  // Deltas on DIFFERENT tables in DIFFERENT batches: batch 2's Δt must
+  // join against u AS OF batch 1 (base ⊎ Δu₁), not the original snapshot.
+  // This is the cross-batch interaction the single-batch join formula
+  // (ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB) misses unless sides are evaluated CURRENT.
+  test("alternating-table deltas on a join view across batches") {
+    val t = mkDf(List(Row("a", 0, 1), Row("b", 0, 2)), withMult = false)
+      .select(col("g"), col("v"))
+    val u = df("g STRING, h INT", Seq(Row("a", 10)))
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+    val shapes = Seq(
+      // aggregate top
+      "agg" -> Aggregate(Join(Scan("t"), Scan("u"), Seq("g")), Seq("g"),
+        Seq(Sum(col("v") + col("h"), "s"), CountStar("n"))),
+      // SPJ top (multiset state)
+      "spj" -> Join(Scan("t"), Scan("u"), Seq("g")),
+      // outer join: u-side key births must null-retract against CURRENT t
+      "loj" -> FullJoin(Scan("t"), Scan("u"), Seq("g")))
+    val batches: Seq[(String, Seq[Row])] = Seq(
+      "u" -> Seq(Row("b", 20, true)),          // b gains u support
+      "t" -> Seq(Row("b", 3, true)),           // joins Δu₁ from batch 1
+      "u" -> Seq(Row("b", 20, false)),         // b loses that support again
+      "t" -> Seq(Row("c", 7, true)),           // never matches
+      "u" -> Seq(Row("c", 70, true), Row("a", 10, false)))
+    def mkDelta(tbl: String, rows: Seq[Row]): DataFrame =
+      if (tbl == "t")
+        df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN", rows)
+      else df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN", rows)
+    for ((name, q) <- shapes) {
+      val store = new MemStore
+      Ivm.create(s"alt_$name", q, base, store)
+      for ((tbl, rows) <- batches)
+        Ivm.refreshState(s"alt_$name", q, base,
+          nm => if (nm == tbl) Some(mkDelta(tbl, rows)) else None, store)
+      val all = batches.groupBy(_._1).view.mapValues(bs =>
+        mkDelta(bs.head._1, bs.flatMap(_._2))).toMap
+      val want = Ivm.recompute(q, base, all.get)
+      withClue(s"alt_$name: ") {
+        assertSameRows(Ivm.read(s"alt_$name", q, store), want)
+      }
+    }
+  }
+
   // The LSM engine path: forced-bucketed ParquetStore with maxChain=2, so
   // SIX sequential refreshes drive overlay appends AND repeated chain
   // compactions through the full engine (aux states, match counts, group

@@ -13,6 +13,8 @@ import java.nio.file.Files
 /** Streaming maintenance: micro-batches of delta rows fold into the
   * materialized view; final state must equal a recompute over all deltas. */
 case class D(g: String, v: Int, _duckdb_ivm_multiplicity: Boolean)
+case class DL2(g: String, lv: Int, _duckdb_ivm_multiplicity: Boolean)
+case class DR2(g: String, rv: Int, _duckdb_ivm_multiplicity: Boolean)
 
 class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
 
@@ -119,6 +121,59 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     val got = Ivm.read("ssv", q, store).collect()
       .map(r => (r.getString(0), r.getInt(1))).toSet
     assert(got == Set(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("maintain: TWO streams (one per base table) maintain one join view") {
+    val s = spark
+    import s.implicits._
+
+    val l = Seq(("a", 1), ("b", 2)).toDF("g", "lv")
+    val r = Seq(("a", 10), ("b", 20), ("b", 21)).toDF("g", "rv")
+    val base: String => DataFrame = { case "l" => l; case "r" => r }
+    val q = Aggregate(Join(Scan("l"), Scan("r"), Seq("g")), Seq("g"),
+      Seq(Sum(col("lv") + col("rv"), "sum_lr"), CountStar("cnt")))
+
+    // the transactional parquet store serializes the two queries' commits;
+    // per-(view, table) batch markers keep their replay dedupe independent
+    val store = new ParquetStore(s,
+      Files.createTempDirectory("ivm-2stream").toString,
+      buckets = 4, smallStateBytes = 0, maxChain = 2)
+    Ivm.create("jv2", q, base, store)
+
+    implicit val sqlCtx = s.sqlContext
+    val memL = MemoryStream[DL2]
+    val memR = MemoryStream[DR2]
+    val qL = IvmStream.maintain("jv2", q, "l", base, store, memL.toDF(),
+      Files.createTempDirectory("ivm-2ckpt-l").toString)
+    val qR = IvmStream.maintain("jv2", q, "r", base, store, memR.toDF(),
+      Files.createTempDirectory("ivm-2ckpt-r").toString)
+
+    val lBatches = Seq(
+      Seq(DL2("c", 3, true)),                      // no r match yet
+      Seq(DL2("a", 1, false)))                     // group a dies (l side empty)
+    val rBatches = Seq(
+      Seq(DR2("c", 30, true), DR2("b", 20, false)), // c matches batch-1's l row
+      Seq(DR2("c", 31, true)))                      // second c match
+    // both streams live at once; cross-batch join correctness needs each
+    // stream's later batches to see the other's applied deltas (acc states)
+    memL.addData(lBatches(0): _*); memR.addData(rBatches(0): _*)
+    qL.processAllAvailable(); qR.processAllAvailable()
+    memL.addData(lBatches(1): _*); memR.addData(rBatches(1): _*)
+    qR.processAllAvailable(); qL.processAllAvailable()
+    qL.stop(); qR.stop()
+
+    val got = Ivm.read("jv2", q, store)
+    val dl = lBatches.flatten.toDS().toDF()
+      .withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT)
+    val dr = rBatches.flatten.toDS().toDF()
+      .withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT)
+    val want = Ivm.recompute(q, base, {
+      case "l" => Some(dl); case "r" => Some(dr); case _ => None
+    })
+    assertSameRows(got, want)
+    // c must reflect the cross-batch join: l(c,3) ⋈ r{(c,30),(c,31)}
+    val m = got.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m("c") == (3 + 30) + (3 + 31) && !m.contains("a"))
   }
 
   test("statefulAgg: update-mode changelog maintains weighted sums") {
