@@ -94,6 +94,33 @@ class IvmSharedSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.readShared(vU, store), Eval.eval(vU, base))
   }
 
+  test("shared views over a JOIN maintain across alternating-table batches") {
+    val root = Files.createTempDirectory("ivm-shared-alt").toString
+    val store = new ParquetStore(spark, root, buckets = 4, smallStateBytes = 0)
+    val t = df("g STRING, v INT", Seq(Row("a", 1), Row("b", 2)))
+    val u = df("g STRING, h INT", Seq(Row("a", 10)))
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+    val joined = Join(Scan("t"), Scan("u"), Seq("g"))
+    val w1 = Aggregate(joined, Seq("g"), Seq(Sum(col("v") + col("h"), "s"),
+      CountStar("n")))
+    val w2 = Aggregate(joined, Seq.empty, Seq(CountStar("rows")))
+    val both = Map("w1" -> w1, "w2" -> w2)
+    Ivm.createShared(both, base, store)
+    // batch 1: Δu; batch 2: Δt joins batch 1's u row through the SHARED
+    // content-addressed accumulator (one acc per table across both views)
+    val du = df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("b", 20, true)))
+    Ivm.refreshShared(both, base, nm => if (nm == "u") Some(du) else None, store)
+    val dt = df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("b", 3, true), Row("a", 1, false)))
+    Ivm.refreshShared(both, base, nm => if (nm == "t") Some(dt) else None, store)
+    val deltasAll: String => Option[DataFrame] = {
+      case "t" => Some(dt); case "u" => Some(du); case _ => None
+    }
+    assertSameRows(Ivm.readShared(w1, store), Ivm.recompute(w1, base, deltasAll))
+    assertSameRows(Ivm.readShared(w2, store), Ivm.recompute(w2, base, deltasAll))
+  }
+
   test("shared refresh equals private per-view refresh (MemStore)") {
     val shared = new MemStore
     val priv = new MemStore

@@ -104,6 +104,92 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
         runBatches(name, q, new MemStore, seed, Batches)
     }
 
+  // ---- randomized ALTERNATING-table batches: odd batches delta t, even
+  // batches delta u — every join shape must see the other table's earlier
+  // batches (base ⊎ accumulator / state) when its own delta arrives.
+
+  private val genRowU = for { g <- keyGen; h <- Gen.choose(0, 2) } yield Row(g, h)
+  private def mkDfU(rows: Seq[Row], withMult: Boolean): DataFrame =
+    df(if (withMult) s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN"
+       else "g STRING, h INT", rows)
+  private def nextBatchU(live: List[Row], seed: Long): (List[Row], List[Row]) = {
+    val ins = sample(Gen.resize(6, Gen.listOf(genRowU)), seed)
+    val dels = sample(
+      if (live.isEmpty) Gen.const(List.empty[Row])
+      else Gen.someOf(live).map(_.toList), seed * 31 + 7)
+    val batch = ins.map(r => Row(r(0), r(1), true)) ++
+      dels.map(r => Row(r(0), r(1), false))
+    (batch, live.diff(dels) ++ ins)
+  }
+
+  private val altShapes: Seq[(String, IvmQuery)] = Seq(
+    "alt_join_agg" -> Aggregate(
+      Join(Project(Scan("t"), Seq(col("g"), col("v"))), Scan("u"), Seq("g")),
+      Seq("g"), Seq(Sum(col("v"), "sv"), Sum(col("h"), "sh"), CountStar("n"))),
+    "alt_join_spj" ->
+      Join(Project(Scan("t"), Seq(col("g"), col("v"))), Scan("u"), Seq("g")),
+    "alt_q13_loj" -> Aggregate(
+      Aggregate(
+        LeftJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
+          Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+        Seq("g", "v"), Seq(Count(col("h"), "c_count"))),
+      Seq("c_count"), Seq(CountStar("custdist"))),
+    "alt_foj" -> FullJoin(Project(Scan("t"), Seq(col("g"), col("v"))),
+      Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g")),
+    // Aggregate-rooted join side: currentW must read the distinct set's
+    // STATE, not replay it
+    "alt_semi" -> IvmQuery.semiJoin(Scan("t"),
+      Project(Scan("u"), Seq(col("g"))), Seq("g")))
+
+  private def runBatchesAlt(name: String, q: IvmQuery, store: IvmStore,
+      seed: Long, batches: Int): Unit = {
+    val t0 = sample(genTable, seed * 7919L)
+    val u0 = sample(Gen.resize(12, Gen.listOf(genRowU)), seed * 104729L)
+    val t = mkDf(t0, withMult = false)
+    val u = mkDfU(u0, withMult = false)
+    val base: String => DataFrame = { case "t" => t; case "u" => u }
+    Ivm.create(name, q, base, store)
+    var liveT = t0; var liveU = u0
+    var allT = List.empty[Row]; var allU = List.empty[Row]
+    for (b <- 1 to batches) {
+      val tTurn = b % 2 == 1
+      val deltas: String => Option[DataFrame] =
+        if (tTurn) {
+          val (batch, nl) = nextBatch(liveT, seed * 1000L + b)
+          liveT = nl; allT = allT ++ batch
+          nm => if (nm == "t") Some(mkDf(batch, withMult = true)) else None
+        } else {
+          val (batch, nl) = nextBatchU(liveU, seed * 1000L + b)
+          liveU = nl; allU = allU ++ batch
+          nm => if (nm == "u") Some(mkDfU(batch, withMult = true)) else None
+        }
+      Ivm.refreshState(name, q, base, deltas, store)
+    }
+    val want = Ivm.recompute(q, base, {
+      case "t" => Some(mkDf(allT, withMult = true))
+      case "u" => Some(mkDfU(allU, withMult = true))
+      case _   => None
+    })
+    withClue(s"$name seed=$seed after $batches batches: ") {
+      assertSameRows(Ivm.read(name, q, store), want)
+    }
+  }
+
+  for ((name, q) <- altShapes)
+    test(s"4 ALTERNATING-table refreshes == recompute: $name") {
+      for (seed <- 1 to Seeds)
+        runBatchesAlt(name, q, new MemStore, seed, batches = 4)
+    }
+
+  test("4 alternating-table refreshes on a forced-LSM ParquetStore (join_agg + q13 + semi)") {
+    for ((name, q) <- Seq(altShapes.head, altShapes(2), altShapes(4))) {
+      val root = java.nio.file.Files.createTempDirectory("mb-alt-lsm").toString
+      val store = new ParquetStore(spark, root, keepVersions = 2,
+        buckets = 4, smallStateBytes = 0, maxChain = 2)
+      runBatchesAlt(s"lsm_$name", q, store, seed = 5, batches = 4)
+    }
+  }
+
   // Deltas on DIFFERENT tables in DIFFERENT batches: batch 2's Δt must
   // join against u AS OF batch 1 (base ⊎ Δu₁), not the original snapshot.
   // This is the cross-batch interaction the single-batch join formula
