@@ -236,7 +236,20 @@ object Bench {
         f"""{"nprobe":$np,"recall_at5":$r%.3f,"query_sec":$t%.3f}"""
       }
       val (recall4, tIvf) = recallAt(4)
-      f"""{"recall_at5_nprobe4of16":$recall4%.3f,"ivf_query_sec":$tIvf%.3f,"curve":${curve.mkString("[", ",", "]")}}"""
+      // PQ: 8-byte codes, ADC scan + exact re-rank of the shortlist —
+      // the memory-side trade-off beside IVF's probe budget
+      val pqModel = ops.Pq.train(emb, m = 8, k = 64, iters = 3)
+      val pqCodes = ops.Pq.encode(emb, pqModel).cache()
+      pqCodes.count()
+      val tPq0 = System.nanoTime()
+      val pq = pairs(ops.Pq.topKRerank(pqCodes, emb, queries, k = 5,
+        pqModel, rerank = 10))
+      val tPq = (System.nanoTime() - tPq0) / 1e9
+      val pqRecall = bf.map { case (q, truth) =>
+        pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }.sum / bf.size
+      pqCodes.unpersist()
+      f"""{"recall_at5_nprobe4of16":$recall4%.3f,"ivf_query_sec":$tIvf%.3f,"pq_rerank10_recall_at5":$pqRecall%.3f,"pq_query_sec":$tPq%.3f,"curve":${curve.mkString("[", ",", "]")}}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
     // Streaming: continuous maintenance of the same view shape through

@@ -435,6 +435,20 @@ object SparkEntry {
       ops.Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
         n = 3, threshold = 0.5, maxShingleDf = 100)),
 
+    // PII redaction (anonymization pass): the corpus is word-salad, so
+    // both engines append IDENTICAL derived PII (email/phone/SSN shapes
+    // from doc_id arithmetic) and must then count + redact it identically
+    // — a true cross-dialect regex parity check (Java regex vs RE2).
+    "q75_redact" -> ((s, dir) => {
+      val withPii = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example or 555-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-1234 ssn 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      ops.TextOps.redact(withPii)
+        .select("doc_id", "n_emails", "n_phones", "n_ids", "redacted")
+    }),
+
     // Benchmark decontamination: corpus docs sharing >= 2 distinct 3-gram
     // shingles with an eval-set doc (eval set = doc_id % 101 = 0). The
     // bench shingle set broadcasts; the corpus never self-joins.
@@ -480,6 +494,22 @@ object SparkEntry {
     "q26_ann_bucketed" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       ops.Similarity.bucketedTopK(emb, emb.where(col("vec_id") < 8), k = 5)
+    }),
+
+    // Product-quantization ANN (the MEMORY scale path: 8-byte packed
+    // codes + ADC look-up scoring + exact re-rank of the shortlist).
+    // With rerank covering the corpus the shortlist is everything and the
+    // exact tail IS brute force — the DuckDB oracle; the compression/
+    // recall trade-off at working rerank sizes is measured in PqSpec and
+    // the bench ann block.
+    "q74_ann_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      // small codebook: the full-corpus re-rank result is centroid-
+      // independent (the oracle equality is exact for ANY codebook);
+      // recall at working sizes uses 8x64 in PqSpec/bench
+      val model = ops.Pq.train(emb, m = 8, k = 16, iters = 2)
+      ops.Pq.topKRerank(ops.Pq.encode(emb, model), emb,
+        emb.where(col("vec_id") < 8), k = 5, model, rerank = 100)
     }),
 
     // IVF-ANN with LEARNED centroids (k-means-lite), exhaustive probing:
@@ -1765,6 +1795,27 @@ object SparkEntry {
     "q22_dedup_minhash" ->
       s"$minhashPairsCtes SELECT a_id, b_id FROM pairs",
 
+    "q75_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}[-.]\\d{3,4}[-.]\\d{4}"
+      val ssn = "\\d{3}-\\d{2}-\\d{4}"
+      s"""WITH aug AS (
+            SELECT doc_id,
+              text || ' contact user' || doc_id || '@mail.example or 555-' ||
+              CAST(doc_id % 900 + 100 AS VARCHAR) || '-1234 ssn 123-45-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phones,
+            CAST(len(regexp_extract_all(text, '$ssn')) AS INT) AS n_ids,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '$email', '<EMAIL>', 'g'),
+              '$phone', '<PHONE>', 'g'),
+              '$ssn', '<ID>', 'g') AS redacted
+          FROM aug"""
+    },
+
     "q72_decontaminate" ->
       s"""$ShingleCte
           SELECT c.id AS doc_id, b.id AS bench_id,
@@ -1801,6 +1852,18 @@ object SparkEntry {
           WHERE cosine >= 0.35""",
 
     "q25_ann_topk" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
+
+    // full-corpus re-rank of the PQ shortlist == brute force
+    "q74_ann_pq" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS q_id, c.vec_id AS n_id,
               round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) approximate nearest neighbor — the MEMORY
+  * scale path beside [[Ivf]]'s disk-pruning path (Jégou/Douze/Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+  * public literature).
+  *
+  * Each vector splits into `m` subvectors, each quantized to its nearest
+  * of `k` learned sub-centroids; the m sub-codes PACK INTO ONE BIGINT
+  * (m ≤ 8, k ≤ 256 → 8 bits per code). A 64-dim float vector (256 B)
+  * becomes 8 bytes — a 100 TB embedding corpus scans as ~3 TB of codes.
+  *
+  * Query is asymmetric-distance computation (ADC): the (small, broadcast)
+  * query side precomputes an m×k inner-product look-up table ONCE per
+  * query as a plan-side expression; scoring a corpus row is then m
+  * `element_at` fetches + adds on the packed code — cheaper per pair than
+  * a dim-length dot product, and the corpus scan never reads vectors.
+  * The approximate cosine divides by the RECONSTRUCTED norm, also a pure
+  * LUT sum (‖v̂‖² = Σᵢ ‖cᵢ,code‖², centroid norms are literals). Ranking
+  * reuses [[Similarity.topKPerQuery]] (two-phase salted top-k — no
+  * one-reducer-per-query window). Recall is measured against
+  * [[Similarity.bruteForceTopK]] in PqSpec and the bench `ann` block.
+  *
+  * Training is k-means per subspace: one distributed assign/re-center
+  * pass per iteration (partial (sum, count) per partition); only the
+  * m×k×(dim/m) codebook — a few KB — reaches the driver and re-enters
+  * plans as literals. No UDFs anywhere on the query path.
+  */
+object Pq {
+
+  /** Learned codebooks: `codebooks(i)(j)` = centroid j of subspace i. */
+  final case class Model(codebooks: Array[Array[Array[Float]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+    require(m <= 8 && k <= 256, "PQ codes must pack into one BIGINT")
+  }
+
+  /** Nearest sub-centroid by L2 (strict <: ties → lower id). */
+  private def nearestSub(v: Array[Float], off: Int, cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0d; var i = 0
+      while (i < cent.length) {
+        val diff = v(off + i).toDouble - cent(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace k-means: deterministic init (subvectors of the k
+    * lowest-id vectors), `iters` assign/re-center rounds with per-
+    * partition partial aggregation. Empty cells keep their centroid. */
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val seedVecs = vecs.orderBy(col(idCol)).limit(k).collect().map(_._2)
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(i => Array.tabulate(k)(j =>
+        seedVecs(j % seedVecs.length).slice(i * dsub, (i + 1) * dsub)))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val partials = vecs.mapPartitions { it =>
+        val bs = bc.value
+        val mm = bs.length; val kk = bs(0).length; val ds = bs(0)(0).length
+        val sums = Array.fill(mm, kk)(new Array[Double](ds))
+        val counts = Array.fill(mm, kk)(0L)
+        it.foreach { case (_, v) =>
+          var i = 0
+          while (i < mm) {
+            val c = nearestSub(v, i * ds, bs(i))
+            val s = sums(i)(c)
+            var d = 0
+            while (d < ds) { s(d) += v(i * ds + d); d += 1 }
+            counts(i)(c) += 1
+            i += 1
+          }
+        }
+        Iterator.range(0, mm).flatMap(i => Iterator.range(0, kk)
+          .filter(j => counts(i)(j) > 0)
+          .map(j => ((i, j), (sums(i)(j), counts(i)(j)))))
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s1 = a._2._1; val s2 = b._2._1
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          (a._1, (s1, a._2._2 + b._2._2))
+        }
+        .map(_._2)
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      partials.foreach { case ((i, j), (s, n)) =>
+        next(i)(j) = s.map(x => (x / n).toFloat)
+      }
+      books = next
+      bc.destroy()
+    }
+    Model(books)
+  }
+
+  /** Packed PQ code of vector `v` as ONE BIGINT expression: subspace i's
+    * argmin-distance code in bits [8i, 8i+8). Distance comparison uses
+    * ‖c‖² − 2·v·c (‖v_sub‖² is constant within an argmin) — k codegen'd
+    * [[graft.functions.VecDot]] calls per subspace over literal
+    * centroids, argmin via array_position(array_min). */
+  def codeExpr(spark: SparkSession, v: Column, model: Model): Column = {
+    val ds = model.dsub
+    model.codebooks.zipWithIndex.map { case (cb, i) =>
+      val sub = slice(v, i * ds + 1, ds)
+      val dists = array(cb.map { c =>
+        val cn2 = c.map(x => x.toDouble * x).sum
+        lit(cn2) - lit(2d) * graft.functions.VecDot.dot(spark, sub, typedLit(c.toSeq))
+      }: _*)
+      val code = (array_position(dists, array_min(dists)) - 1).cast("long")
+      code * lit(1L << (8 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Corpus compressed to its PQ index: id + packed 8-byte code (plus any
+    * passthrough columns) — the frame to persist at scale. */
+  def encode(corpus: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("n_id"),
+      codeExpr(corpus.sparkSession, col(vecCol), model).as("pq_code"))
+
+  /** ADC top-k over an encoded corpus. `codes` is [[encode]]'s output
+    * (n_id, pq_code); queries carry real vectors. Scoring reads NO corpus
+    * vectors: per query, a LUT of sub-dots (computed once, broadcast);
+    * per corpus row, m element_at fetches keyed by code bits. */
+  def topK(codes: DataFrame, queries: DataFrame, k: Int, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
+    val spark = queries.sparkSession
+    val ds = model.dsub
+    // m×k inner-product LUT per query + query norm — broadcast side only
+    val lut = array(model.codebooks.zipWithIndex.map { case (cb, i) =>
+      val sub = slice(col(vecCol), i * ds + 1, ds)
+      array(cb.map(c =>
+        graft.functions.VecDot.dot(spark, sub, typedLit(c.toSeq))): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), lut.as("__pq_lut"),
+      sqrt(Similarity.fastDot(queries)(col(vecCol), col(vecCol))).as("q_norm")))
+    // literal reconstructed-norm table: ‖v̂‖² = Σᵢ ‖cᵢ,code‖²
+    val cn2: Array[Array[Double]] =
+      model.codebooks.map(_.map(c => c.map(x => x.toDouble * x).sum))
+    def codeOf(i: Int): Column =
+      (shiftright(col("pq_code"), 8 * i).bitwiseAND(lit(255L))).cast("int") + 1
+    val dotSum = (0 until model.m).map(i =>
+      element_at(element_at(col("__pq_lut"), i + 1), codeOf(i))).reduce(_ + _)
+    val vn2 = (0 until model.m).map(i =>
+      element_at(typedLit(cn2(i).toSeq), codeOf(i))).reduce(_ + _)
+    val scored = codes.crossJoin(q)
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        round(dotSum / (col("q_norm") * sqrt(vn2)), 6))
+    Similarity.topKPerQuery(scored, k, salts)
+  }
+
+  /** ADC shortlist + EXACT re-rank — the production recipe: the 8-byte
+    * code scan proposes `rerank·k` candidates per query, then ONLY those
+    * rows' real vectors are fetched (an equi-join on id against the
+    * vector store — O(queries·rerank·k) rows, never the corpus) and
+    * re-scored with exact cosine. Compute stays on codes; accuracy comes
+    * from the tiny exact tail. */
+  def topKRerank(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, model: Model, rerank: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame = {
+    val shortlist = topK(codes, queries, k * rerank, model, idCol, vecCol, salts)
+      .select(col("q_id"), col("n_id"))
+    val nDot = Similarity.fastDot(corpus)
+    val cand = shortlist
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"),
+        sqrt(nDot(col(vecCol), col(vecCol))).as("n_norm")), Seq("n_id"))
+      .join(broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("qv"),
+        sqrt(nDot(col(vecCol), col(vecCol))).as("q_norm"))), Seq("q_id"))
+      .withColumn("cosine",
+        round(nDot(col("qv"), col("nv")) / (col("q_norm") * col("n_norm")), 6))
+    Similarity.topKPerQuery(cand.select("q_id", "n_id", "cosine"), k, salts)
+  }
+}

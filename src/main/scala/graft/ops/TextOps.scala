@@ -105,6 +105,36 @@ object TextOps {
       lit(buckets))
   }
 
+  // ------------------------------------------------------ PII redaction
+
+  /** PII patterns chosen for IDENTICAL semantics under Java regex (Spark)
+    * and RE2 (DuckDB): character classes and bounded quantifiers only —
+    * no backreferences, no lookaround (RE2 has neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\d{3}[-.]\\d{3,4}[-.]\\d{4}"
+  val SsnRe   = "\\d{3}-\\d{2}-\\d{4}"
+
+  /** PII scrub — the anonymization pass a training pipeline runs before
+    * release: per-category match counts (on the ORIGINAL text) plus the
+    * text with emails/phones/SSN-style ids replaced by typed tags.
+    * Pure codegen'd string expressions, zero shuffle; the patterns are
+    * deliberately RE2-portable so the DuckDB oracle mirrors 1:1. Phone
+    * (3-3/4-4 digits) and SSN (3-2-4) shapes are disjoint, so the
+    * sequential replaces never interact. */
+  def redact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn("n_ids", regexp_count(t, lit(SsnRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          SsnRe, "<ID>"))
+  }
+
   /** All text metrics for a documents table, one pass. */
   def analyze(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
