@@ -1021,6 +1021,21 @@ object SparkEntry {
       Ivm.read("q59", v, store)
     }),
 
+    // SQL GROUP BY ROLLUP through CREATE IMMV: the parser's grouping-set
+    // expression folds to the maintained per-level composition (q59's
+    // API path); subtotal NULL keys type through union coercion.
+    "q76_immv_rollup" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q76 AS
+           SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+      Ivm.create("q76", v, base(s, dir), store)
+      Ivm.refreshState("q76", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q76", v, store)
+    }),
+
     // Maintained GROUP BY CUBE — the rollup composition over all 2^k key
     // subsets; four aggregate states refresh from one orders batch.
     "q60_ivm_cube_apply" -> ((s, dir) => {
@@ -1522,6 +1537,19 @@ object SparkEntry {
           FROM ap GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
 
     "q59_ivm_rollup_apply" ->
+      s"""WITH ap AS (
+            SELECT l_returnflag, l_linestatus, l_quantity, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_linestatus, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, l_linestatus, SUM(l_quantity * c) AS sq,
+                 CAST(SUM(c) AS BIGINT) AS n
+          FROM ap GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q76_immv_rollup" ->
       s"""WITH ap AS (
             SELECT l_returnflag, l_linestatus, l_quantity, SUM(w) AS c FROM (
               SELECT l_returnflag, l_linestatus, l_quantity, 1 AS w FROM lineitem

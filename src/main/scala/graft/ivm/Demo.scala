@@ -257,6 +257,56 @@ object Demo {
       s"duplicate clustering wrong: $comps")
     println("variance/rollup/clusters OK")
 
+    // ---- 9. round-4 surface: FILTER-clause aggregates + SQL ROLLUP via
+    // CREATE IMMV; cross-batch multi-table maintenance (Δorders then
+    // Δlineitem on a join view — batch 2 joins batch 1's rows through the
+    // per-table delta accumulator); PQ ANN + PII redaction ops
+    val (_, filtQ) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV filt_v AS
+         SELECT l_returnflag,
+                SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qf,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag)""")
+    Ivm.create("filt_v", filtQ, base, lsmStore)
+    Ivm.refreshState("filt_v", filtQ, base, deltas, lsmStore)
+    require(Ivm.read("filt_v", filtQ, lsmStore).exceptAll(
+      Ivm.recompute(filtQ, base, deltas)).isEmpty,
+      "FILTER-clause + SQL ROLLUP refresh mismatch")
+    val xbQ = Aggregate(
+      Join(
+        Project(Scan("orders"), Seq(
+          org.apache.spark.sql.functions.col("o_orderkey").as("k"),
+          org.apache.spark.sql.functions.col("o_orderpriority"))),
+        Project(Scan("lineitem"), Seq(
+          org.apache.spark.sql.functions.col("l_orderkey").as("k"),
+          org.apache.spark.sql.functions.col("l_quantity"))),
+        Seq("k")),
+      Seq("o_orderpriority"),
+      Seq(AggSpec.Sum(org.apache.spark.sql.functions.col("l_quantity"), "sq"),
+        AggSpec.CountStar("n")))
+    Ivm.create("xb_v", xbQ, base, lsmStore)
+    Ivm.refreshState("xb_v", xbQ, base,
+      t => if (t == "orders") deltas(t) else None, lsmStore)
+    Ivm.refreshState("xb_v", xbQ, base,
+      t => if (t == "lineitem") deltas(t) else None, lsmStore)
+    require(Ivm.read("xb_v", xbQ, lsmStore).exceptAll(
+      Ivm.recompute(xbQ, base, deltas)).isEmpty,
+      "cross-batch multi-table refresh mismatch")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pqModel = graft.ops.Pq.train(emb, m = 8, k = 16, iters = 2)
+    val pqHits = graft.ops.Pq.topKRerank(
+      graft.ops.Pq.encode(emb, pqModel), emb,
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 4),
+      k = 3, pqModel, rerank = 10).count()
+    require(pqHits == 12, s"PQ top-k rows: $pqHits")
+    val red = graft.ops.TextOps.redact(spark.createDataFrame(
+      Seq((1L, "reach me at a.b@x.io or 555-123-4567"))).toDF("doc_id", "text"))
+      .select("n_emails", "n_phones", "redacted").collect()(0)
+    require(red.getInt(0) == 1 && red.getInt(1) == 1 &&
+      red.getString(2) == "reach me at <EMAIL> or <PHONE>",
+      s"redaction wrong: $red")
+    println("round-4 surface OK")
+
     println("DEMO OK")
     spark.stop()
   }

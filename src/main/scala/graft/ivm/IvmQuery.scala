@@ -150,14 +150,21 @@ object IvmQuery {
   def except(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery =
     antiJoin(distinct(left, cols), right, cols, cols.map(col))
 
+  /** Typed NULL for a subtotal key; a null type string (the SQL-frontend
+    * path, where unresolved plans carry no schema) leaves NullType — the
+    * level union coerces it against the finest level's real key type. */
+  private def nullKey(t: String): Column =
+    if (t == null) lit(null) else lit(null).cast(t)
+
   /** GROUP BY ROLLUP as pure composition: one maintained Aggregate per
     * grouping level, null-extended to the full key width and bag-unioned
     * (Δ(A⊎B) = ΔA⊎ΔB is stateless, so each level refreshes independently
     * in the same batch). `keys` carries (name, SQL type) so the null
     * literals of coarser levels type-align with the finest level —
-    * unresolved ASTs cannot infer them. Spark/DuckDB evaluate ROLLUP the
-    * same way (Expand + aggregate); here each level's state makes the
-    * whole rollup incrementally maintainable. */
+    * unresolved ASTs cannot infer them (the SQL frontend passes null
+    * types and relies on union coercion instead). Spark/DuckDB evaluate
+    * ROLLUP the same way (Expand + aggregate); here each level's state
+    * makes the whole rollup incrementally maintainable. */
   def rollup(
       child: IvmQuery,
       keys: Seq[(String, String)],
@@ -169,7 +176,7 @@ object IvmQuery {
       if (k == keys.length) agg: IvmQuery
       else Project(agg,
         kept.map(col) ++
-          keys.drop(k).map { case (n, t) => lit(null).cast(t).as(n) } ++
+          keys.drop(k).map { case (n, t) => nullKey(t).as(n) } ++
           aggs.map(a => col(a.name)))
     }
     levels.reduce(Union(_, _))
@@ -190,7 +197,7 @@ object IvmQuery {
         if (kept.length == keys.length) agg: IvmQuery
         else Project(agg,
           keys.zipWithIndex.map { case ((n, t), i) =>
-            if (keep(i)) col(n) else lit(null).cast(t).as(n)
+            if (keep(i)) col(n) else nullKey(t).as(n)
           } ++ aggs.map(a => col(a.name)))
       }
     levels.reduce(Union(_, _))

@@ -77,6 +77,21 @@ object SqlFrontend {
     case Filter(Not(Exists(sub, _, _, _, _)), child) =>
       foldExists(sub, child, negated = true)
     case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
+    // GROUP BY ROLLUP/CUBE → the MAINTAINED compositions (one aggregate
+    // state per grouping level + stateless bag union); NULL subtotal keys
+    // take their type from union coercion against the finest level.
+    case Aggregate(Seq(r: org.apache.spark.sql.catalyst.expressions.Rollup),
+        aggExprs, child, _) =>
+      val graft.ivm.Aggregate(c2, keys, specs) =
+        foldAggregate(flatGroupingKeys(r.groupingSets, "ROLLUP"),
+          aggExprs, fold(child)): @unchecked
+      IvmQuery.rollup(c2, keys.map(_ -> null), specs)
+    case Aggregate(Seq(c: org.apache.spark.sql.catalyst.expressions.Cube),
+        aggExprs, child, _) =>
+      val graft.ivm.Aggregate(c2, keys, specs) =
+        foldAggregate(flatGroupingKeys(c.groupingSets, "CUBE"),
+          aggExprs, fold(child)): @unchecked
+      IvmQuery.cube(c2, keys.map(_ -> null), specs)
     case Aggregate(grouping, aggExprs, child, _) =>
       foldAggregate(grouping, aggExprs, fold(child))
     // HAVING: a Filter over the aggregate's OUTPUT — the delta rule is the
@@ -287,6 +302,17 @@ object SqlFrontend {
     case _: UnresolvedFunction => true
     case _                     => false
   }
+
+  /** One plain key per ROLLUP/CUBE argument (groupByExprs needs resolved
+    * children, which an unresolved fold never has — read the raw sets). */
+  private def flatGroupingKeys(
+      sets: Seq[Seq[Expression]], what: String): Seq[Expression] =
+    sets.map {
+      case Seq(e) => e
+      case other => throw new UnsupportedOperationException(
+        s"IVM $what supports single-column arguments, got: " +
+          other.map(_.sql).mkString("(", ", ", ")"))
+    }
 
   private val AggFnNames = Set("sum", "count", "avg", "mean", "min", "max",
     "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",

@@ -52,6 +52,26 @@ object IvmStream {
       .foreachBatch(applyBatch(view, q, table, base, store) _)
       .start()
 
+  /** Multi-stream maintenance: one [[maintain]] query per fed base table,
+    * all folding into the same view on the same store. Requires a
+    * TRANSACTIONAL store ([[ParquetStore]]): whole-refresh transactions
+    * serialize the concurrent commits, per-(view, table) markers keep
+    * replay dedupe independent, and the per-table delta accumulators make
+    * each stream's batches visible to the others' join terms. Create the
+    * view with `deltaTables = streams.keySet` first. Returns one query
+    * per table; stop them all to stop maintenance. */
+  def maintainMulti(
+      view: String,
+      q: IvmQuery,
+      base: String => DataFrame,
+      store: IvmStore,
+      streams: Map[String, DataFrame],
+      checkpointRoot: String): Map[String, StreamingQuery] =
+    streams.map { case (table, deltaStream) =>
+      table -> maintain(view, q, table, base, store, deltaStream,
+        s"$checkpointRoot/$table")
+    }
+
   /** One micro-batch application with replay dedupe — foreachBatch is
     * at-least-once under failure/restart; the store remembers the last
     * applied id so a re-delivered batch is a no-op. Public so replay

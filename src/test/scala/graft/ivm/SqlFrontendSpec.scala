@@ -41,6 +41,19 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       Seq("k", 2L, 1L, false)))
   }
 
+  test("CREATE IMMV with GROUP BY ROLLUP/CUBE folds to the level compositions") {
+    def levels(n: IvmQuery): Int = n match {
+      case Union(l, r) => levels(l) + levels(r)
+      case _           => 1
+    }
+    val (_, ru) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_ru AS SELECT b, c, SUM(a) AS sa FROM hello GROUP BY ROLLUP(b, c)")
+    assert(levels(ru) == 3, ru) // (b,c), (b), ()
+    val (_, cu) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_cu AS SELECT b, c, COUNT(*) AS n FROM hello GROUP BY CUBE(b, c)")
+    assert(levels(cu) == 4, cu) // (b,c), (b), (c), ()
+  }
+
   test("CREATE IMMV with WHERE and SELECT *") {
     fixtures()
     SqlFrontend.createImmv(spark,

@@ -143,10 +143,10 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     implicit val sqlCtx = s.sqlContext
     val memL = MemoryStream[DL2]
     val memR = MemoryStream[DR2]
-    val qL = IvmStream.maintain("jv2", q, "l", base, store, memL.toDF(),
-      Files.createTempDirectory("ivm-2ckpt-l").toString)
-    val qR = IvmStream.maintain("jv2", q, "r", base, store, memR.toDF(),
-      Files.createTempDirectory("ivm-2ckpt-r").toString)
+    val qs = IvmStream.maintainMulti("jv2", q, base, store,
+      Map("l" -> memL.toDF(), "r" -> memR.toDF()),
+      Files.createTempDirectory("ivm-2ckpt").toString)
+    val qL = qs("l"); val qR = qs("r")
 
     val lBatches = Seq(
       Seq(DL2("c", 3, true)),                      // no r match yet
