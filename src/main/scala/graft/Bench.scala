@@ -23,6 +23,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Like-for-like cross-round comparison: the gated query set GROWS every
+    // round (32 → 76), so the raw total is not comparable to BENCH_r01's.
+    // total_core sums exactly the round-1 query set.
+    val coreKeys = Set(
+      "q01_ivm_select_all", "q02_ivm_project", "q03_ivm_filter",
+      "q04_ivm_agg_groupby", "q05_ivm_agg_expr", "q06_ivm_global_agg",
+      "q07_ivm_filter_agg", "q08_ivm_apply", "q09_ivm_join_delta", "q10_q13",
+      "q11_ivm_minmax_apply", "q12_ivm_distinct_apply",
+      "q14_ivm_q13_real_apply", "q15_ivm_count_distinct_apply",
+      "q16_ivm_avg_apply", "q20_dedup_exact", "q21_dedup_jaccard",
+      "q22_dedup_minhash", "q23_dedup_simhash", "q24_dedup_embedding",
+      "q25_ann_topk", "q26_ann_bucketed", "q27_text_analyze",
+      "q28_skew_salted_agg", "q29_events_hourly", "q30_events_sessionize",
+      "q31_events_json", "q32_rollup", "q33_topk_orders", "q34_cube",
+      "q50_multimodal_features", "q51_multimodal_frames")
+    val totalCore = results.collect { case (k, v) if coreKeys(k) => v }.sum
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -286,7 +302,7 @@ object Bench {
       f"""{"batches":$nBatches,"total_sec":$total%.3f,"per_batch_sec":${total / nBatches}%.3f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
