@@ -895,6 +895,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ORDER BY + LIMIT through CREATE IMMV: folds to the TopK read
+    // decoration — the child multiset is maintained (deletes can promote
+    // runners-up), the ranking plans as TakeOrderedAndProject at read.
+    "q78_immv_topk" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q78 AS
+           SELECT o_orderkey, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 1
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+           LIMIT 10""")
+      Ivm.create("q78", v, base(s, dir), store)
+      Ivm.refreshState("q78", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q78", v, store)
+    }),
+
     // Multi-view SHARED-STATE maintenance under the oracle gate: two views
     // over the same per-customer order counts (the Q13 interior) share ONE
     // content-addressed interior state, refreshed once per batch; the gate
@@ -1034,6 +1050,27 @@ object SparkEntry {
       Ivm.create("q76", v, base(s, dir), store)
       Ivm.refreshState("q76", v, base(s, dir), deltas(s, dir), store)
       Ivm.read("q76", v, store)
+    }),
+
+    // SQL GROUPING SETS through CREATE IMMV: arbitrary level lists fold
+    // to the same maintained per-level composition (ROLLUP/CUBE are its
+    // prefix/power-set instances).
+    "q77_immv_grouping_sets" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q77 AS
+           SELECT o_orderstatus, o_orderpriority,
+                  GROUPING(o_orderstatus) AS g_status,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp,
+                  COUNT(*) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderpriority), ())""")
+      Ivm.create("q77", v, base(s, dir), store)
+      Ivm.refreshState("q77", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q77", v, store)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("g_status"),
+          col("sp").cast("double").as("sp"), col("n"))
     }),
 
     // Maintained GROUP BY CUBE — the rollup composition over all 2^k key
@@ -1448,6 +1485,20 @@ object SparkEntry {
           SELECT o_orderkey, o_custkey, o_totalprice FROM ap
           ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
 
+    "q78_immv_topk" ->
+      s"""WITH ap AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM (
+              SELECT o_orderkey, o_custkey, o_totalprice, 1 AS w
+              FROM orders WHERE o_orderkey % 2 = 1
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END
+              FROM ($DO_) WHERE o_orderkey % 2 = 1
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT o_orderkey, o_custkey, o_totalprice FROM ap
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
     "q65_ivm_dedup_apply" ->
       s"""WITH ap AS (
             SELECT doc_id, text, SUM(w) AS c FROM (
@@ -1561,6 +1612,24 @@ object SparkEntry {
           SELECT l_returnflag, l_linestatus, SUM(l_quantity * c) AS sq,
                  CAST(SUM(c) AS BIGINT) AS n
           FROM ap GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q77_immv_grouping_sets" ->
+      s"""WITH ap AS (
+            SELECT o_orderstatus, o_orderpriority, o_totalprice, SUM(w) AS c FROM (
+              SELECT o_orderstatus, o_orderpriority, o_totalprice, 1 AS w
+              FROM orders
+              UNION ALL
+              SELECT o_orderstatus, o_orderpriority, o_totalprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DO_)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          )
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * c) AS DOUBLE)
+                   AS sp,
+                 CAST(SUM(c) AS BIGINT) AS n
+          FROM ap GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                          (o_orderpriority), ())""",
 
     "q58_ivm_not_in" ->
       s"""WITH ap_l AS (

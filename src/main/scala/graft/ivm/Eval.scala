@@ -19,6 +19,7 @@ object Eval {
     case Project(c, cols)   => eval(c, resolve).select(cols: _*)
     case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
     case Union(l, r)        => eval(l, resolve).unionByName(eval(r, resolve))
+    case TopK(c, sort, n)   => eval(c, resolve).orderBy(sortCols(sort): _*).limit(n)
     case LeftJoin(l, r, keys) =>
       eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
     case RightJoin(l, r, keys) =>
@@ -34,6 +35,10 @@ object Eval {
         else child.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
       }
   }
+
+  /** ORDER BY columns of a [[TopK]] decoration. */
+  private[ivm] def sortCols(sort: Seq[(String, Boolean)]): Seq[Column] =
+    sort.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }
 
   private def evalAgg(a: AggSpec): Column = a match {
     case AggSpec.Sum(e, n)    => sum(e).as(n)

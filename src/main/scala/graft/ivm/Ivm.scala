@@ -112,7 +112,7 @@ object Ivm {
       store: IvmStore,
       deltaTables: Set[String]): DataFrame = {
     store.transaction {
-      createStates(q, base, store, (_, p) => stateName(view, p),
+      createStates(stripRead(q), base, store, (_, p) => stateName(view, p),
         topName = stateName(view, TOP), skipExisting = false)
       if (deltaTables != null) {
         val unknown = deltaTables -- q.tables.toSet
@@ -193,14 +193,26 @@ object Ivm {
     }
   }
 
-  /** Current contents of a materialized view. */
+  /** Current contents of a materialized view. A [[TopK]] decoration ranks
+    * at read time over the maintained child state — the plan is
+    * TakeOrderedAndProject (per-partition heap + k-row driver merge). */
   def read(view: String, q: IvmQuery, store: IvmStore): DataFrame = q match {
+    case TopK(c, sort, n) =>
+      read(view, c, store).orderBy(Eval.sortCols(sort): _*).limit(n)
     case Aggregate(_, keys, aggs) =>
       store(stateName(view, "r"))
         .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)
     case _ =>
       val st = store(stateName(view, TOP))
       expandMultiset(st, HCOUNT)
+  }
+
+  /** State-relevant core of a view: [[TopK]] is a read-time decoration —
+    * create/refresh maintain the CHILD (deletions inside the current top-k
+    * must promote runners-up, so the full child multiset is the state). */
+  private def stripRead(q: IvmQuery): IvmQuery = q match {
+    case TopK(c, _, _) => stripRead(c)
+    case _             => q
   }
 
   /** Expand (row, count) back into `count` copies of `row`. Counts beyond
@@ -246,7 +258,7 @@ object Ivm {
       store: IvmStore,
       broadcastDeltas: Boolean = true): Unit = {
     doRefresh(view, q, base, deltas, store, broadcastDeltas,
-      needDelta = !q.isInstanceOf[Aggregate], releaseDelta = true)
+      needDelta = !stripRead(q).isInstanceOf[Aggregate], releaseDelta = true)
     ()
   }
 
@@ -262,13 +274,14 @@ object Ivm {
 
   private def doRefresh(
       view: String,
-      q: IvmQuery,
+      q0: IvmQuery,
       base: String => DataFrame,
       deltas: String => Option[DataFrame],
       store: IvmStore,
       broadcastDeltas: Boolean,
       needDelta: Boolean,
       releaseDelta: Boolean = false): DataFrame = {
+    val q = stripRead(q0) // TopK decorates reads; maintenance is the child's
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>

@@ -57,6 +57,7 @@ sealed trait IvmQuery {
     case RightJoin(l, r, _)  => l.tables ++ r.tables
     case FullJoin(l, r, _)   => l.tables ++ r.tables
     case Union(l, r)         => l.tables ++ r.tables
+    case TopK(c, _, _)       => c.tables
   }
 }
 
@@ -118,6 +119,19 @@ final case class FullJoin(left: IvmQuery, right: IvmQuery, keys: Seq[String])
   * (set semantics) = `IvmQuery.distinct` over a Union. */
 final case class Union(left: IvmQuery, right: IvmQuery) extends IvmQuery
 
+/** ORDER BY + LIMIT as a READ-TIME decoration: the maintained state is the
+  * CHILD's full multiset — a deletion inside the current top-k must promote
+  * the runner-up, so the k-th row cannot be the state boundary. Maintenance
+  * absorbs Δ in O(‖Δ‖); the ranking applies at read and plans as
+  * TakeOrderedAndProject (per-partition heap + k-row driver merge, never a
+  * full sort). `sort` is (column, ascending) pairs — include a unique
+  * tiebreaker for deterministic output. Valid at the TOP of a view only
+  * (not under joins/aggregates: top-k is not a Z-linear operator). */
+final case class TopK(child: IvmQuery, sort: Seq[(String, Boolean)], n: Int)
+    extends IvmQuery {
+  require(sort.nonEmpty && n > 0, "TopK needs sort keys and a positive limit")
+}
+
 object IvmQuery {
   import org.apache.spark.sql.functions.{col, lit}
 
@@ -168,18 +182,11 @@ object IvmQuery {
   def rollup(
       child: IvmQuery,
       keys: Seq[(String, String)],
-      aggs: Seq[AggSpec]): IvmQuery = {
+      aggs: Seq[AggSpec],
+      flags: Seq[(String, String)] = Seq.empty): IvmQuery = {
     val names = keys.map(_._1)
-    val levels = (keys.length to 0 by -1).map { k =>
-      val kept = names.take(k)
-      val agg = Aggregate(child, kept, aggs)
-      if (k == keys.length) agg: IvmQuery
-      else Project(agg,
-        kept.map(col) ++
-          keys.drop(k).map { case (n, t) => nullKey(t).as(n) } ++
-          aggs.map(a => col(a.name)))
-    }
-    levels.reduce(Union(_, _))
+    groupingSets(child, keys,
+      (keys.length to 0 by -1).map(k => names.take(k)), aggs, flags)
   }
 
   /** GROUP BY CUBE — same composition as [[rollup]] over ALL 2^k key
@@ -188,18 +195,48 @@ object IvmQuery {
   def cube(
       child: IvmQuery,
       keys: Seq[(String, String)],
-      aggs: Seq[AggSpec]): IvmQuery = {
-    val levels = keys.indices.toSet.subsets().toSeq
+      aggs: Seq[AggSpec],
+      flags: Seq[(String, String)] = Seq.empty): IvmQuery = {
+    val names = keys.map(_._1)
+    val sets = keys.indices.toSet.subsets().toSeq
       .sortBy(s => -s.size) // finest level first, grand total last
-      .map { keep =>
-        val kept = keys.zipWithIndex.collect { case ((n, _), i) if keep(i) => n }
-        val agg = Aggregate(child, kept, aggs)
-        if (kept.length == keys.length) agg: IvmQuery
-        else Project(agg,
-          keys.zipWithIndex.map { case ((n, t), i) =>
-            if (keep(i)) col(n) else nullKey(t).as(n)
-          } ++ aggs.map(a => col(a.name)))
+      .map(keep => names.zipWithIndex.collect { case (n, i) if keep(i) => n })
+    groupingSets(child, keys, sets, aggs, flags)
+  }
+
+  /** GROUP BY GROUPING SETS — one maintained Aggregate per listed set,
+    * null-extended to the full key width and bag-unioned (duplicate sets
+    * duplicate their rows, the standard bag semantics). [[rollup]] and
+    * [[cube]] are the prefix/power-set instances of this.
+    *
+    * `flags` emits SQL `GROUPING(key)` indicators — (output name, key) →
+    * an INT that is 1 on levels where the key is rolled up, 0 where it
+    * groups — distinguishing subtotal NULLs from NULL data. In the
+    * composition each level's flag is a plan-time LITERAL: zero state,
+    * zero runtime cost. */
+  def groupingSets(
+      child: IvmQuery,
+      keys: Seq[(String, String)],
+      sets: Seq[Seq[String]],
+      aggs: Seq[AggSpec],
+      flags: Seq[(String, String)] = Seq.empty): IvmQuery = {
+    val names = keys.map(_._1)
+    require(sets.nonEmpty && sets.forall(_.forall(names.contains)),
+      s"grouping sets $sets must draw from keys $names")
+    require(flags.forall { case (_, k) => names.contains(k) },
+      s"GROUPING flags $flags must reference keys $names")
+    val levels = sets.map { set =>
+      val kept = names.filter(set.contains) // key order, not set order
+      val agg = Aggregate(child, kept, aggs)
+      def flagCols = flags.map { case (out, k) =>
+        lit(if (kept.contains(k)) 0 else 1).cast("int").as(out)
       }
+      if (kept.length == keys.length && flags.isEmpty) agg: IvmQuery
+      else Project(agg,
+        keys.map { case (n, t) =>
+          if (kept.contains(n)) col(n) else nullKey(t).as(n)
+        } ++ aggs.map(a => col(a.name)) ++ flagCols)
+    }
     levels.reduce(Union(_, _))
   }
 

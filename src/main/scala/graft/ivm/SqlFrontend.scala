@@ -44,6 +44,13 @@ object SqlFrontend {
     fold(spark.sessionState.sqlParser.parsePlan(select))
 
   private def fold(plan: LogicalPlan): IvmQuery = plan match {
+    // ORDER BY + LIMIT → TopK read decoration: the child is maintained as
+    // usual; ranking applies at read (TakeOrderedAndProject, never a full
+    // sort). Include a unique tiebreaker for deterministic output.
+    case GlobalLimit(
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(n),
+        LocalLimit(_, Sort(order, true, child, _))) =>
+      graft.ivm.TopK(fold(child), order.map(sortPair), n)
     case Project(exprs, child) if exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
       fold(child) // SELECT * — passthrough (reference tests/ivm.test:29)
     // Global aggregate: the parser leaves SELECT SUM(x) FROM t (no GROUP
@@ -82,16 +89,32 @@ object SqlFrontend {
     // take their type from union coercion against the finest level.
     case Aggregate(Seq(r: org.apache.spark.sql.catalyst.expressions.Rollup),
         aggExprs, child, _) =>
+      val (flags, rest) = groupingFlags(aggExprs)
       val graft.ivm.Aggregate(c2, keys, specs) =
         foldAggregate(flatGroupingKeys(r.groupingSets, "ROLLUP"),
-          aggExprs, fold(child)): @unchecked
-      IvmQuery.rollup(c2, keys.map(_ -> null), specs)
+          rest, fold(child)): @unchecked
+      IvmQuery.rollup(c2, keys.map(_ -> null), specs, flags)
     case Aggregate(Seq(c: org.apache.spark.sql.catalyst.expressions.Cube),
         aggExprs, child, _) =>
+      val (flags, rest) = groupingFlags(aggExprs)
       val graft.ivm.Aggregate(c2, keys, specs) =
         foldAggregate(flatGroupingKeys(c.groupingSets, "CUBE"),
-          aggExprs, fold(child)): @unchecked
-      IvmQuery.cube(c2, keys.map(_ -> null), specs)
+          rest, fold(child)): @unchecked
+      IvmQuery.cube(c2, keys.map(_ -> null), specs, flags)
+    case Aggregate(Seq(gs: org.apache.spark.sql.catalyst.expressions.GroupingSets),
+        aggExprs, child, _) =>
+      def keyName(e: Expression): String = e match {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => throw new UnsupportedOperationException(
+          s"IVM GROUPING SETS supports plain column keys, got: ${other.sql}")
+      }
+      val (flags, rest) = groupingFlags(aggExprs)
+      val allKeys = gs.groupingSets.flatten.map(keyName).distinct
+      val graft.ivm.Aggregate(c2, keys, specs) =
+        foldAggregate(allKeys.map(UnresolvedAttribute(_)),
+          rest, fold(child)): @unchecked
+      IvmQuery.groupingSets(c2, keys.map(_ -> null),
+        gs.groupingSets.map(_.map(keyName)), specs, flags)
     case Aggregate(grouping, aggExprs, child, _) =>
       foldAggregate(grouping, aggExprs, fold(child))
     // HAVING: a Filter over the aggregate's OUTPUT — the delta rule is the
@@ -266,6 +289,8 @@ object SqlFrontend {
         graft.ivm.FullJoin(substitute(l, defs), substitute(r, defs), k)
       case graft.ivm.Union(l, r) =>
         graft.ivm.Union(substitute(l, defs), substitute(r, defs))
+      case graft.ivm.TopK(c, sort, n) =>
+        graft.ivm.TopK(substitute(c, defs), sort, n)
     }
 
   /** Output column names of a folded query, when statically known. */
@@ -302,6 +327,33 @@ object SqlFrontend {
     case _: UnresolvedFunction => true
     case _                     => false
   }
+
+  /** Split `GROUPING(key) AS name` indicators out of a grouping-set select
+    * list: they become plan-time per-level literals in the composition. */
+  private def groupingFlags(
+      aggExprs: Seq[NamedExpression]): (Seq[(String, String)], Seq[NamedExpression]) = {
+    val (flagItems, rest) = aggExprs.partition {
+      case Alias(UnresolvedFunction(fn, Seq(_: UnresolvedAttribute),
+          false, None, _, _, _), _) => fn.last.toLowerCase == "grouping"
+      case _ => false
+    }
+    val flags = flagItems.collect {
+      case Alias(UnresolvedFunction(_, Seq(a: UnresolvedAttribute),
+          _, _, _, _, _), name) => name -> a.nameParts.last
+    }
+    (flags, rest)
+  }
+
+  /** Sort key of a TopK decoration: plain column + direction. */
+  private def sortPair(
+      so: org.apache.spark.sql.catalyst.expressions.SortOrder): (String, Boolean) =
+    so.child match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.last ->
+          (so.direction == org.apache.spark.sql.catalyst.expressions.Ascending)
+      case other => throw new UnsupportedOperationException(
+        s"IVM ORDER BY supports plain columns, got: ${other.sql}")
+    }
 
   /** One plain key per ROLLUP/CUBE argument (groupByExprs needs resolved
     * children, which an unresolved fold never has — read the raw sets). */

@@ -148,6 +148,7 @@ object ZDelta {
       case LeftJoin(l, r, _)  => joinAcc(l, r)
       case RightJoin(l, r, _) => joinAcc(l, r)
       case FullJoin(l, r, _)  => joinAcc(l, r)
+      case TopK(c, _, _)      => accTables(c, declared)
     }
   }
 
@@ -187,6 +188,8 @@ object ZDelta {
     case fj @ FullJoin(l, r, keys) =>
       outerCurrent(l, r, keys, ctx, ctx.namer(fj, path), path,
         preserveL = true, preserveR = true)
+    case _: TopK => throw new UnsupportedOperationException(
+      "TopK under a join side is out of surface (top-k is not Z-linear)")
   }
 
   /** current(A) ⋈ current(B): weights multiply. */
@@ -348,6 +351,10 @@ object ZDelta {
 
     case agg @ Aggregate(_, _, _) =>
       memoized(ctx, q, path)(p => deltaAggregate(agg, ctx, p))
+
+    case _: TopK => throw new UnsupportedOperationException(
+      "TopK is a read-time decoration at the view top; Ivm strips it " +
+        "before maintenance (it is not a Z-linear operator)")
   }
 
   /** Stateful nodes resolve their state path through the ctx namer and
@@ -437,6 +444,7 @@ object ZDelta {
       keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
         outputNames(r, ctx).filterNot(keys.contains)
     case Union(l, _) => outputNames(l, ctx) // sides align by contract
+    case TopK(c, _, _) => outputNames(c, ctx)
   }
 
   // ----------------------------------------------------------- outer joins

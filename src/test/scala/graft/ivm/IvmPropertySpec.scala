@@ -104,6 +104,11 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Seq(Sum(col("v"), "sv"), CountStar("n"))),
       "cube" -> IvmQuery.cube(sc, Seq("g" -> "string", "h" -> "int"),
         Seq(Sum(col("v"), "sv"), CountStar("n"))),
+      // arbitrary level list incl. a non-prefix set and the grand total
+      "grouping_sets" -> IvmQuery.groupingSets(sc,
+        Seq("g" -> "string", "h" -> "int"),
+        Seq(Seq("g", "h"), Seq("h"), Seq.empty),
+        Seq(Sum(col("v"), "sv"), CountStar("n"))),
       "nested_agg" -> Aggregate(
         Aggregate(sc, Seq("g", "h"), Seq(Sum(col("v"), "sv"), CountStar("n1"))),
         Seq("g"), Seq(Sum(col("sv"), "ssv"), CountStar("n2"))),

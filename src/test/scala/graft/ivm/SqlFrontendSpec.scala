@@ -52,6 +52,21 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     val (_, cu) = SqlFrontend.createImmv(spark,
       "CREATE IMMV sql_cu AS SELECT b, c, COUNT(*) AS n FROM hello GROUP BY CUBE(b, c)")
     assert(levels(cu) == 4, cu) // (b,c), (b), (c), ()
+    val (_, gs) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_gs AS SELECT b, c, COUNT(*) AS n FROM hello
+         GROUP BY GROUPING SETS ((b, c), (c), ())""")
+    assert(levels(gs) == 3, gs) // exactly the listed sets
+  }
+
+  test("CREATE IMMV with ORDER BY + LIMIT folds to the TopK decoration") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_tk AS SELECT a, b FROM hello WHERE a > 0
+         ORDER BY a DESC, b LIMIT 7""")
+    q match {
+      case TopK(_: Project, sort, 7) =>
+        assert(sort == Seq("a" -> false, "b" -> true), sort)
+      case other => fail(s"unexpected AST: $other")
+    }
   }
 
   test("CREATE IMMV with WHERE and SELECT *") {
@@ -341,9 +356,11 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       SqlFrontend.createImmv(spark,
         "CREATE IMMV bad AS SELECT b, MEDIAN(a) AS m FROM hello GROUP BY b")
     }
+    // ORDER BY with no LIMIT: an unbounded sort is presentation, not a
+    // maintainable view (ORDER BY + LIMIT folds to TopK since round 4)
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
-        "CREATE IMMV bad2 AS SELECT * FROM hello ORDER BY a LIMIT 1")
+        "CREATE IMMV bad2 AS SELECT * FROM hello ORDER BY a")
     }
   }
 
