@@ -1134,6 +1134,24 @@ object SparkEntry {
           round(org.apache.spark.sql.functions.expr("percentile(value, 0.99D)"), 6).as("p99"),
           count(lit(1)).as("n"))),
 
+    // MAINTAINED percentiles: holistic aggregates (quantiles, mode) are
+    // not incrementally summarizable — the value multiset IS their minimal
+    // state. The SPJ view absorbs deltas in O(‖Δ‖); the read computes the
+    // percentile over the maintained multiset, exactly what any engine
+    // pays to evaluate a quantile. Deletes shift the quantile correctly
+    // (rows leave the multiset).
+    "q79_ivm_percentile_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Project(Scan("events"), Seq(col("event_type"), col("value")))
+      Ivm.create("q79", v, base(s, dir), store)
+      Ivm.refreshState("q79", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q79", v, store).groupBy("event_type")
+        .agg(
+          round(org.apache.spark.sql.functions.expr("percentile(value, 0.5D)"), 6).as("p50"),
+          round(org.apache.spark.sql.functions.expr("percentile(value, 0.9D)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
     // Deterministic stratified sampling: per-stratum keep rates derived
     // from an md5 hash of the row id (never rand() — retry/speculation
     // stable, oracle-reproducible); the sample is a pure zero-shuffle
@@ -1680,6 +1698,25 @@ object SparkEntry {
          round(quantile_cont(value, 0.99), 6) AS p99,
          CAST(COUNT(*) AS BIGINT) AS n
          FROM events GROUP BY event_type""",
+
+    "q79_ivm_percentile_apply" ->
+      s"""WITH ap AS (
+            SELECT event_type, value, SUM(w) AS c FROM (
+              SELECT event_type, value, 1 AS w FROM events
+              UNION ALL
+              SELECT event_type, value, CASE WHEN $M THEN 1 ELSE -1 END
+              FROM ($DE)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), expanded AS (
+            SELECT event_type, value FROM (
+              SELECT event_type, value,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM ap)
+          )
+          SELECT event_type,
+                 round(quantile_cont(value, 0.5), 6) AS p50,
+                 round(quantile_cont(value, 0.9), 6) AS p90,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM expanded GROUP BY event_type""",
 
     "q55_stratified_sample" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
