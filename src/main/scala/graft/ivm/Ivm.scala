@@ -387,7 +387,7 @@ object Ivm {
       base: String => DataFrame,
       store: IvmStore): Unit =
     store.transaction {
-      for (q <- views.values.toSeq.distinctBy(_.toString))
+      for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString))
         createStates(q, base, store, sharedNamer,
           topName = sharedPath(q) + "/top", skipExisting = true)
     }
@@ -408,7 +408,7 @@ object Ivm {
       stateOpt = p => store.get(p))
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
-      for (q <- views.values.toSeq.distinctBy(_.toString)
+      for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString)
              if ZDelta.hasDelta(q, ctx)) { // untouched views are no-ops
         q match {
           case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
@@ -433,6 +433,8 @@ object Ivm {
 
   /** Current contents of a shared-state view. */
   def readShared(q: IvmQuery, store: IvmStore): DataFrame = q match {
+    case TopK(c, sort, n) =>
+      readShared(c, store).orderBy(Eval.sortCols(sort): _*).limit(n)
     case Aggregate(_, keys, aggs) =>
       store(sharedPath(q))
         .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)
