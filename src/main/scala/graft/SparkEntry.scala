@@ -435,6 +435,12 @@ object SparkEntry {
       ops.Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
         n = 3, threshold = 0.5, maxShingleDf = 100)),
 
+    // Context-window chunking: 64-token chunks with 16-token overlap, one
+    // row per (doc, chunk) — zero shuffle, slice-before-explode.
+    "q80_chunk" -> ((s, dir) =>
+      ops.TextOps.chunk(tbl(s, dir, "documents"),
+        chunkTokens = 64, overlap = 16)),
+
     // PII redaction (anonymization pass): the corpus is word-salad, so
     // both engines append IDENTICAL derived PII (email/phone/SSN shapes
     // from doc_id arithmetic) and must then count + redact it identically
@@ -1928,6 +1934,22 @@ object SparkEntry {
 
     "q22_dedup_minhash" ->
       s"$minhashPairsCtes SELECT a_id, b_id FROM pairs",
+
+    // stride = 64 - 16 = 48; chunk i covers toks[48i+1 .. 48i+64]
+    "q80_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ), c AS (
+           SELECT doc_id, toks, len(toks) AS n_tokens,
+                  unnest(range((greatest(len(toks) - 16, 1) + 47) // 48))
+                    AS chunk_id
+           FROM t)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                                ' ') AS chunk_text,
+                CAST(least(64, n_tokens - chunk_id * 48) AS INT)
+                  AS n_chunk_tokens
+         FROM c""",
 
     "q75_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

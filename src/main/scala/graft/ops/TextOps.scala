@@ -105,6 +105,41 @@ object TextOps {
       lit(buckets))
   }
 
+  // ---------------------------------------------------------- chunking
+
+  /** Context-window chunking: split each document into token chunks of
+    * `chunkTokens` with `overlap` tokens carried between neighbors — the
+    * preprocessing step that feeds embedding models and training-context
+    * packing. One output row per (doc, chunk).
+    *
+    * Scale shape: pure per-row expressions + one posexplode, zero shuffle;
+    * the chunk list materializes as index arithmetic and each chunk slices
+    * BEFORE exploding, so memory is bounded by one chunk, not the doc.
+    * All arithmetic is integer (ceil via (x + s - 1) / s), mirrored 1:1 by
+    * the DuckDB oracle. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    // number of stride starts covering every token at least once; the
+    // double division truncates via the int cast (values are positive)
+    val nChunks = ((greatest(nTok - overlap, lit(1)) + (stride - 1)) / stride)
+      .cast("int")
+    docs
+      .select(col(idCol), toks.as("__toks"), nTok.as("n_tokens"),
+        posexplode(sequence(lit(0), nChunks - 1))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("n_tokens") - col("__start") * stride)
+          .as("n_chunk_tokens"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** PII patterns chosen for IDENTICAL semantics under Java regex (Spark)

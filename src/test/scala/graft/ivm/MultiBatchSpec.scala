@@ -190,6 +190,17 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // Soak: 12 alternating batches with maxChain=2 drives the accumulator
+  // and match-count states through repeated overlay appends AND chain
+  // compactions while both tables keep churning.
+  test("12-batch alternating soak on the LSM store (join_agg)") {
+    val root = java.nio.file.Files.createTempDirectory("mb-alt-soak").toString
+    val store = new ParquetStore(spark, root, keepVersions = 2,
+      buckets = 4, smallStateBytes = 0, maxChain = 2)
+    runBatchesAlt("soak_join_agg", altShapes.head._2, store,
+      seed = 11, batches = 12)
+  }
+
   // Deltas on DIFFERENT tables in DIFFERENT batches: batch 2's Δt must
   // join against u AS OF batch 1 (base ⊎ Δu₁), not the original snapshot.
   // This is the cross-batch interaction the single-batch join formula
