@@ -1158,6 +1158,24 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // MAINTAINED MODE (most frequent value) — same minimal-state pattern
+    // as q79: the multiset absorbs deltas; the read ranks (count desc,
+    // value asc) per group, deterministic on both engines.
+    "q81_ivm_mode_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Project(Scan("events"), Seq(col("event_type"), col("value")))
+      Ivm.create("q81", v, base(s, dir), store)
+      Ivm.refreshState("q81", v, base(s, dir), deltas(s, dir), store)
+      val counts = Ivm.read("q81", v, store)
+        .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("value").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("event_type"), col("value").as("mode_value"), col("cnt"))
+    }),
+
     // Deterministic stratified sampling: per-stratum keep rates derived
     // from an md5 hash of the row id (never rand() — retry/speculation
     // stable, oracle-reproducible); the sample is a pure zero-shuffle
@@ -1723,6 +1741,22 @@ object SparkEntry {
                  round(quantile_cont(value, 0.9), 6) AS p90,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM expanded GROUP BY event_type""",
+
+    "q81_ivm_mode_apply" ->
+      s"""WITH ap AS (
+            SELECT event_type, value, SUM(w) AS c FROM (
+              SELECT event_type, value, 1 AS w FROM events
+              UNION ALL
+              SELECT event_type, value, CASE WHEN $M THEN 1 ELSE -1 END
+              FROM ($DE)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), ranked AS (
+            SELECT event_type, value, CAST(c AS BIGINT) AS cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c DESC, value ASC) AS rn
+            FROM ap)
+          SELECT event_type, value AS mode_value, cnt
+          FROM ranked WHERE rn = 1""",
 
     "q55_stratified_sample" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
