@@ -12,8 +12,15 @@ import graft.ivm.IvmCore
   * mirrors these expressions exactly.
   */
 object Fixtures {
+  // Re-reading a parquet relation per resolver call costs driver-side
+  // analysis (fresh LogicalRelation each time) in every refresh — the
+  // schema and file listing never change under the maintenance loop, so
+  // memoize per (session, path). ~100 entries max (tables × sf dirs).
+  private val tblMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tblMemo.getOrElseUpdate((s, s"$dir/$name.parquet"),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** ~1% of lineitem rows; even line numbers are inserts, odd deletes.
     * SQL mirror: WHERE l_orderkey % 97 = 0, mult = (l_linenumber % 2 = 0). */

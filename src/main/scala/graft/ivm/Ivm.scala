@@ -3,7 +3,10 @@ package graft.ivm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.StructType
+
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
 import scala.util.Try
 
 /** Public API of the IVM engine — the Spark-native analogue of the
@@ -262,6 +265,21 @@ object Ivm {
     ()
   }
 
+  /** Cross-refresh subtree-schema memos, per (store, view): a view's
+    * output types are fixed for the life of its state, so the typed-NULL
+    * analysis in the outer-join delta runs once per view instead of once
+    * per batch (it was a measurable slice of the per-batch planning
+    * floor). Weak on the store so test-scoped stores can collect. */
+  private val schemaMemos = new java.util.WeakHashMap[
+    IvmStore, TrieMap[String, mutable.Map[String, StructType]]]()
+  private def schemaMemoFor(
+      store: IvmStore, view: String): mutable.Map[String, StructType] =
+    schemaMemos.synchronized {
+      var m = schemaMemos.get(store)
+      if (m == null) { m = TrieMap.empty; schemaMemos.put(store, m) }
+      m.getOrElseUpdate(view, TrieMap.empty[String, StructType])
+    }
+
   // temporary instrumentation (enable with -Dgraft.timing=true)
   private[ivm] def timed[A](tag: String)(f: => A): A =
     if (!sys.props.get("graft.timing").contains("true")) f
@@ -286,7 +304,8 @@ object Ivm {
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
         timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)),
-      stateOpt = p => store.get(stateName(view, p)))
+      stateOpt = p => store.get(stateName(view, p)),
+      schemaMemo = schemaMemoFor(store, view))
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))
@@ -405,7 +424,8 @@ object Ivm {
     val ctx = ZDelta.Ctx(base, deltas, p => store(p),
       sliceFn = (p, kdf, ks) => store.slice(p, kdf, ks),
       namer = sharedNamer,
-      stateOpt = p => store.get(p))
+      stateOpt = p => store.get(p),
+      schemaMemo = schemaMemoFor(store, "__shared__"))
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
       for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString)

@@ -69,7 +69,21 @@ object ZDelta {
         * by [[currentW]] for the per-table delta accumulators, which are
         * created lazily on a table's first delta — so a view that never
         * saw a second batch reads pure base with zero plan overhead. */
-      stateOpt: String => Option[DataFrame] = _ => None) {
+      stateOpt: String => Option[DataFrame] = _ => None,
+      /** Cross-refresh memo for subtree output schemas (keyed by plan
+        * path): a view's schema never changes between batches, so callers
+        * running a maintenance loop pass a per-view persistent map and
+        * skip re-analyzing `Eval.eval(subtree)` on every refresh just to
+        * type NULL columns. Default: fresh (no reuse, still dedupes
+        * within one delta computation). */
+      schemaMemo: mutable.Map[String, org.apache.spark.sql.types.StructType] =
+        mutable.Map.empty) {
+    /** Analyzed output schema of subtree `q`, memoized across refreshes
+      * (see [[schemaMemo]]). Keyed structurally (`q.toString`) so shared
+      * subtrees dedupe and distinct views in one shared-group Ctx never
+      * collide on positional paths. */
+    def schemaOf(q: IvmQuery, path: String): org.apache.spark.sql.types.StructType =
+      schemaMemo.getOrElseUpdate(q.toString, Eval.eval(q, base).schema)
     /** State rows for the touched keys in `keyDf` — bucket-pruned when the
       * backing store supports it ([[IvmStore.slice]]), else a broadcast
       * semi-join over the full state. NOTE: the bucketed path evaluates
@@ -94,11 +108,13 @@ object ZDelta {
       * a harmless no-op. Like any localCheckpoint, losing an executor
       * mid-refresh fails the batch (retry the refresh) rather than
       * recomputing lineage — acceptable for a maintenance loop. */
-    def pin(df: DataFrame): DataFrame = {
-      val c = sys.props.getOrElse("graft.pinMode", "lazy") match {
-        case "cache" => df.cache()
-        case "eager" => df.localCheckpoint(true)
-        case _       => df.localCheckpoint(false)
+    def pin(df: DataFrame, tag: String = "?"): DataFrame = {
+      val c = Ivm.timed(s"pin $tag") {
+        sys.props.getOrElse("graft.pinMode", "lazy") match {
+          case "cache" => df.cache()
+          case "eager" => df.localCheckpoint(true)
+          case _       => df.localCheckpoint(false)
+        }
       }
       pins += c; c
     }
@@ -212,8 +228,8 @@ object ZDelta {
     val outCols = joinOut(l, r, keys, ctx)
     val lNonKey = outputNames(l, ctx).filterNot(keys.contains)
     val rNonKey = outputNames(r, ctx).filterNot(keys.contains)
-    val lSchema = Eval.eval(l, ctx.base).schema
-    val rSchema = Eval.eval(r, ctx.base).schema
+    val lSchema = ctx.schemaOf(l, path + ".0")
+    val rSchema = ctx.schemaOf(r, path + ".1")
     val nullL: Seq[Column] = lNonKey.map(n => lit(null).cast(lSchema(n).dataType).as(n))
     val nullR: Seq[Column] = rNonKey.map(n => lit(null).cast(rSchema(n).dataType).as(n))
     val terms = mutable.Buffer(joinCurrent(l, r, keys, ctx, path))
@@ -247,7 +263,7 @@ object ZDelta {
       if (!ctx.updates.exists(_.path == p)) {
         val cols = ctx.base(t).columns.toSeq
         val adj = ctx.pin(weighted(d).groupBy(cols.map(col): _*)
-          .agg(sum(WEIGHT).cast("long").as("__ivm_adj")))
+          .agg(sum(WEIGHT).cast("long").as("__ivm_adj")), s"acc-adj.$t")
         val newTotals = ctx.stateOpt(p) match {
           case Some(_) =>
             val oldTouched = ctx.slice(p, adj, cols)
@@ -482,9 +498,9 @@ object ZDelta {
       if (ctx.broadcastDeltas) broadcast(df) else df
 
     lazy val dl0 = delta(l, ctx, path + ".0")
-    lazy val dl = ctx.pin(dl0)
+    lazy val dl = ctx.pin(dl0, path + ".dl")
     lazy val dr0 = delta(r, ctx, path + ".1")
-    lazy val dr = ctx.pin(dr0)
+    lazy val dr = ctx.pin(dr0, path + ".dr")
     // CURRENT sides, weighted (see deltaJoin) — both the inner terms and
     // the preserved-side anti scans must see earlier batches' deltas.
     lazy val bl = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, CW)
@@ -494,8 +510,8 @@ object ZDelta {
     val lNonKey = outputNames(l, ctx).filterNot(keys.contains)
     val rNonKey = outputNames(r, ctx).filterNot(keys.contains)
     // typed NULLs for the non-preserved side's non-key columns
-    val lSchema = Eval.eval(l, ctx.base).schema
-    val rSchema = Eval.eval(r, ctx.base).schema
+    val lSchema = ctx.schemaOf(l, path + ".0")
+    val rSchema = ctx.schemaOf(r, path + ".1")
     val nullL: Seq[Column] = lNonKey.map(n => lit(null).cast(lSchema(n).dataType).as(n))
     val nullR: Seq[Column] = rNonKey.map(n => lit(null).cast(rSchema(n).dataType).as(n))
     def nullExtendR(aSide: DataFrame, weight: Column): DataFrame =
@@ -534,14 +550,14 @@ object ZDelta {
       // new count per key = old + Σw over Δ(other), for touched keys
       val touchedNew: Option[DataFrame] = if (otherHas) {
         val adj = ctx.pin(dOther.groupBy(keys.map(col): _*)
-          .agg(sum(col(WEIGHT)).as("__ivm_adj")))
+          .agg(sum(col(WEIGHT)).as("__ivm_adj")), cntPath + ".adj")
         val oldTouched = ctx.slice(cntPath, adj, keys) // bucket-pruned read
         val upd = leftOuterByKeys(adj, oldTouched, keys, hint = bcast)
           .select((keys.map(col) :+
             (coalesce(col(HCOUNT), lit(0)) + coalesce(col("__ivm_adj"), lit(0)))
               .as(HCOUNT) :+
             coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
-        val updC = ctx.pin(upd)
+        val updC = ctx.pin(upd, cntPath + ".upd")
         ctx.updates += StateUpdate(cntPath, keys,
           updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
         // (ii) died keys: preserved rows re-enter anti (+multiplicity each)
@@ -603,7 +619,7 @@ object ZDelta {
     val d0 = delta(child, ctx, path + ".0")
     // Child delta feeds the main adjustment plus one aux pipeline per
     // MIN/MAX spec — pin it once.
-    val d = if (aggs.exists(AggSpec.needsAux)) ctx.pin(d0) else d0
+    val d = if (aggs.exists(AggSpec.needsAux)) ctx.pin(d0, path + ".d") else d0
     val w = col(WEIGHT)
     def bcast(df: DataFrame): DataFrame =
       if (ctx.broadcastDeltas) broadcast(df) else df
@@ -651,7 +667,8 @@ object ZDelta {
     // evaluates them eagerly — pin once.
     val touched = ctx.pin(
       if (keys.isEmpty) d.agg(adjExprs.head, adjExprs.tail: _*)
-      else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*))
+      else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*),
+      path + ".touched")
 
     // ---- MIN/MAX auxiliary value-multiset maintenance (the reference
     // poster's named future work). For each spec: adjust per-(group, value)
@@ -671,7 +688,7 @@ object ZDelta {
           d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
             .where(col(vCol).isNotNull)
             .groupBy(auxKeys.map(col): _*)
-            .agg(sum(w).as(adj(HCOUNT))))
+            .agg(sum(w).as(adj(HCOUNT))), auxPath + ".d")
         // group-bucketed layout (value-bucketed for a global aggregate) so
         // BOTH slices below prune to touched buckets
         val auxBucketKeys = if (keys.nonEmpty) keys else auxKeys
@@ -734,7 +751,7 @@ object ZDelta {
     // Three consumers (state update, retractions, assertions) would each
     // recompute the state join; pin it once. O(touched groups) rows.
     // Released by Ivm.refresh after commit.
-    val joined = ctx.pin(joined0)
+    val joined = ctx.pin(joined0, path + ".joined")
 
     val existed = col(HCOUNT).isNotNull
 
