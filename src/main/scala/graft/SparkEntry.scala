@@ -1176,6 +1176,25 @@ object SparkEntry {
         .select(col("event_type"), col("value").as("mode_value"), col("cnt"))
     }),
 
+    // MAINTAINED covariance/correlation — cross-moment state (Σx, Σy,
+    // Σxy, Σx², Σy², pair count), weight-linear like variance, folded
+    // from SQL. Integer-valued inputs keep the moments exact in double,
+    // so refresh ≡ recompute ≡ the oracle bit-for-bit.
+    "q82_ivm_corr_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q82 AS
+           SELECT l_returnflag,
+                  covar_pop(l_quantity, l_linenumber) AS cov_p,
+                  covar_samp(l_quantity, l_linenumber) AS cov_s,
+                  corr(l_quantity, l_linenumber) AS r,
+                  COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag""")
+      Ivm.create("q82", v, base(s, dir), store)
+      Ivm.refreshState("q82", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q82", v, store)
+    }),
+
     // Deterministic stratified sampling: per-stratum keep rates derived
     // from an md5 hash of the row id (never rand() — retry/speculation
     // stable, oracle-reproducible); the sample is a pure zero-shuffle
@@ -1757,6 +1776,37 @@ object SparkEntry {
             FROM ap)
           SELECT event_type, value AS mode_value, cnt
           FROM ranked WHERE rn = 1""",
+
+    "q82_ivm_corr_apply" ->
+      s"""WITH m AS (
+            SELECT l_returnflag,
+                   CAST(SUM(l_quantity * w) AS DOUBLE) AS sx,
+                   CAST(SUM(l_linenumber * w) AS DOUBLE) AS sy,
+                   CAST(SUM(l_quantity * l_linenumber * w) AS DOUBLE) AS sxy,
+                   CAST(SUM(l_quantity * l_quantity * w) AS DOUBLE) AS sxx,
+                   CAST(SUM(l_linenumber * l_linenumber * w) AS DOUBLE) AS syy,
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                                  AND l_linenumber IS NOT NULL
+                                 THEN w ELSE 0 END) AS DOUBLE) AS nn,
+                   CAST(SUM(w) AS BIGINT) AS cnt
+            FROM (
+              SELECT l_returnflag, l_quantity, l_linenumber, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity, l_linenumber,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY l_returnflag HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag,
+            CASE WHEN nn > 0 THEN (sxy - sx * sy / nn) / nn END AS cov_p,
+            CASE WHEN nn > 1 THEN (sxy - sx * sy / nn) / (nn - 1) END AS cov_s,
+            CASE WHEN nn > 0 AND GREATEST(sxx - sx * sx / nn, 0) > 0
+                           AND GREATEST(syy - sy * sy / nn, 0) > 0
+                 THEN (sxy - sx * sy / nn) /
+                      SQRT(GREATEST(sxx - sx * sx / nn, 0) *
+                           GREATEST(syy - sy * sy / nn, 0)) END AS r,
+            cnt
+          FROM m""",
 
     "q55_stratified_sample" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

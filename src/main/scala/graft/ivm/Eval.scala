@@ -61,6 +61,12 @@ object Eval {
     case a if AggSpec.isMoment2(a) =>
       val e = AggSpec.expr(a).get.cast("double")
       momentOutput(a, sum(e), sum(e * e), count(e)).as(a.name)
+    // Covariance/correlation family: same moment-formula-on-both-paths
+    // discipline as variance (the builtins use Welford-style updates).
+    case a if AggSpec.isMomentXY(a) =>
+      val (gx, gy) = AggSpec.xyGuarded(a)
+      momentXYOutput(a, sum(gx), sum(gy), sum(gx * gy),
+        sum(gx * gx), sum(gy * gy), count(gx)).as(a.name)
   }
 
   /** Variance-family output from the moments (Σe, Σe², n), everything in
@@ -79,6 +85,28 @@ object Eval {
       case _: AggSpec.StddevPop  => when(nnRaw > 0, sqrt(pop))
       case _: AggSpec.StddevSamp => when(nnRaw > 1, sqrt(samp))
       case other => sys.error(s"not a moment aggregate: $other")
+    }
+  }
+
+  /** Covariance-family output from the cross-moments. COVAR_SAMP is NULL
+    * for n ≤ 1, COVAR_POP for n = 0; CORR additionally NULL when either
+    * marginal variance is 0 (constant input — the ratio is undefined).
+    * The sqrt arguments clamp at 0 against catastrophic cancellation. */
+  private[graft] def momentXYOutput(
+      a: AggSpec, sxR: Column, syR: Column, sxyR: Column,
+      sxxR: Column, syyR: Column, nnRaw: Column): Column = {
+    val sx = sxR.cast("double"); val sy = syR.cast("double")
+    val sxy = sxyR.cast("double"); val sxx = sxxR.cast("double")
+    val syy = syyR.cast("double"); val nn = nnRaw.cast("double")
+    def co   = sxy - sx * sy / nn
+    def varX = greatest(sxx - sx * sx / nn, lit(0d))
+    def varY = greatest(syy - sy * sy / nn, lit(0d))
+    a match {
+      case _: AggSpec.CovarPop  => when(nnRaw > 0, co / nn)
+      case _: AggSpec.CovarSamp => when(nnRaw > 1, co / (nn - 1))
+      case _: AggSpec.Corr =>
+        when(nnRaw > 0 && varX > 0 && varY > 0, co / sqrt(varX * varY))
+      case other => sys.error(s"not a cross-moment aggregate: $other")
     }
   }
 
@@ -118,6 +146,12 @@ object Eval {
       val e = AggSpec.expr(a).get.cast("double")
       Seq(sum(e).as(physSum(a.name)), sum(e * e).as(physSum2(a.name)),
         count(e).as(physNn(a.name)))
+    case a if AggSpec.isMomentXY(a) =>
+      val (gx, gy) = AggSpec.xyGuarded(a); val n = a.name
+      Seq(sum(gx).as(physSum(n)), sum(gy).as(physSumY(n)),
+        sum(gx * gy).as(physSumXY(n)),
+        sum(gx * gx).as(physSum2(n)), sum(gy * gy).as(physSum2Y(n)),
+        count(gx).as(physNn(n)))
     // min_by/max_by: the extremum PAIR is stored; delta maintenance goes
     // through the aux multiset exactly like MIN/MAX.
     case a @ AggSpec.MinBy(_, _, n) =>
@@ -147,6 +181,10 @@ object Eval {
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
+    case a if AggSpec.isMomentXY(a) =>
+      val n = a.name
+      momentXYOutput(a, col(physSum(n)), col(physSumY(n)), col(physSumXY(n)),
+        col(physSum2(n)), col(physSum2Y(n)), col(physNn(n))).as(n)
     case AggSpec.MinBy(_, _, n) =>
       when(col(physNn(n)) > 0, col(physExt(n)).getField(AggSpec.PairA)).as(n)
     case AggSpec.MaxBy(_, _, n) =>
@@ -155,6 +193,9 @@ object Eval {
 
   private[ivm] def physSum(name: String) = s"__ivm_sum_$name"
   private[ivm] def physSum2(name: String) = s"__ivm_sum2_$name"
+  private[ivm] def physSumY(name: String)  = s"__ivm_sumy_$name"
+  private[ivm] def physSum2Y(name: String) = s"__ivm_sum2y_$name"
+  private[ivm] def physSumXY(name: String) = s"__ivm_sumxy_$name"
   private[ivm] def physNn(name: String)  = s"__ivm_nn_$name"
   private[ivm] def physExt(name: String) = s"__ivm_ext_$name"
   private[ivm] def auxVal(name: String)  = s"__ivm_val_$name"
@@ -169,6 +210,9 @@ object Eval {
     case AggSpec.SumDistinct(_, n)   => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
+    case a if AggSpec.isMomentXY(a) =>
+      Seq(physSum(a.name), physSumY(a.name), physSumXY(a.name),
+        physSum2(a.name), physSum2Y(a.name), physNn(a.name))
     case AggSpec.MinBy(_, _, n) => Seq(physExt(n), physNn(n))
     case AggSpec.MaxBy(_, _, n) => Seq(physExt(n), physNn(n))
   }

@@ -306,6 +306,20 @@ object AggSpec {
   /** STDDEV_POP(expr) — sqrt of [[VarPop]], same state. */
   final case class StddevPop(expr: Column, name: String) extends AggSpec
 
+  /** COVAR_POP(x, y) — maintained from signed CROSS-moments: state is
+    * (Σx, Σy, Σxy, Σx², Σy², pair count) over rows where BOTH inputs are
+    * non-null (SQL pairwise-deletion semantics). Every moment is linear in
+    * the row weight, so the state self-maintains under deletion exactly
+    * like SUM — no auxiliary multiset. One uniform 6-column state serves
+    * the whole family ([[CovarSamp]], [[Corr]]). */
+  final case class CovarPop(x: Column, y: Column, name: String) extends AggSpec
+  /** COVAR_SAMP(x, y) — sample variant of [[CovarPop]], same state. */
+  final case class CovarSamp(x: Column, y: Column, name: String) extends AggSpec
+  /** CORR(x, y) — Pearson correlation from the same cross-moment state;
+    * NULL when either marginal variance is 0 (DuckDB-compatible; Spark's
+    * builtin yields NaN there, so both eval paths use our formula). */
+  final case class Corr(x: Column, y: Column, name: String) extends AggSpec
+
   /** MIN_BY(arg, value) with DETERMINISTIC ties: returns the `arg` of the
     * lexicographically smallest (value, arg) pair — SQL's min_by leaves
     * ties undefined, which cannot be maintained (or oracle-checked)
@@ -332,6 +346,25 @@ object AggSpec {
     case _: VarSamp | _: VarPop | _: StddevSamp | _: StddevPop => true
     case _                                                     => false
   }
+  /** Specs maintained via cross-moments (Σx, Σy, Σxy, Σx², Σy², n). */
+  def isMomentXY(a: AggSpec): Boolean = a match {
+    case _: CovarPop | _: CovarSamp | _: Corr => true
+    case _                                    => false
+  }
+  /** The two inputs of a cross-moment spec, each guarded to NULL unless
+    * BOTH are non-null (SQL excludes incomplete pairs entirely), cast to
+    * double. All sums over these guards see only complete pairs. */
+  def xyGuarded(a: AggSpec): (Column, Column) = {
+    import org.apache.spark.sql.functions.when
+    val (x, y) = a match {
+      case CovarPop(x, y, _)  => (x, y)
+      case CovarSamp(x, y, _) => (x, y)
+      case Corr(x, y, _)      => (x, y)
+      case other => sys.error(s"not a cross-moment aggregate: $other")
+    }
+    val both = x.isNotNull && y.isNotNull
+    (when(both, x.cast("double")), when(both, y.cast("double")))
+  }
   def expr(a: AggSpec): Option[Column] = {
     import org.apache.spark.sql.functions.{struct, when}
     a match {
@@ -349,6 +382,8 @@ object AggSpec {
       case MaxBy(v, arg, _) =>
         Some(when(v.isNotNull, struct(v.as(PairV), arg.as(PairA))))
       case CountStar(_) => None
+      // cross-moment specs carry TWO inputs — see [[xyGuarded]]
+      case _: CovarPop | _: CovarSamp | _: Corr => None
     }
   }
 }

@@ -135,7 +135,8 @@ object SqlFrontend {
       }
       val aggFns = Set("sum", "count", "avg", "mean", "min", "max",
         "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
-        "stddev_pop", "min_by", "max_by")
+        "stddev_pop", "min_by", "max_by",
+        "covar_pop", "covar_samp", "corr")
       cond2.collectFirst {
         case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
       }.foreach { fn =>
@@ -368,7 +369,8 @@ object SqlFrontend {
 
   private val AggFnNames = Set("sum", "count", "avg", "mean", "min", "max",
     "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
-    "stddev_pop", "min_by", "max_by")
+    "stddev_pop", "min_by", "max_by",
+    "covar_pop", "covar_samp", "corr")
 
   /** True for a select item that is an aggregate call by NAME (the naive
     * [[isAggCall]] matches any function — too broad to distinguish a
@@ -474,6 +476,14 @@ object SqlFrontend {
       // NULL value, and a NULL value never enters the (value, arg) pair state
       case ("min_by", Seq(a, v)) => AggSpec.MinBy(filtered(v, filt), expr(a.sql), name)
       case ("max_by", Seq(a, v)) => AggSpec.MaxBy(filtered(v, filt), expr(a.sql), name)
+      // Cross-moment family: FILTER nulls one input, and xyGuarded already
+      // drops any pair with a null side — the standard CASE-WHEN equivalence.
+      case ("covar_pop", Seq(x, y)) =>
+        AggSpec.CovarPop(filtered(x, filt), expr(y.sql), name)
+      case ("covar_samp", Seq(x, y)) =>
+        AggSpec.CovarSamp(filtered(x, filt), expr(y.sql), name)
+      case ("corr", Seq(x, y)) =>
+        AggSpec.Corr(filtered(x, filt), expr(y.sql), name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

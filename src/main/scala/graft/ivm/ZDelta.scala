@@ -660,6 +660,15 @@ object ZDelta {
         Seq(sum(e * w).as(adj(Eval.physSum(n))),
             sum(e * e * w).as(adj(Eval.physSum2(n))),
             sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      // Covariance/correlation: cross-moments are linear in the weight too.
+      case a if AggSpec.isMomentXY(a) =>
+        val (gx, gy) = AggSpec.xyGuarded(a); val n = a.name
+        Seq(sum(gx * w).as(adj(Eval.physSum(n))),
+            sum(gy * w).as(adj(Eval.physSumY(n))),
+            sum(gx * gy * w).as(adj(Eval.physSumXY(n))),
+            sum(gx * gx * w).as(adj(Eval.physSum2(n))),
+            sum(gy * gy * w).as(adj(Eval.physSum2Y(n))),
+            sum(when(gx.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
     } :+ sum(w).as(adj(HCOUNT))
 
     // Touched-group adjustments are consumed several times (state slice

@@ -124,6 +124,11 @@ object IvmStream {
         val e = AggSpec.expr(a).get.cast("double")
         graft.ivm.Eval.momentOutput(a, sum(e * w), sum(e * e * w),
           sum(when(e.isNotNull, w).otherwise(lit(0)))).as(a.name)
+      case a if AggSpec.isMomentXY(a) =>
+        val (gx, gy) = AggSpec.xyGuarded(a)
+        graft.ivm.Eval.momentXYOutput(a, sum(gx * w), sum(gy * w),
+          sum(gx * gy * w), sum(gx * gx * w), sum(gy * gy * w),
+          sum(when(gx.isNotNull, w).otherwise(lit(0)))).as(a.name)
       case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
           AggSpec.SumDistinct(_, _) | AggSpec.MinBy(_, _, _) |
           AggSpec.MaxBy(_, _, _) =>

@@ -89,6 +89,16 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "agg_var_global" -> Aggregate(sc, Seq.empty,
         Seq(VarSamp(col("v"), "var_v"), StddevPop(col("v"), "sp_v"),
           CountStar("n"))),
+      // covariance/correlation family: cross-moment state; rows where
+      // EITHER input is NULL are excluded as pairs (v is nullable here,
+      // h non-null — the guard still exercises pairwise deletion)
+      "agg_covar" -> Aggregate(sc, Seq("g"),
+        Seq(CovarPop(col("v"), col("h"), "cp"),
+          CovarSamp(col("v"), col("h"), "cs"),
+          Corr(col("v"), col("h"), "r"), CountStar("n"))),
+      "agg_covar_global" -> Aggregate(sc, Seq.empty,
+        Seq(CovarPop(col("v"), col("h"), "cp"),
+          Corr(col("v"), col("h"), "r"), CountStar("n"))),
       // deterministic min_by/max_by: arg of the lexicographic (value, arg)
       // extremum, maintained via the pair-struct aux multiset (h is the
       // non-null arg; v can be NULL — such rows are ignored)

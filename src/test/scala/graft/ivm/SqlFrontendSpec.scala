@@ -298,6 +298,37 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("sql_var", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("covar/corr fold from SQL and maintain under pairwise deletion") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_cov AS
+         SELECT g, COVAR_POP(v, h) AS cp, COVAR_SAMP(v, h) AS cs,
+                CORR(v, h) AS r, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), aggs) =>
+        assert(aggs.map(_.name) == Seq("cp", "cs", "r", "n"))
+        assert(aggs.count(AggSpec.isMomentXY) == 3)
+      case other => fail(s"unexpected AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT, h INT",
+        Seq(Row("a", 1, 2), Row("a", 4, 8), Row("a", 9, 1), Row("b", 7, 7),
+          Row("b", 3, 7), Row("c", 2, null)))
+    }
+    // delete one b pair (leaves a single pair: samp → NULL, corr → NULL
+    // since var is 0), delete a's (9,1), insert a complete pair into c
+    // (its only base row has a NULL side and never counted as a pair)
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, h INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("b", 3, 7, false), Row("a", 9, 1, false), Row("c", 5, 6, true))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_cov", q, base, store)
+    Ivm.refreshState("sql_cov", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_cov", q, store), Ivm.recompute(q, base, deltas))
+  }
+
   test("NOT IN subquery folds to the anti-join composition (marker filter)") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_notin AS
