@@ -1195,6 +1195,41 @@ object SparkEntry {
       Ivm.read("q82", v, store)
     }),
 
+    // MAINTAINED LISTAGG (deterministic ascending-value order) — the
+    // ordered concatenation rebuilds from the aux value-multiset on each
+    // touched group: O(group's values), never a base rescan. The delta
+    // inserts DUPLICATE line numbers (multiplicity 2) and deletes others,
+    // so the string must gain/lose exactly one occurrence.
+    "q84_ivm_listagg_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q84 AS
+           SELECT l_orderkey, LISTAGG(l_linenumber, ',') AS lns,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_orderkey""")
+      Ivm.create("q84", v, base(s, dir), store)
+      Ivm.refreshState("q84", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q84", v, store)
+    }),
+
+    // SCALAR SUBQUERY in WHERE, maintained: the threshold is a 1-row
+    // global-aggregate subview cross-joined against the child (empty-key
+    // Join); when the average moves, rows whose qualification flips enter/
+    // leave the multiset — unchanged rows cancel between the old-value
+    // retraction and new-value assertion. Deltas hit BOTH the child and
+    // the subquery (same table), exercising the self-join delta terms.
+    "q83_ivm_scalar_subquery" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q83 AS
+           SELECT l_orderkey, l_linenumber, l_quantity
+           FROM lineitem
+           WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)""")
+      Ivm.create("q83", v, base(s, dir), store)
+      Ivm.refreshState("q83", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q83", v, store)
+    }),
+
     // Deterministic stratified sampling: per-stratum keep rates derived
     // from an md5 hash of the row id (never rand() — retry/speculation
     // stable, oracle-reproducible); the sample is a pure zero-shuffle
@@ -1807,6 +1842,51 @@ object SparkEntry {
                            GREATEST(syy - sy * sy / nn, 0)) END AS r,
             cnt
           FROM m""",
+
+    "q84_ivm_listagg_apply" ->
+      s"""WITH ap AS (
+            SELECT l_orderkey, l_linenumber, SUM(w) AS c FROM (
+              SELECT l_orderkey, l_linenumber, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), expanded AS (
+            SELECT l_orderkey, l_linenumber FROM (
+              SELECT l_orderkey, l_linenumber,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM ap)
+          )
+          SELECT l_orderkey,
+                 string_agg(CAST(l_linenumber AS VARCHAR),
+                            ',' ORDER BY l_linenumber) AS lns,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM expanded GROUP BY l_orderkey""",
+
+    "q83_ivm_scalar_subquery" ->
+      s"""WITH ap AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, SUM(w) AS c FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), a AS (
+            SELECT CAST(SUM(l_quantity * w) AS DOUBLE) /
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                                 THEN w ELSE 0 END) AS DOUBLE) AS avg_q
+            FROM (
+              SELECT l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_quantity, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            )
+          ), expanded AS (
+            SELECT l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM ap)
+          )
+          SELECT e.l_orderkey, e.l_linenumber, e.l_quantity
+          FROM expanded e, a WHERE e.l_quantity > a.avg_q""",
 
     "q55_stratified_sample" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -17,7 +17,9 @@ object Eval {
     case Scan(t)            => resolve(t)
     case Filter(c, pred)    => eval(c, resolve).filter(pred)
     case Project(c, cols)   => eval(c, resolve).select(cols: _*)
-    case Join(l, r, keys)   => eval(l, resolve).join(eval(r, resolve), keys)
+    case Join(l, r, keys)   =>
+      val (le, re) = (eval(l, resolve), eval(r, resolve))
+      if (keys.isEmpty) le.crossJoin(re) else le.join(re, keys)
     case Union(l, r)        => eval(l, resolve).unionByName(eval(r, resolve))
     case TopK(c, sort, n)   => eval(c, resolve).orderBy(sortCols(sort): _*).limit(n)
     case LeftJoin(l, r, keys) =>
@@ -49,6 +51,11 @@ object Eval {
     case AggSpec.Max(e, n)    => max(e).as(n)
     case AggSpec.CountDistinct(e, n) => count_distinct(e).as(n)
     case AggSpec.SumDistinct(e, n)   => sum_distinct(e).as(n)
+    // Deterministic listagg: ascending value order (plain listagg leaves
+    // order undefined — unmaintainable); all-NULL group yields NULL.
+    case AggSpec.ListAgg(e, sep, n) =>
+      when(count(e) > 0, array_join(
+        transform(array_sort(collect_list(e)), _.cast("string")), sep)).as(n)
     // Deterministic min_by/max_by: arg of the lexicographic extremum pair
     // (the builtin min_by leaves ties undefined — unmaintainable).
     case a @ AggSpec.MinBy(_, _, n) =>
@@ -140,6 +147,9 @@ object Eval {
       Seq(count_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
     case AggSpec.SumDistinct(e, n) =>
       Seq(sum_distinct(e).as(physExt(n)), count(e).as(physNn(n)))
+    case AggSpec.ListAgg(e, sep, n) =>
+      Seq(array_join(transform(array_sort(collect_list(e)), _.cast("string")),
+        sep).as(physExt(n)), count(e).as(physNn(n)))
     // Moments in double: exact for integer-valued inputs (≤ 2^53), and the
     // signed-delta adjustments commute with the base sums.
     case a if AggSpec.isMoment2(a) =>
@@ -178,6 +188,8 @@ object Eval {
       when(col(physNn(n)) > 0, col(physExt(n))).otherwise(lit(0L)).as(n)
     case AggSpec.SumDistinct(_, n) => // NULL over empty input, like SUM
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
+    case AggSpec.ListAgg(_, _, n) => // NULL over all-NULL input
+      when(col(physNn(n)) > 0, col(physExt(n))).as(n)
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
@@ -208,6 +220,7 @@ object Eval {
     case AggSpec.Max(_, n)    => Seq(physExt(n), physNn(n))
     case AggSpec.CountDistinct(_, n) => Seq(physExt(n), physNn(n))
     case AggSpec.SumDistinct(_, n)   => Seq(physExt(n), physNn(n))
+    case AggSpec.ListAgg(_, _, n)    => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
     case a if AggSpec.isMomentXY(a) =>

@@ -320,6 +320,15 @@ object AggSpec {
     * builtin yields NaN there, so both eval paths use our formula). */
   final case class Corr(x: Column, y: Column, name: String) extends AggSpec
 
+  /** LISTAGG / STRING_AGG(expr, sep) with DETERMINISTIC ordering: values
+    * concatenate in ascending value order (SQL leaves unordered listagg
+    * undefined — unmaintainable and unreproducible). NULLs are ignored;
+    * an all-NULL group yields NULL. Maintained under deletion via the same
+    * auxiliary (group, value) multiset as MIN/MAX: the new string is
+    * rebuilt from the group's alive values (each repeated its multiplicity)
+    * — O(group's distinct values), never a base rescan. */
+  final case class ListAgg(expr: Column, sep: String, name: String) extends AggSpec
+
   /** MIN_BY(arg, value) with DETERMINISTIC ties: returns the `arg` of the
     * lexicographically smallest (value, arg) pair — SQL's min_by leaves
     * ties undefined, which cannot be maintained (or oracle-checked)
@@ -335,10 +344,33 @@ object AggSpec {
   private[ivm] val PairV = "v"
   private[ivm] val PairA = "a"
 
+  /** Copy of a spec under a new output name (the scalar-subquery fold
+    * renames the subview's single aggregate to a hidden column). */
+  def renamed(a: AggSpec, n: String): AggSpec = a match {
+    case s: Sum           => s.copy(name = n)
+    case s: Count         => s.copy(name = n)
+    case s: CountStar     => s.copy(name = n)
+    case s: Avg           => s.copy(name = n)
+    case s: Min           => s.copy(name = n)
+    case s: Max           => s.copy(name = n)
+    case s: CountDistinct => s.copy(name = n)
+    case s: SumDistinct   => s.copy(name = n)
+    case s: VarSamp       => s.copy(name = n)
+    case s: VarPop        => s.copy(name = n)
+    case s: StddevSamp    => s.copy(name = n)
+    case s: StddevPop     => s.copy(name = n)
+    case s: CovarPop      => s.copy(name = n)
+    case s: CovarSamp     => s.copy(name = n)
+    case s: Corr          => s.copy(name = n)
+    case s: MinBy         => s.copy(name = n)
+    case s: MaxBy         => s.copy(name = n)
+    case s: ListAgg       => s.copy(name = n)
+  }
+
   /** Specs needing the auxiliary (group, value) count state. */
   def needsAux(a: AggSpec): Boolean = a match {
     case _: Min | _: Max | _: CountDistinct | _: SumDistinct => true
-    case _: MinBy | _: MaxBy                                 => true
+    case _: MinBy | _: MaxBy | _: ListAgg                    => true
     case _                                                   => false
   }
   /** Specs maintained via second moments (Σe, Σe², n). */
@@ -372,6 +404,7 @@ object AggSpec {
       case Avg(e, _) => Some(e); case Min(e, _) => Some(e)
       case Max(e, _) => Some(e); case CountDistinct(e, _) => Some(e)
       case SumDistinct(e, _) => Some(e)
+      case ListAgg(e, _, _) => Some(e)
       case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
       case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
       // The tracked "value" is the pair struct, NULL when the SQL value is

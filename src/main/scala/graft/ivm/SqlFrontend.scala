@@ -83,6 +83,54 @@ object SqlFrontend {
       foldExists(sub, child, negated = false)
     case Filter(Not(Exists(sub, _, _, _, _)), child) =>
       foldExists(sub, child, negated = true)
+    // Uncorrelated scalar subquery in WHERE (e.g. `x > (SELECT avg(y)
+    // FROM u)`): each subquery folds to a 1-row GLOBAL aggregate subview
+    // cross-joined (empty-key Join) against the child; the predicate then
+    // reads its output column, and a final Project drops it. When the
+    // scalar changes, the A⋈ΔB delta term re-qualifies rows against both
+    // the old (w=-1) and new (w=+1) value — rows whose qualification is
+    // unchanged cancel in the multiset merge, so ΔV is exactly the rows
+    // that entered or left the view. Maintenance cost on a scalar change
+    // is one streamed pass over the child (no shuffle of it) — inherent
+    // to the semantics, since every row's predicate could flip.
+    case Filter(cond, child) if cond.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery]) =>
+      import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
+      val subViews = scala.collection.mutable.Buffer.empty[IvmQuery]
+      val newCond = cond.transformUp {
+        case sq: ScalarSubquery =>
+          if (sq.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
+            "correlated scalar subqueries are not supported in IVM views " +
+              "(rewrite as a join, or use EXISTS for membership)")
+          val n = s"__ivm_sq${subViews.size}"
+          // allow an unaliased aggregate item: name it before folding
+          val aliased = sq.plan transform {
+            case Project(items, c) => Project(items.map {
+              case UnresolvedAlias(e, _) => Alias(e, n)()
+              case other                 => other
+            }, c)
+          }
+          subViews += (fold(aliased) match {
+            case graft.ivm.Aggregate(c, Seq(), Seq(one)) =>
+              graft.ivm.Aggregate(c, Seq.empty, Seq(AggSpec.renamed(one, n)))
+            case other => throw new UnsupportedOperationException(
+              "a scalar subquery must be a single uncorrelated global " +
+                s"aggregate (SELECT agg(...) FROM ...), got: $other")
+          })
+          UnresolvedAttribute(Seq(n))
+      }
+      val folded = fold(child)
+      val joined = subViews.foldLeft(folded)(graft.ivm.Join(_, _, Seq.empty))
+      val filteredQ = graft.ivm.Filter(joined, expr(newCond.sql))
+      outputNames(folded) match {
+        case Some(cols) => // drop the helper scalar columns here
+          graft.ivm.Project(filteredQ,
+            cols.map(org.apache.spark.sql.functions.col))
+        case None => // bare Scan child: the enclosing (named) select list
+          // projects the helper columns away; SELECT * would keep them
+          filteredQ
+      }
     case Filter(cond, child)   => graft.ivm.Filter(fold(child), expr(cond.sql))
     // GROUP BY ROLLUP/CUBE → the MAINTAINED compositions (one aggregate
     // state per grouping level + stateless bag union); NULL subtotal keys
@@ -136,7 +184,7 @@ object SqlFrontend {
       val aggFns = Set("sum", "count", "avg", "mean", "min", "max",
         "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
         "stddev_pop", "min_by", "max_by",
-        "covar_pop", "covar_samp", "corr")
+        "covar_pop", "covar_samp", "corr", "listagg", "string_agg")
       cond2.collectFirst {
         case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
       }.foreach { fn =>
@@ -370,7 +418,7 @@ object SqlFrontend {
   private val AggFnNames = Set("sum", "count", "avg", "mean", "min", "max",
     "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
     "stddev_pop", "min_by", "max_by",
-    "covar_pop", "covar_samp", "corr")
+    "covar_pop", "covar_samp", "corr", "listagg", "string_agg")
 
   /** True for a select item that is an aggregate call by NAME (the naive
     * [[isAggCall]] matches any function — too broad to distinguish a
@@ -484,6 +532,18 @@ object SqlFrontend {
         AggSpec.CovarSamp(filtered(x, filt), expr(y.sql), name)
       case ("corr", Seq(x, y)) =>
         AggSpec.Corr(filtered(x, filt), expr(y.sql), name)
+      // deterministic listagg (ascending value order); separator must be
+      // a string literal — it is part of the maintained state's formula
+      case ("listagg" | "string_agg", Seq(e)) =>
+        AggSpec.ListAgg(filtered(e, filt), ",", name)
+      case ("listagg" | "string_agg", Seq(e, sepE)) =>
+        val sep = sepE match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+                u, org.apache.spark.sql.types.StringType) => String.valueOf(u)
+          case other => throw new UnsupportedOperationException(
+            s"LISTAGG separator must be a string literal, got: ${other.sql}")
+        }
+        AggSpec.ListAgg(filtered(e, filt), sep, name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

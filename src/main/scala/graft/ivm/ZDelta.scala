@@ -124,6 +124,11 @@ object ZDelta {
   def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
     q.tables.exists(t => ctx.deltaOf(t).isDefined)
 
+  /** Inner join on `keys`; empty keys = cross join (the scalar-subquery
+    * fold joins a 1-row global aggregate against the filtered child). */
+  private[ivm] def joinOn(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) l.crossJoin(r) else l.join(r, keys)
+
   // ---- current relations (base ⊎ applied deltas) ------------------------
 
   /** State path of table `t`'s delta accumulator (the signed multiset of
@@ -213,7 +218,7 @@ object ZDelta {
       l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
     val lw = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, "__ivm_cwl")
     val rw = currentW(r, ctx, path + ".1").withColumnRenamed(WEIGHT, "__ivm_cwr")
-    lw.join(rw, keys)
+    joinOn(lw, rw, keys)
       .withColumn(WEIGHT, col("__ivm_cwl") * col("__ivm_cwr"))
       .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
   }
@@ -409,13 +414,13 @@ object ZDelta {
     if (lHas) {
       // ΔA ⋈ B : broadcast the (small) delta side; B streams from parquet
       // with pushdown — no shuffle of the base at any scale.
-      terms += bcast(dl).join(br, keys)
+      terms += joinOn(bcast(dl), br, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
     if (rHas) {
       // A ⋈ ΔB
-      terms += bl.join(bcast(dr), keys)
+      terms += joinOn(bl, bcast(dr), keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
@@ -423,8 +428,7 @@ object ZDelta {
       // ΔA ⋈ ΔB : both small; weights multiply.
       val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
       val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
-      terms += dl2
-        .join(bcast(dr2), keys)
+      terms += joinOn(dl2, bcast(dr2), keys)
         .withColumn(WEIGHT, col("__ivm_wl") * col("__ivm_wr"))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
@@ -649,7 +653,7 @@ object ZDelta {
       // min_by/max_by track the (value, arg) pair struct; like MIN/MAX only
       // the non-null count adjusts here — the extremum pair is recomputed
       // from the aux multiset below.
-      case a @ (_: AggSpec.MinBy | _: AggSpec.MaxBy) =>
+      case a @ (_: AggSpec.MinBy | _: AggSpec.MaxBy | _: AggSpec.ListAgg) =>
         val e = AggSpec.expr(a).get
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0)))
           .as(adj(Eval.physNn(a.name))))
@@ -726,6 +730,16 @@ object ZDelta {
           case _: AggSpec.MaxBy         => max(col(vCol))
           case _: AggSpec.CountDistinct => count(lit(1)) // alive values
           case _: AggSpec.SumDistinct   => sum(col(vCol)) // sum of alive values
+          // rebuild the ordered concatenation from the alive multiset:
+          // each (value, count) repeats its multiplicity, ascending value
+          case AggSpec.ListAgg(_, sep, _) =>
+            array_join(
+              flatten(transform(
+                array_sort(collect_list(struct(col(vCol).as("v"),
+                  col(HCOUNT).cast("int").as("c")))),
+                p => array_repeat(p.getField("v").cast("string"),
+                  p.getField("c")))),
+              sep)
           case other => sys.error(s"no aux extremum for $other")
         }
         val newName = s"__ivm_newext_$n"

@@ -99,6 +99,23 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "agg_covar_global" -> Aggregate(sc, Seq.empty,
         Seq(CovarPop(col("v"), col("h"), "cp"),
           Corr(col("v"), col("h"), "r"), CountStar("n"))),
+      // deterministic LISTAGG: the ordered concatenation rebuilds from the
+      // aux multiset; deletions must drop exactly one occurrence of a
+      // duplicated value, all-NULL groups must read NULL
+      "agg_listagg" -> Aggregate(sc, Seq("g"),
+        Seq(ListAgg(col("v"), ",", "lv"), CountStar("n"))),
+      "agg_listagg_global" -> Aggregate(sc, Seq.empty,
+        Seq(ListAgg(col("v"), "|", "lv"), CountStar("n"))),
+      // scalar-subquery gate: empty-key (cross) join against a 1-row
+      // global aggregate; threshold moves with u's deltas, re-qualifying
+      // t rows whose comparison flips (NULL v rows never qualify)
+      "scalar_gate" -> Project(
+        Filter(
+          Join(Project(sc, Seq(col("g"), col("v"))),
+            Aggregate(Scan("u"), Seq.empty, Seq(Avg(col("h"), "__sq0"))),
+            Seq.empty),
+          col("v") > col("__sq0")),
+        Seq(col("g"), col("v"))),
       // deterministic min_by/max_by: arg of the lexicographic (value, arg)
       // extremum, maintained via the pair-struct aux multiset (h is the
       // non-null arg; v can be NULL — such rows are ignored)

@@ -329,6 +329,66 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("sql_cov", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("LISTAGG/STRING_AGG folds from SQL; deletion drops one occurrence") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_la AS
+         SELECT g, STRING_AGG(v, '-') AS lv, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), Seq(la: AggSpec.ListAgg, _)) =>
+        assert(la.sep == "-" && la.name == "lv")
+      case other => fail(s"unexpected AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 3), Row("a", 1), Row("a", 3), Row("b", 2), Row("c", null)))
+    }
+    // delete ONE of a's duplicate 3s ("1-3-3" → "1-3"), empty b entirely,
+    // give the all-NULL group c its first value (NULL → "7")
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 3, false), Row("b", 2, false), Row("c", 7, true))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_la", q, base, store)
+    Ivm.refreshState("sql_la", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_la", q, store), Ivm.recompute(q, base, deltas))
+    val rows = Ivm.read("sql_la", q, store).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("a") == "1-3" && !rows.contains("b") && rows("c") == "7")
+  }
+
+  test("scalar subquery in WHERE folds to a cross join with a global agg") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_sq AS
+         SELECT g, v FROM t WHERE v > (SELECT AVG(h) FROM u)""")
+    q match {
+      case Project(Filter(Join(_, Aggregate(Scan("u"), Seq(), Seq(a)), Seq()), _), cols) =>
+        assert(a.isInstanceOf[AggSpec.Avg] && a.name.startsWith("__ivm_sq"))
+        assert(cols.map(ZDelta.colName) == Seq("g", "v"))
+      case other => fail(s"unexpected AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 1), Row("b", 5), Row("c", 9), Row("d", null)))
+      case "u" => df("h INT", Seq(Row(2), Row(4), Row(12)))
+    }
+    // u's avg moves 6 → 3: b (v=5) newly qualifies, a/c unchanged, and a
+    // t-side insert/delete lands in the same batch (self-termed deltas)
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "u" => Some(df(s"h INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row(12, false), Row(3, true))))
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("e", 4, true), Row("a", 1, false))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_sq", q, base, store)
+    Ivm.refreshState("sql_sq", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_sq", q, store), Ivm.recompute(q, base, deltas))
+  }
+
   test("NOT IN subquery folds to the anti-join composition (marker filter)") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_notin AS
