@@ -1195,6 +1195,43 @@ object SparkEntry {
       Ivm.read("q82", v, store)
     }),
 
+    // MAINTAINED RANGE (banded theta) JOIN through SQL: residual ON
+    // conjuncts fold to a Filter over the equi join — Δ(σ(A⋈B)) = σ(Δ(A⋈B))
+    // — so "lineitems shipped within 30 days of their order's date" stays
+    // maintained under deltas on BOTH tables. The equi key keeps the join
+    // partitioned at scale; only the band predicate is theta.
+    "q85_ivm_range_join" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q85 AS
+           SELECT k, l_linenumber, l_quantity
+           FROM (SELECT o_orderkey AS k, o_orderdate FROM orders) o
+           JOIN (SELECT l_orderkey AS k, l_linenumber, l_quantity,
+                        l_shipdate FROM lineitem) l
+           ON o.k = l.k AND l.l_shipdate >= o.o_orderdate
+              AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY""")
+      Ivm.create("q85", v, base(s, dir), store)
+      Ivm.refreshState("q85", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q85", v, store)
+    }),
+
+    // Share-of-total via a SELECT-list scalar subquery: every row's share
+    // shifts when the total moves (inherently O(view) rewrite — the
+    // cancellation machinery still dedupes the unchanged-qualification
+    // case for WHERE-form subqueries; here values genuinely change).
+    "q86_ivm_share_of_total" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q86 AS
+           SELECT l_orderkey, l_linenumber,
+                  l_quantity / (SELECT SUM(l_quantity) FROM lineitem)
+                    AS q_share
+           FROM lineitem""")
+      Ivm.create("q86", v, base(s, dir), store)
+      Ivm.refreshState("q86", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q86", v, store)
+    }),
+
     // MAINTAINED LISTAGG (deterministic ascending-value order) — the
     // ordered concatenation rebuilds from the aux value-multiset on each
     // touched group: O(group's values), never a base rescan. The delta
@@ -1842,6 +1879,60 @@ object SparkEntry {
                            GREATEST(syy - sy * sy / nn, 0)) END AS r,
             cnt
           FROM m""",
+
+    "q85_ivm_range_join" ->
+      s"""WITH co AS (
+            SELECT o_orderkey, o_orderdate, SUM(w) AS c FROM (
+              SELECT o_orderkey, o_orderdate, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_orderdate,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), eo AS (
+            SELECT o_orderkey, o_orderdate FROM (
+              SELECT o_orderkey, o_orderdate,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM co)
+          ), cl AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+                   SUM(w) AS c FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+                     1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3, 4 HAVING SUM(w) > 0
+          ), el AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM cl)
+          )
+          SELECT eo.o_orderkey AS k, el.l_linenumber, el.l_quantity
+          FROM eo JOIN el ON eo.o_orderkey = el.l_orderkey
+            AND el.l_shipdate >= eo.o_orderdate
+            AND el.l_shipdate < eo.o_orderdate + INTERVAL 30 DAY""",
+
+    "q86_ivm_share_of_total" ->
+      s"""WITH ap AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, SUM(w) AS c FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), tot AS (
+            SELECT CAST(SUM(l_quantity * w) AS DOUBLE) AS t FROM (
+              SELECT l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_quantity, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            )
+          ), expanded AS (
+            SELECT l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM ap)
+          )
+          SELECT e.l_orderkey, e.l_linenumber, e.l_quantity / tot.t AS q_share
+          FROM expanded e, tot""",
 
     "q84_ivm_listagg_apply" ->
       s"""WITH ap AS (

@@ -58,6 +58,18 @@ object SqlFrontend {
     // time, which the fold replaces. Detect by aggregate-function name.
     case Project(exprs, child) if exprs.exists(isGlobalAggItem) =>
       foldAggregate(Nil, exprs, fold(child))
+    // Scalar subqueries in the SELECT list (e.g. `SELECT x, x / (SELECT
+    // sum(y) FROM u) AS share`): same cross-join fold as the WHERE form;
+    // the projected expressions then read the subviews' output columns.
+    case Project(exprs, child) if exprs.exists(hasScalarSub) =>
+      var subViews = Seq.empty[IvmQuery]
+      val newItems = exprs.map { item =>
+        val (ni, svs) = extractScalarSubs(item, offset = subViews.size)
+        subViews ++= svs
+        ni.asInstanceOf[NamedExpression]
+      }
+      val joined = subViews.foldLeft(fold(child))(graft.ivm.Join(_, _, Seq.empty))
+      Filterable.project(newItems, joined)
     case Project(exprs, child) => Filterable.project(exprs, fold(child))
     // IN-subquery → maintained SEMI JOIN: the subquery becomes a DISTINCT
     // key-set view (group liveness = set membership) inner-joined against
@@ -93,33 +105,8 @@ object SqlFrontend {
     // that entered or left the view. Maintenance cost on a scalar change
     // is one streamed pass over the child (no shuffle of it) — inherent
     // to the semantics, since every row's predicate could flip.
-    case Filter(cond, child) if cond.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.ScalarSubquery]) =>
-      import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
-      import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
-      val subViews = scala.collection.mutable.Buffer.empty[IvmQuery]
-      val newCond = cond.transformUp {
-        case sq: ScalarSubquery =>
-          if (sq.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
-            "correlated scalar subqueries are not supported in IVM views " +
-              "(rewrite as a join, or use EXISTS for membership)")
-          val n = s"__ivm_sq${subViews.size}"
-          // allow an unaliased aggregate item: name it before folding
-          val aliased = sq.plan transform {
-            case Project(items, c) => Project(items.map {
-              case UnresolvedAlias(e, _) => Alias(e, n)()
-              case other                 => other
-            }, c)
-          }
-          subViews += (fold(aliased) match {
-            case graft.ivm.Aggregate(c, Seq(), Seq(one)) =>
-              graft.ivm.Aggregate(c, Seq.empty, Seq(AggSpec.renamed(one, n)))
-            case other => throw new UnsupportedOperationException(
-              "a scalar subquery must be a single uncorrelated global " +
-                s"aggregate (SELECT agg(...) FROM ...), got: $other")
-          })
-          UnresolvedAttribute(Seq(n))
-      }
+    case Filter(cond, child) if hasScalarSub(cond) =>
+      val (newCond, subViews) = extractScalarSubs(cond)
       val folded = fold(child)
       val joined = subViews.foldLeft(folded)(graft.ivm.Join(_, _, Seq.empty))
       val filteredQ = graft.ivm.Filter(joined, expr(newCond.sql))
@@ -195,8 +182,20 @@ object SqlFrontend {
       graft.ivm.Filter(folded, expr(cond2.sql))
     case Join(l, r, UsingJoin(Inner, cols), None, _) =>
       graft.ivm.Join(fold(l), fold(r), cols)
+    // INNER JOIN ON <equi keys AND residual>: the residual (range/theta)
+    // conjuncts become a Filter over the equi join — Δ(σ(A⋈B)) = σ(Δ(A⋈B)),
+    // so maintained range joins come free from composition. At least one
+    // same-name equi conjunct is still required: it is the partition key
+    // that keeps the join from degenerating to a cross product at scale
+    // (the standard banded-join formulation: equi on a bucket/key column,
+    // residual on the range bounds).
     case Join(l, r, Inner, Some(cond), _) =>
-      graft.ivm.Join(fold(l), fold(r), equiKeys(cond))
+      val (keys, residual) = splitJoinCond(cond)
+      if (keys.isEmpty) throw new UnsupportedOperationException(
+        "IVM joins need at least one same-name equi condition " +
+          s"(a.k = b.k); got only: ${cond.sql}")
+      val j = graft.ivm.Join(fold(l), fold(r), keys)
+      residual.fold(j: IvmQuery)(rc => graft.ivm.Filter(j, expr(rc.sql)))
     case Join(l, r, UsingJoin(LeftOuter, cols), None, _) =>
       graft.ivm.LeftJoin(fold(l), fold(r), cols)
     case Join(l, r, LeftOuter, Some(cond), _) =>
@@ -362,6 +361,65 @@ object SqlFrontend {
   }
 
   /** Same-name equi-join keys from `a.k = b.k [AND ...]` conditions. */
+  private def hasScalarSub(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery])
+
+  /** Replace each uncorrelated scalar subquery in `e` with a reference to
+    * a hidden `__ivm_sq<i>` column and return the rewritten expression
+    * plus the 1-row global-aggregate subviews to cross-join (in order).
+    * `offset` numbers the hidden columns when a caller extracts from
+    * several expressions into one join chain. */
+  private def extractScalarSubs(
+      e: Expression, offset: Int = 0): (Expression, Seq[IvmQuery]) = {
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
+    val subViews = scala.collection.mutable.Buffer.empty[IvmQuery]
+    val rewritten = e.transformUp {
+      case sq: ScalarSubquery =>
+        if (sq.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
+          "correlated scalar subqueries are not supported in IVM views " +
+            "(rewrite as a join, or use EXISTS for membership)")
+        val n = s"__ivm_sq${offset + subViews.size}"
+        // allow an unaliased aggregate item: name it before folding
+        val aliased = sq.plan transform {
+          case Project(items, c) => Project(items.map {
+            case UnresolvedAlias(ue, _) => Alias(ue, n)()
+            case other                  => other
+          }, c)
+        }
+        subViews += (fold(aliased) match {
+          case graft.ivm.Aggregate(c, Seq(), Seq(one)) =>
+            graft.ivm.Aggregate(c, Seq.empty, Seq(AggSpec.renamed(one, n)))
+          case other => throw new UnsupportedOperationException(
+            "a scalar subquery must be a single uncorrelated global " +
+              s"aggregate (SELECT agg(...) FROM ...), got: $other")
+        })
+        UnresolvedAttribute(Seq(n))
+    }
+    (rewritten, subViews.toSeq)
+  }
+
+  /** Split an inner-join ON condition into same-name equi keys and the
+    * residual (theta) conjuncts, AND-folded back together. */
+  private def splitJoinCond(cond: Expression): (Seq[String], Option[Expression]) = {
+    val conjuncts = splitAnd(cond)
+    val (equi, residual) = conjuncts.partition {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        a.nameParts.last == b.nameParts.last
+      case _ => false
+    }
+    val keys = equi.collect {
+      case EqualTo(a: UnresolvedAttribute, _) => a.nameParts.last
+    }
+    // the join output carries unqualified names — strip table qualifiers
+    // (side columns referenced by the residual must be distinctly named)
+    val stripped = residual.reduceOption(And).map(_.transformUp {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    })
+    (keys, stripped)
+  }
+
   private def equiKeys(cond: Expression): Seq[String] = cond match {
     case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
         if a.nameParts.last == b.nameParts.last =>

@@ -359,6 +359,55 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("a") == "1-3" && !rows.contains("b") && rows("c") == "7")
   }
 
+  test("inner join with residual ON conjuncts folds to Filter over Join") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_theta AS
+         SELECT g, v, h FROM t JOIN u ON t.g = u.g AND t.v < u.h""")
+    q match {
+      case Project(Filter(Join(Scan("t"), Scan("u"), Seq("g")), _), _) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(Row("a", 1), Row("a", 9), Row("b", 3)))
+      case "u" => df("g STRING, h INT", Seq(Row("a", 5), Row("b", 2)))
+    }
+    // raise b's bound so (b,3) starts matching; delete (a,5) so (a,1) stops
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "u" => Some(df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 5, false), Row("b", 7, true))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_theta", q, base, store)
+    Ivm.refreshState("sql_theta", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_theta", q, store), Ivm.recompute(q, base, deltas))
+    assert(Ivm.read("sql_theta", q, store).collect().map(
+      r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet ==
+      Set(("b", 3, 7)))
+  }
+
+  test("scalar subquery in the SELECT list folds to the same cross join") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_share AS
+         SELECT g, v, v / (SELECT SUM(v) FROM t) AS share FROM t""")
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v DOUBLE", Seq(Row("a", 1d), Row("b", 3d)))
+    }
+    // doubling the total halves every share — all rows rewrite
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v DOUBLE, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("c", 4d, true))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_share", q, base, store)
+    Ivm.refreshState("sql_share", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_share", q, store), Ivm.recompute(q, base, deltas))
+    assert(Ivm.read("sql_share", q, store).collect().map(
+      r => (r.getString(0), r.getDouble(2))).toSet ==
+      Set(("a", 0.125), ("b", 0.375), ("c", 0.5)))
+  }
+
   test("scalar subquery in WHERE folds to a cross join with a global agg") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_sq AS
