@@ -305,7 +305,8 @@ object Ivm {
       sliceFn = (p, kdf, ks) =>
         timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)),
       stateOpt = p => store.get(stateName(view, p)),
-      schemaMemo = schemaMemoFor(store, view))
+      schemaMemo = schemaMemoFor(store, view),
+      needTopDelta = needDelta)
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))
@@ -425,7 +426,10 @@ object Ivm {
       sliceFn = (p, kdf, ks) => store.slice(p, kdf, ks),
       namer = sharedNamer,
       stateOpt = p => store.get(p),
-      schemaMemo = schemaMemoFor(store, "__shared__"))
+      schemaMemo = schemaMemoFor(store, "__shared__"),
+      // Aggregate tops in a shared group discard their ΔV (SPJ tops are
+      // unaffected: their top node is not an Aggregate)
+      needTopDelta = false)
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
       for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString)

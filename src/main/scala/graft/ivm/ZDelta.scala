@@ -77,7 +77,14 @@ object ZDelta {
         * type NULL columns. Default: fresh (no reuse, still dedupes
         * within one delta computation). */
       schemaMemo: mutable.Map[String, org.apache.spark.sql.types.StructType] =
-        mutable.Map.empty) {
+        mutable.Map.empty,
+      /** False when the caller discards the TOP-LEVEL ΔV (refreshState on
+        * an Aggregate-top view reads the maintained state afterwards, not
+        * the changelog): the top aggregate then skips pinning its state
+        * join and never builds the retract/assert output plan — a
+        * measurable slice of the per-batch planning floor. Interior
+        * aggregates are unaffected (their ΔV feeds the parent). */
+      needTopDelta: Boolean = true) {
     /** Analyzed output schema of subtree `q`, memoized across refreshes
       * (see [[schemaMemo]]). Keyed structurally (`q.toString`) so shared
       * subtrees dedupe and distinct views in one shared-group Ctx never
@@ -771,10 +778,13 @@ object ZDelta {
       if (keys.isEmpty) acc.crossJoin(newExt)
       else leftOuterByKeys(acc, newExt, keys, hint = bcast)
     }
+    // With the top ΔV discarded the state update is the ONLY consumer —
+    // no pin, no output plan (see Ctx.needTopDelta).
+    val topUnused = !ctx.needTopDelta && path == "r"
     // Three consumers (state update, retractions, assertions) would each
     // recompute the state join; pin it once. O(touched groups) rows.
     // Released by Ivm.refresh after commit.
-    val joined = ctx.pin(joined0, path + ".joined")
+    val joined = if (topUnused) joined0 else ctx.pin(joined0, path + ".joined")
 
     val existed = col(HCOUNT).isNotNull
 
@@ -794,6 +804,10 @@ object ZDelta {
 
     val updated = joined.select((keys.map(col) ++ newPhys): _*)
     ctx.updates += StateUpdate(path, keys, updated, keyHint = touched)
+
+    // Caller discards the top ΔV — return a never-executed placeholder
+    // instead of planning the retract/assert union.
+    if (topUnused) return updated.limit(0)
 
     val outCols = aggs.map(Eval.stateOutput)
 
