@@ -22,6 +22,10 @@ object Eval {
       if (keys.isEmpty) le.crossJoin(re) else le.join(re, keys)
     case Union(l, r)        => eval(l, resolve).unionByName(eval(r, resolve))
     case TopK(c, sort, n)   => eval(c, resolve).orderBy(sortCols(sort): _*).limit(n)
+    case WindowDeco(c, cols) => eval(c, resolve).select(cols: _*)
+    case ExpandCount(c, n) =>
+      val ex = Ivm.expandMultiset(eval(c, resolve), n)
+      ex.select(ex.columns.filterNot(_ == n).map(col): _*)
     case LeftJoin(l, r, keys) =>
       eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
     case RightJoin(l, r, keys) =>
@@ -56,12 +60,23 @@ object Eval {
     case AggSpec.ListAgg(e, sep, n) =>
       when(count(e) > 0, array_join(
         transform(array_sort(collect_list(e)), _.cast("string")), sep)).as(n)
+    // Exact interpolated percentile (MEDIAN = 0.5) — Spark's builtin.
+    case AggSpec.Percentile(e, p, n) =>
+      call_function("percentile", e, lit(p)).as(n)
     // Deterministic min_by/max_by: arg of the lexicographic extremum pair
     // (the builtin min_by leaves ties undefined — unmaintainable).
     case a @ AggSpec.MinBy(_, _, n) =>
       min(AggSpec.expr(a).get).getField(AggSpec.PairA).as(n)
     case a @ AggSpec.MaxBy(_, _, n) =>
       max(AggSpec.expr(a).get).getField(AggSpec.PairA).as(n)
+    // BOOL_AND/OR via the same two-count formula the maintained state
+    // derives its output from (true count vs non-null count).
+    case AggSpec.BoolAnd(e, n) =>
+      val (t, nn) = (sum(when(e, 1L).otherwise(0L)), count(e))
+      when(nn > 0, t === nn).as(n)
+    case AggSpec.BoolOr(e, n) =>
+      val (t, nn) = (sum(when(e, 1L).otherwise(0L)), count(e))
+      when(nn > 0, t > 0).as(n)
     // Variance family: evaluated via the SAME moment formula the maintained
     // state derives its output from (not the builtin Welford-style
     // var_samp), so refresh == recompute is bit-exact for exact inputs.
@@ -150,6 +165,13 @@ object Eval {
     case AggSpec.ListAgg(e, sep, n) =>
       Seq(array_join(transform(array_sort(collect_list(e)), _.cast("string")),
         sep).as(physExt(n)), count(e).as(physNn(n)))
+    case AggSpec.BoolAnd(e, n) =>
+      Seq(sum(when(e, 1L).otherwise(0L)).as(physSum(n)), count(e).as(physNn(n)))
+    case AggSpec.BoolOr(e, n) =>
+      Seq(sum(when(e, 1L).otherwise(0L)).as(physSum(n)), count(e).as(physNn(n)))
+    case AggSpec.Percentile(e, p, n) =>
+      Seq(call_function("percentile", e, lit(p)).as(physExt(n)),
+        count(e).as(physNn(n)))
     // Moments in double: exact for integer-valued inputs (≤ 2^53), and the
     // signed-delta adjustments commute with the base sums.
     case a if AggSpec.isMoment2(a) =>
@@ -190,6 +212,12 @@ object Eval {
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
     case AggSpec.ListAgg(_, _, n) => // NULL over all-NULL input
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
+    case AggSpec.BoolAnd(_, n) =>
+      when(col(physNn(n)) > 0, col(physSum(n)) === col(physNn(n))).as(n)
+    case AggSpec.BoolOr(_, n) =>
+      when(col(physNn(n)) > 0, col(physSum(n)) > 0).as(n)
+    case AggSpec.Percentile(_, _, n) =>
+      when(col(physNn(n)) > 0, col(physExt(n))).as(n)
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
@@ -221,6 +249,9 @@ object Eval {
     case AggSpec.CountDistinct(_, n) => Seq(physExt(n), physNn(n))
     case AggSpec.SumDistinct(_, n)   => Seq(physExt(n), physNn(n))
     case AggSpec.ListAgg(_, _, n)    => Seq(physExt(n), physNn(n))
+    case AggSpec.BoolAnd(_, n)       => Seq(physSum(n), physNn(n))
+    case AggSpec.BoolOr(_, n)        => Seq(physSum(n), physNn(n))
+    case AggSpec.Percentile(_, _, n) => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
     case a if AggSpec.isMomentXY(a) =>

@@ -179,6 +179,11 @@ object Ivm {
             matchCount(nameOf(fj, path) + ".rcnt", r, keys) :+
             matchCount(nameOf(fj, path) + ".lcnt", l, keys)
         case Scan(_)       => Seq.empty
+        // Read decorations never reach here via the public entry points
+        // (create/refresh strip them), but recurse for direct callers.
+        case TopK(c, _, _)     => walk(c, path)
+        case WindowDeco(c, _)  => walk(c, path)
+        case ExpandCount(c, _) => walk(c, path)
       }
     val states = walk(q, "r").distinctBy(_._1)
       .filterNot { case (name, _, _) => skipExisting && store.get(name).isDefined }
@@ -202,6 +207,10 @@ object Ivm {
   def read(view: String, q: IvmQuery, store: IvmStore): DataFrame = q match {
     case TopK(c, sort, n) =>
       read(view, c, store).orderBy(Eval.sortCols(sort): _*).limit(n)
+    case WindowDeco(c, cols) => read(view, c, store).select(cols: _*)
+    case ExpandCount(c, n) =>
+      val ex = expandMultiset(read(view, c, store), n)
+      ex.select(ex.columns.filterNot(_ == n).map(col): _*)
     case Aggregate(_, keys, aggs) =>
       store(stateName(view, "r"))
         .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)
@@ -214,15 +223,17 @@ object Ivm {
     * create/refresh maintain the CHILD (deletions inside the current top-k
     * must promote runners-up, so the full child multiset is the state). */
   private def stripRead(q: IvmQuery): IvmQuery = q match {
-    case TopK(c, _, _) => stripRead(c)
-    case _             => q
+    case TopK(c, _, _)     => stripRead(c)
+    case WindowDeco(c, _)  => stripRead(c)
+    case ExpandCount(c, _) => stripRead(c)
+    case _                 => q
   }
 
   /** Expand (row, count) back into `count` copies of `row`. Counts beyond
     * Int.MaxValue would silently truncate through the int cast (negative
     * repeat → rows dropped) — fail loudly instead; a multiset row with
     * billions of duplicates should be consumed in counted form. */
-  private def expandMultiset(df: DataFrame, countCol: String): DataFrame = {
+  private[ivm] def expandMultiset(df: DataFrame, countCol: String): DataFrame = {
     val cols = df.columns.filterNot(_ == countCol).toSeq
     val n = col(countCol).cast("long")
     val guarded = when(n <= Int.MaxValue, n.cast("int")).otherwise(
@@ -459,6 +470,10 @@ object Ivm {
   def readShared(q: IvmQuery, store: IvmStore): DataFrame = q match {
     case TopK(c, sort, n) =>
       readShared(c, store).orderBy(Eval.sortCols(sort): _*).limit(n)
+    case WindowDeco(c, cols) => readShared(c, store).select(cols: _*)
+    case ExpandCount(c, n) =>
+      val ex = expandMultiset(readShared(c, store), n)
+      ex.select(ex.columns.filterNot(_ == n).map(col): _*)
     case Aggregate(_, keys, aggs) =>
       store(sharedPath(q))
         .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)

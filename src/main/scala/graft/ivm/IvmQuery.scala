@@ -58,6 +58,8 @@ sealed trait IvmQuery {
     case FullJoin(l, r, _)   => l.tables ++ r.tables
     case Union(l, r)         => l.tables ++ r.tables
     case TopK(c, _, _)       => c.tables
+    case WindowDeco(c, _)    => c.tables
+    case ExpandCount(c, _)   => c.tables
   }
 }
 
@@ -132,8 +134,32 @@ final case class TopK(child: IvmQuery, sort: Seq[(String, Boolean)], n: Int)
   require(sort.nonEmpty && n > 0, "TopK needs sort keys and a positive limit")
 }
 
+/** Window functions (RANK/ROW_NUMBER/moving SUM/…) as a READ-TIME
+  * decoration, like [[TopK]]: a window value is a function of the WHOLE
+  * child relation (one inserted row can shift every row's rank), so it is
+  * not Z-linear and cannot be maintained row-by-row — but the CHILD is
+  * maintained as usual in O(‖Δ‖), and the window projection applies on
+  * read over the maintained state. The read plans as Spark's Window exec
+  * partitioned by the spec's PARTITION BY — O(|view|) at read, the same
+  * cost any engine pays to evaluate the window, never a base-table rescan.
+  * `cols` is the full output select list (window expressions aliased).
+  * Valid at the TOP of a view only (optionally under [[TopK]]). */
+final case class WindowDeco(child: IvmQuery, cols: Seq[Column]) extends IvmQuery {
+  require(cols.nonEmpty, "WindowDeco needs a select list")
+}
+
+/** Multiplicity expansion as a READ-TIME decoration: the child computes a
+  * per-row repeat count in column `countCol`; the read repeats each row
+  * that many times and drops the column. The bag set-ops build on this —
+  * INTERSECT ALL is min(countA, countB) copies of each common row and
+  * EXCEPT ALL is (countA − countB) clamped at 0 — with the per-side row
+  * counts maintained as ordinary COUNT(*) aggregate states (min/clamped
+  * difference are not Z-linear, but they are plain scalar functions OVER
+  * maintained counts). Valid at the TOP of a view only. */
+final case class ExpandCount(child: IvmQuery, countCol: String) extends IvmQuery
+
 object IvmQuery {
-  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.functions.{coalesce, col, least, lit}
 
   /** DISTINCT over `cols` — `dropDuplicates` as a maintainable view. */
   def distinct(child: IvmQuery, cols: Seq[String]): IvmQuery =
@@ -163,6 +189,41 @@ object IvmQuery {
     * row — the anti-join composition over the distinct left set. */
   def except(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery =
     antiJoin(distinct(left, cols), right, cols, cols.map(col))
+
+  /** Hidden per-side row counts / repeat count of the bag set-ops. */
+  private[ivm] val CntA = "__ivm_ca"
+  private[ivm] val CntB = "__ivm_cb"
+  private[ivm] val CntN = "__ivm_n"
+
+  /** SQL INTERSECT ALL (bag semantics): each common row appears
+    * min(multA, multB) times. Pure composition + read decoration: each
+    * side maintains a per-row COUNT(*) state (group liveness = row
+    * presence), the inner join pairs alive rows, min is a scalar over the
+    * two counts, and [[ExpandCount]] repeats the row at read. Both sides
+    * must expose the same column names (`cols`). */
+  def intersectAll(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery = {
+    val ca = Aggregate(left, cols, Seq(AggSpec.CountStar(CntA)))
+    val cb = Aggregate(right, cols, Seq(AggSpec.CountStar(CntB)))
+    ExpandCount(
+      Project(Join(ca, cb, cols),
+        cols.map(col) :+ least(col(CntA), col(CntB)).as(CntN)),
+      CntN)
+  }
+
+  /** SQL EXCEPT ALL (bag semantics): max(0, multA − multB) copies of each
+    * left row — the LEFT JOIN of the per-row count states (a right miss
+    * subtracts nothing), clamped by the filter. */
+  def exceptAll(left: IvmQuery, right: IvmQuery, cols: Seq[String]): IvmQuery = {
+    val ca = Aggregate(left, cols, Seq(AggSpec.CountStar(CntA)))
+    val cb = Aggregate(right, cols, Seq(AggSpec.CountStar(CntB)))
+    ExpandCount(
+      Filter(
+        Project(LeftJoin(ca, cb, cols),
+          cols.map(col) :+
+            (col(CntA) - coalesce(col(CntB), lit(0L))).as(CntN)),
+        col(CntN) > 0),
+      CntN)
+  }
 
   /** Typed NULL for a subtotal key; a null type string (the SQL-frontend
     * path, where unresolved plans carry no schema) leaves NullType — the
@@ -320,6 +381,26 @@ object AggSpec {
     * builtin yields NaN there, so both eval paths use our formula). */
   final case class Corr(x: Column, y: Column, name: String) extends AggSpec
 
+  /** Exact interpolated percentile (MEDIAN = p 0.5, PERCENTILE_CONT
+    * semantics) — holistic: not incrementally summarizable, so it is
+    * maintained via the same auxiliary (group, value) multiset as MIN/MAX,
+    * and a touched group's new value is Spark's frequency-weighted
+    * `percentile(value, p, count)` over its alive values — O(group's
+    * distinct values), never a base rescan. */
+  final case class Percentile(expr: Column, p: Double, name: String)
+      extends AggSpec {
+    require(p >= 0 && p <= 1, s"percentile fraction out of [0,1]: $p")
+  }
+
+  /** BOOL_AND(expr) — true iff every non-null value is true; NULL over an
+    * all-NULL group. Fully self-maintainable from two signed counts
+    * (true count, non-null count): and = (trueCnt == nn) — no auxiliary
+    * multiset, deletes adjust both counts like SUM. */
+  final case class BoolAnd(expr: Column, name: String) extends AggSpec
+  /** BOOL_OR(expr) — true iff any non-null value is true; or = trueCnt > 0,
+    * same two-count state as [[BoolAnd]]. */
+  final case class BoolOr(expr: Column, name: String) extends AggSpec
+
   /** LISTAGG / STRING_AGG(expr, sep) with DETERMINISTIC ordering: values
     * concatenate in ascending value order (SQL leaves unordered listagg
     * undefined — unmaintainable and unreproducible). NULLs are ignored;
@@ -365,12 +446,15 @@ object AggSpec {
     case s: MinBy         => s.copy(name = n)
     case s: MaxBy         => s.copy(name = n)
     case s: ListAgg       => s.copy(name = n)
+    case s: BoolAnd       => s.copy(name = n)
+    case s: BoolOr        => s.copy(name = n)
+    case s: Percentile    => s.copy(name = n)
   }
 
   /** Specs needing the auxiliary (group, value) count state. */
   def needsAux(a: AggSpec): Boolean = a match {
     case _: Min | _: Max | _: CountDistinct | _: SumDistinct => true
-    case _: MinBy | _: MaxBy | _: ListAgg                    => true
+    case _: MinBy | _: MaxBy | _: ListAgg | _: Percentile    => true
     case _                                                   => false
   }
   /** Specs maintained via second moments (Σe, Σe², n). */
@@ -405,6 +489,8 @@ object AggSpec {
       case Max(e, _) => Some(e); case CountDistinct(e, _) => Some(e)
       case SumDistinct(e, _) => Some(e)
       case ListAgg(e, _, _) => Some(e)
+      case BoolAnd(e, _) => Some(e); case BoolOr(e, _) => Some(e)
+      case Percentile(e, _, _) => Some(e)
       case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
       case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
       // The tracked "value" is the pair struct, NULL when the SQL value is

@@ -82,9 +82,10 @@ object ParityDelta {
       // mode requires deltas on BOTH sides (no notion of a missing delta).
       delta(l, resolveDelta).unionByName(delta(r, resolveDelta))
 
-    case _: Join | _: LeftJoin | _: RightJoin | _: FullJoin | _: TopK =>
+    case _: Join | _: LeftJoin | _: RightJoin | _: FullJoin | _: TopK |
+        _: WindowDeco | _: ExpandCount =>
       throw new UnsupportedOperationException(
-        "IVM parity mode does not support joins or top-k (reference " +
-          "ivm_rewrite_rule.hpp:282-283); use ZDelta / Ivm.refresh")
+        "IVM parity mode does not support joins, top-k, or windows " +
+          "(reference ivm_rewrite_rule.hpp:282-283); use ZDelta / Ivm.refresh")
   }
 }

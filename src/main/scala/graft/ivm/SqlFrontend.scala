@@ -51,6 +51,17 @@ object SqlFrontend {
         org.apache.spark.sql.catalyst.expressions.IntegerLiteral(n),
         LocalLimit(_, Sort(order, true, child, _))) =>
       graft.ivm.TopK(fold(child), order.map(sortPair), n)
+    // Window functions in the select list → WindowDeco read decoration:
+    // the child is maintained as usual (O(‖Δ‖) refresh); the window
+    // projection applies at read over the maintained state. A window value
+    // is a function of the WHOLE relation (one insert can shift every
+    // rank), so it is not Z-linear and row-wise maintenance is impossible
+    // — read-time evaluation over maintained state is the right split.
+    // Windows over aggregates of the SAME select (rank() OVER (ORDER BY
+    // count(*))) need the subquery/CTE form, mirroring the fold's
+    // aggregate-then-project structure.
+    case Project(exprs, child) if exprs.exists(hasWindowExpr) =>
+      graft.ivm.WindowDeco(fold(child), exprs.map(selectItemCol))
     case Project(exprs, child) if exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
       fold(child) // SELECT * — passthrough (reference tests/ivm.test:29)
     // Global aggregate: the parser leaves SELECT SUM(x) FROM t (no GROUP
@@ -171,7 +182,8 @@ object SqlFrontend {
       val aggFns = Set("sum", "count", "avg", "mean", "min", "max",
         "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
         "stddev_pop", "min_by", "max_by",
-        "covar_pop", "covar_samp", "corr", "listagg", "string_agg")
+        "covar_pop", "covar_samp", "corr", "listagg", "string_agg",
+        "bool_and", "every", "bool_or", "median", "percentile")
       cond2.collectFirst {
         case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
       }.foreach { fn =>
@@ -226,6 +238,15 @@ object SqlFrontend {
     case Except(l, r, false) =>
       val lf = fold(l)
       IvmQuery.except(lf, fold(r), requireNames(lf, "EXCEPT"))
+    // INTERSECT ALL / EXCEPT ALL (bag semantics): per-side per-row
+    // COUNT(*) states + min / clamped-difference scalar + read-time
+    // expansion. Sides must expose the same column names.
+    case Intersect(l, r, true) =>
+      val lf = fold(l)
+      IvmQuery.intersectAll(lf, fold(r), requireNames(lf, "INTERSECT ALL"))
+    case Except(l, r, true) =>
+      val lf = fold(l)
+      IvmQuery.exceptAll(lf, fold(r), requireNames(lf, "EXCEPT ALL"))
     // WITH (common table expressions): fold each definition, then splice it
     // in wherever the body (or a later CTE) scans its name — the IVM algebra
     // is closed under composition, so a CTE is pure syntax. Definitions may
@@ -339,6 +360,36 @@ object SqlFrontend {
         graft.ivm.Union(substitute(l, defs), substitute(r, defs))
       case graft.ivm.TopK(c, sort, n) =>
         graft.ivm.TopK(substitute(c, defs), sort, n)
+      case graft.ivm.WindowDeco(c, cols) =>
+        graft.ivm.WindowDeco(substitute(c, defs), cols)
+      case graft.ivm.ExpandCount(c, n) =>
+        graft.ivm.ExpandCount(substitute(c, defs), n)
+    }
+
+  /** True when the expression tree contains an OVER clause (inline spec or
+    * a named-window reference). */
+  private def hasWindowExpr(e: Expression): Boolean = e.exists {
+    case _: org.apache.spark.sql.catalyst.expressions.WindowExpression => true
+    case _: org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression => true
+    case _ => false
+  }
+
+  /** A select item as a public Column, preserving its alias. Window items
+    * cannot round-trip through `Expression.sql` (an unspecified frame
+    * prints as the non-parseable `unspecifiedframe$()`), so the unresolved
+    * Catalyst expression is wrapped directly — Spark's analyzer resolves
+    * it in the read-time select exactly as it would in a SQL text. */
+  private def selectItemCol(e: NamedExpression): org.apache.spark.sql.Column =
+    e match {
+      case a: UnresolvedAttribute =>
+        org.apache.spark.sql.functions.col(a.nameParts.mkString("."))
+      case Alias(ch, n) if hasWindowExpr(ch) =>
+        org.apache.spark.sql.GraftColumnOps.columnOf(ch).as(n)
+      case Alias(ch, n) => expr(ch.sql).as(n)
+      case _: UnresolvedStar => org.apache.spark.sql.functions.col("*")
+      case other if hasWindowExpr(other) =>
+        org.apache.spark.sql.GraftColumnOps.columnOf(other)
+      case other => expr(other.sql)
     }
 
   /** Output column names of a folded query, when statically known. */
@@ -347,6 +398,8 @@ object SqlFrontend {
     case graft.ivm.Aggregate(_, keys, aggs) => Some(keys ++ aggs.map(_.name))
     case graft.ivm.Filter(c, _)            => outputNames(c)
     case graft.ivm.Union(l, _)             => outputNames(l)
+    case graft.ivm.WindowDeco(_, cols)     => Some(cols.map(ZDelta.colName))
+    case graft.ivm.ExpandCount(c, n)       => outputNames(c).map(_.filterNot(_ == n))
     case _                                 => None
   }
 
@@ -476,7 +529,8 @@ object SqlFrontend {
   private val AggFnNames = Set("sum", "count", "avg", "mean", "min", "max",
     "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
     "stddev_pop", "min_by", "max_by",
-    "covar_pop", "covar_samp", "corr", "listagg", "string_agg")
+    "covar_pop", "covar_samp", "corr", "listagg", "string_agg",
+    "bool_and", "every", "bool_or", "median", "percentile")
 
   /** True for a select item that is an aggregate call by NAME (the naive
     * [[isAggCall]] matches any function — too broad to distinguish a
@@ -590,6 +644,24 @@ object SqlFrontend {
         AggSpec.CovarSamp(filtered(x, filt), expr(y.sql), name)
       case ("corr", Seq(x, y)) =>
         AggSpec.Corr(filtered(x, filt), expr(y.sql), name)
+      // exact interpolated percentile: MEDIAN(e) = fraction 0.5; the
+      // fraction of PERCENTILE(e, p) must be a literal — it is part of
+      // the maintained state's formula
+      case ("median", Seq(e)) =>
+        AggSpec.Percentile(filtered(e, filt), 0.5, name)
+      case ("percentile", Seq(e, pE)) =>
+        val p = pE match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => String.valueOf(v).toDouble
+          case other => throw new UnsupportedOperationException(
+            s"PERCENTILE fraction must be a numeric literal, got: ${other.sql}")
+        }
+        AggSpec.Percentile(filtered(e, filt), p, name)
+      // boolean reductions (DuckDB bool_and/bool_or; SQL:2023 EVERY/ANY)
+      case ("bool_and" | "every", Seq(e)) =>
+        AggSpec.BoolAnd(filtered(e, filt), name)
+      case ("bool_or" | "any" | "some", Seq(e)) =>
+        AggSpec.BoolOr(filtered(e, filt), name)
       // deterministic listagg (ascending value order); separator must be
       // a string literal — it is part of the maintained state's formula
       case ("listagg" | "string_agg", Seq(e)) =>

@@ -160,6 +160,7 @@ object ZDelta {
       case RightJoin(l, r, _) => linear(l) ++ linear(r)
       case FullJoin(l, r, _)  => linear(l) ++ linear(r)
       case _: Aggregate       => Set.empty
+      case _: TopK | _: WindowDeco | _: ExpandCount => Set.empty // decorations
     }
     def joinAcc(l: IvmQuery, r: IvmQuery): Set[String] = {
       val accL = if (r.tables.exists(declared)) linear(l) & declared else Set.empty[String]
@@ -177,6 +178,8 @@ object ZDelta {
       case RightJoin(l, r, _) => joinAcc(l, r)
       case FullJoin(l, r, _)  => joinAcc(l, r)
       case TopK(c, _, _)      => accTables(c, declared)
+      case WindowDeco(c, _)   => accTables(c, declared)
+      case ExpandCount(c, _)  => accTables(c, declared)
     }
   }
 
@@ -216,8 +219,9 @@ object ZDelta {
     case fj @ FullJoin(l, r, keys) =>
       outerCurrent(l, r, keys, ctx, ctx.namer(fj, path), path,
         preserveL = true, preserveR = true)
-    case _: TopK => throw new UnsupportedOperationException(
-      "TopK under a join side is out of surface (top-k is not Z-linear)")
+    case _: TopK | _: WindowDeco | _: ExpandCount =>
+      throw new UnsupportedOperationException(
+        "TopK/window/expand under a join side is out of surface (not Z-linear)")
   }
 
   /** current(A) ⋈ current(B): weights multiply. */
@@ -380,9 +384,10 @@ object ZDelta {
     case agg @ Aggregate(_, _, _) =>
       memoized(ctx, q, path)(p => deltaAggregate(agg, ctx, p))
 
-    case _: TopK => throw new UnsupportedOperationException(
-      "TopK is a read-time decoration at the view top; Ivm strips it " +
-        "before maintenance (it is not a Z-linear operator)")
+    case _: TopK | _: WindowDeco | _: ExpandCount =>
+      throw new UnsupportedOperationException(
+        "TopK/window/expand is a read-time decoration at the view top; Ivm " +
+          "strips it before maintenance (none is a Z-linear operator)")
   }
 
   /** Stateful nodes resolve their state path through the ctx namer and
@@ -472,6 +477,8 @@ object ZDelta {
         outputNames(r, ctx).filterNot(keys.contains)
     case Union(l, _) => outputNames(l, ctx) // sides align by contract
     case TopK(c, _, _) => outputNames(c, ctx)
+    case WindowDeco(_, cols) => cols.map(colName)
+    case ExpandCount(c, n) => outputNames(c, ctx).filterNot(_ == n)
   }
 
   // ----------------------------------------------------------- outer joins
@@ -660,10 +667,19 @@ object ZDelta {
       // min_by/max_by track the (value, arg) pair struct; like MIN/MAX only
       // the non-null count adjusts here — the extremum pair is recomputed
       // from the aux multiset below.
-      case a @ (_: AggSpec.MinBy | _: AggSpec.MaxBy | _: AggSpec.ListAgg) =>
+      case a @ (_: AggSpec.MinBy | _: AggSpec.MaxBy | _: AggSpec.ListAgg |
+          _: AggSpec.Percentile) =>
         val e = AggSpec.expr(a).get
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0)))
           .as(adj(Eval.physNn(a.name))))
+      // BOOL_AND/OR: both counts are linear in the weight — pure SUM-style
+      // self-maintenance (a NULL condition reads as false → adjusts 0).
+      case AggSpec.BoolAnd(e, n) =>
+        Seq(sum(when(e, w).otherwise(lit(0))).as(adj(Eval.physSum(n))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
+      case AggSpec.BoolOr(e, n) =>
+        Seq(sum(when(e, w).otherwise(lit(0))).as(adj(Eval.physSum(n))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
       // Variance family: moments are linear in the weight, so both sums
       // self-maintain exactly like SUM — no auxiliary state.
       case a if AggSpec.isMoment2(a) =>
@@ -747,6 +763,11 @@ object ZDelta {
                 p => array_repeat(p.getField("v").cast("string"),
                   p.getField("c")))),
               sep)
+          // frequency-weighted exact percentile over the alive multiset —
+          // no row expansion, Spark interpolates across the counts
+          case AggSpec.Percentile(_, p, _) =>
+            call_function("percentile", col(vCol), lit(p),
+              col(HCOUNT).cast("bigint"))
           case other => sys.error(s"no aux extremum for $other")
         }
         val newName = s"__ivm_newext_$n"

@@ -19,4 +19,12 @@ object GraftColumnOps {
       if (asIdx >= 0) s.substring(asIdx + 4).stripPrefix("`").stripSuffix("`")
       else s.stripPrefix("`").stripSuffix("`")
   }
+
+  /** Wrap an (unresolved) Catalyst expression as a public Column. Needed
+    * where `Expression.sql` does not round-trip through the parser — e.g.
+    * window expressions with an unspecified frame print the internal
+    * `unspecifiedframe$()` token. The analyzer resolves the expression in
+    * whatever plan the Column lands in, exactly as parsed SQL would. */
+  def columnOf(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

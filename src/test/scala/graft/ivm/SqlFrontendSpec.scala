@@ -491,10 +491,151 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("window functions fold to the WindowDeco read decoration; refresh == recompute") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_win AS
+         SELECT g, n,
+                RANK() OVER (ORDER BY n DESC, g ASC) AS rnk,
+                SUM(n) OVER (PARTITION BY g) AS gtot
+         FROM (SELECT g, COUNT(*) AS n FROM t GROUP BY g)""")
+    q match {
+      case WindowDeco(Aggregate(Scan("t"), Seq("g"), aggs), cols) =>
+        assert(aggs.map(_.name) == Seq("n"))
+        assert(cols.length == 4)
+      case other => fail(s"unexpected AST: $other")
+    }
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING", Seq(Row("a"), Row("a"), Row("b"), Row("c"), Row("c"), Row("c")))
+    }
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("b", true), Row("b", true), Row("c", false), Row("d", true))))
+      case _   => None
+    }
+    Ivm.create("sql_win", q, base, store)
+    Ivm.refreshState("sql_win", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_win", q, store), Ivm.recompute(q, base, deltas))
+    // window + ORDER BY/LIMIT compose: TopK over WindowDeco
+    val (_, q2) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_win2 AS
+         SELECT g, n, ROW_NUMBER() OVER (ORDER BY n DESC, g) AS rn
+         FROM (SELECT g, COUNT(*) AS n FROM t GROUP BY g)
+         ORDER BY rn LIMIT 2""")
+    q2 match {
+      case TopK(WindowDeco(_, _), Seq(("rn", true)), 2) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    Ivm.create("sql_win2", q2, base, store)
+    Ivm.refreshState("sql_win2", q2, base, deltas, store)
+    assertSameRows(Ivm.read("sql_win2", q2, store), Ivm.recompute(q2, base, deltas))
+  }
+
+  test("INTERSECT ALL / EXCEPT ALL fold to count-state compositions; refresh == recompute") {
+    val (_, qi) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_ia AS SELECT g FROM t INTERSECT ALL SELECT g FROM u")
+    qi match {
+      case ExpandCount(Project(Join(
+          Aggregate(_, Seq("g"), _),
+          Aggregate(_, Seq("g"), _), Seq("g")), _), IvmQuery.CntN) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    val (_, qe) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_ea AS SELECT g FROM t EXCEPT ALL SELECT g FROM u")
+    val store = new MemStore
+    // t = {a×3, b×1, c×2}, u = {a×1, c×3, d×1}
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING",
+        Seq(Row("a"), Row("a"), Row("a"), Row("b"), Row("c"), Row("c")))
+      case "u" => df("g STRING", Seq(Row("a"), Row("c"), Row("c"), Row("c"), Row("d")))
+    }
+    // Δt: +a (→4), −b (b dies); Δu: +a (→2), −d (d dies)
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", true), Row("b", false))))
+      case "u" => Some(df(s"g STRING, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", true), Row("d", false))))
+      case _   => None
+    }
+    for ((nm, q) <- Seq("sql_ia" -> qi, "sql_ea" -> qe)) {
+      Ivm.create(nm, q, base, store)
+      Ivm.refreshState(nm, q, base, deltas, store)
+      assertSameRows(Ivm.read(nm, q, store), Ivm.recompute(q, base, deltas))
+    }
+    // post-refresh: t = {a×4, c×2}, u = {a×2, c×3} — check MULTIPLICITIES
+    def counts(d: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      d.collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts(Ivm.read("sql_ia", qi, store)) == Map("a" -> 2, "c" -> 2))
+    assert(counts(Ivm.read("sql_ea", qe, store)) == Map("a" -> 2))
+  }
+
+  test("BOOL_AND/BOOL_OR fold and maintain via the two-count state") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_bool AS
+         SELECT g, BOOL_AND(v > 0) AS all_pos, BOOL_OR(v > 10) AS any_big,
+                COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), aggs) =>
+        assert(aggs.map(_.name) == Seq("all_pos", "any_big", "n"))
+        assert(aggs.count(AggSpec.needsAux) == 0) // fully self-maintainable
+      case other => fail(s"unexpected AST: $other")
+    }
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(
+        Row("a", 5), Row("a", 20), Row("b", -1), Row("b", 3), Row("c", 15)))
+    }
+    // −(a,20): any_big flips true→false; −(b,−1): all_pos flips false→true;
+    // +(c,−2): all_pos flips true→false; +(d,null): NULL input, n-only group
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN", Seq(
+        Row("a", 20, false), Row("b", -1, false), Row("c", -2, true),
+        Row("d", null, true))))
+      case _   => None
+    }
+    Ivm.create("sql_bool", q, base, store)
+    Ivm.refreshState("sql_bool", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_bool", q, store), Ivm.recompute(q, base, deltas))
+    assertRows(Ivm.read("sql_bool", q, store), Set(
+      Seq("a", true, false, 1L), Seq("b", true, false, 1L),
+      Seq("c", false, true, 2L), Seq("d", null, null, 1L)))
+  }
+
+  test("MEDIAN/PERCENTILE maintain via the aux multiset; deletes shift the quantile") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_med AS
+         SELECT g, MEDIAN(v) AS med, PERCENTILE(v, 0.9) AS p90, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), aggs) =>
+        assert(aggs.count(AggSpec.needsAux) == 2)
+      case other => fail(s"unexpected AST: $other")
+    }
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(
+        Row("a", 1), Row("a", 2), Row("a", 3), Row("a", 4), Row("a", 5),
+        Row("b", 10), Row("b", 20)))
+    }
+    // delete a's median (3) → interpolate the middle pair (2+4)/2 = 3.0
+    // (the VALUE leaves the multiset: p90 shifts), insert b 30
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN", Seq(
+        Row("a", 3, false), Row("b", 30, true))))
+      case _   => None
+    }
+    Ivm.create("sql_med", q, base, store)
+    Ivm.refreshState("sql_med", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_med", q, store), Ivm.recompute(q, base, deltas))
+    assertRows(Ivm.read("sql_med", q, store), Set(
+      Seq("a", 3.0, 4.7, 4L), Seq("b", 20.0, 28.0, 3L)))
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
-        "CREATE IMMV bad AS SELECT b, MEDIAN(a) AS m FROM hello GROUP BY b")
+        "CREATE IMMV bad AS SELECT b, APPROX_COUNT_DISTINCT(a) AS m FROM hello GROUP BY b")
     }
     // ORDER BY with no LIMIT: an unbounded sort is presentation, not a
     // maintainable view (ORDER BY + LIMIT folds to TopK since round 4)
