@@ -26,6 +26,9 @@ object Eval {
     case ExpandCount(c, n) =>
       val ex = Ivm.expandMultiset(eval(c, resolve), n)
       ex.select(ex.columns.filterNot(_ == n).map(col): _*)
+    case ScalarDeco(c, subs, cols) =>
+      subs.foldLeft(eval(c, resolve))((acc, s) => acc.crossJoin(eval(s, resolve)))
+        .select(cols: _*)
     case LeftJoin(l, r, keys) =>
       eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
     case RightJoin(l, r, keys) =>
@@ -69,6 +72,11 @@ object Eval {
       min(AggSpec.expr(a).get).getField(AggSpec.PairA).as(n)
     case a @ AggSpec.MaxBy(_, _, n) =>
       max(AggSpec.expr(a).get).getField(AggSpec.PairA).as(n)
+    // Approx distinct via the SAME sketch the maintained state stores —
+    // union of per-batch sketches is register-wise max, so the estimate
+    // is bit-identical between refresh and recompute.
+    case AggSpec.ApproxCountDistinct(e, lgK, n) =>
+      when(count(e) > 0, hll_sketch_estimate(hll_sketch_agg(e, lgK))).as(n)
     // BOOL_AND/OR via the same two-count formula the maintained state
     // derives its output from (true count vs non-null count).
     case AggSpec.BoolAnd(e, n) =>
@@ -172,6 +180,8 @@ object Eval {
     case AggSpec.Percentile(e, p, n) =>
       Seq(call_function("percentile", e, lit(p)).as(physExt(n)),
         count(e).as(physNn(n)))
+    case AggSpec.ApproxCountDistinct(e, lgK, n) =>
+      Seq(hll_sketch_agg(e, lgK).as(physExt(n)), count(e).as(physNn(n)))
     // Moments in double: exact for integer-valued inputs (≤ 2^53), and the
     // signed-delta adjustments commute with the base sums.
     case a if AggSpec.isMoment2(a) =>
@@ -218,6 +228,8 @@ object Eval {
       when(col(physNn(n)) > 0, col(physSum(n)) > 0).as(n)
     case AggSpec.Percentile(_, _, n) =>
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
+    case AggSpec.ApproxCountDistinct(_, _, n) =>
+      when(col(physNn(n)) > 0, hll_sketch_estimate(col(physExt(n)))).as(n)
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
@@ -252,6 +264,7 @@ object Eval {
     case AggSpec.BoolAnd(_, n)       => Seq(physSum(n), physNn(n))
     case AggSpec.BoolOr(_, n)        => Seq(physSum(n), physNn(n))
     case AggSpec.Percentile(_, _, n) => Seq(physExt(n), physNn(n))
+    case AggSpec.ApproxCountDistinct(_, _, n) => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
     case a if AggSpec.isMomentXY(a) =>

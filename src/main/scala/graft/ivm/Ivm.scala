@@ -115,8 +115,22 @@ object Ivm {
       store: IvmStore,
       deltaTables: Set[String]): DataFrame = {
     store.transaction {
-      createStates(stripRead(q), base, store, (_, p) => stateName(view, p),
-        topName = stateName(view, TOP), skipExisting = false)
+      stripRead(q) match {
+        case ScalarDeco(c, subs, _) =>
+          // the child and each 1-row scalar subview maintain independently;
+          // subviews live under <view>/q<i> (their own little view trees)
+          subs.zipWithIndex.foreach { case (s, i) =>
+            createStates(s, base, store,
+              (_, p) => stateName(subViewName(view, i), p),
+              topName = stateName(subViewName(view, i), TOP),
+              skipExisting = false)
+          }
+          createStates(c, base, store, (_, p) => stateName(view, p),
+            topName = stateName(view, TOP), skipExisting = false)
+        case core =>
+          createStates(core, base, store, (_, p) => stateName(view, p),
+            topName = stateName(view, TOP), skipExisting = false)
+      }
       if (deltaTables != null) {
         val unknown = deltaTables -- q.tables.toSet
         require(unknown.isEmpty, s"declared delta tables not in view: $unknown")
@@ -125,6 +139,9 @@ object Ivm {
     }
     read(view, q, store)
   }
+
+  /** Derived view name of a [[ScalarDeco]] subview. */
+  private def subViewName(view: String, i: Int) = s"$view/q$i"
 
   /** Declared delta tables of a view (absent tag → all tables). */
   private def declaredDeltaTables(view: String, q: IvmQuery, store: IvmStore): Set[String] =
@@ -184,6 +201,8 @@ object Ivm {
         case TopK(c, _, _)     => walk(c, path)
         case WindowDeco(c, _)  => walk(c, path)
         case ExpandCount(c, _) => walk(c, path)
+        case _: ScalarDeco => throw new IllegalStateException(
+          "ScalarDeco is split by create/createShared before state walk")
       }
     val states = walk(q, "r").distinctBy(_._1)
       .filterNot { case (name, _, _) => skipExisting && store.get(name).isDefined }
@@ -211,6 +230,10 @@ object Ivm {
     case ExpandCount(c, n) =>
       val ex = expandMultiset(read(view, c, store), n)
       ex.select(ex.columns.filterNot(_ == n).map(col): _*)
+    case ScalarDeco(c, subs, cols) =>
+      subs.zipWithIndex.foldLeft(read(view, c, store)) {
+        case (acc, (s, i)) => acc.crossJoin(read(subViewName(view, i), s, store))
+      }.select(cols: _*)
     case Aggregate(_, keys, aggs) =>
       store(stateName(view, "r"))
         .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)
@@ -271,8 +294,12 @@ object Ivm {
       deltas: String => Option[DataFrame],
       store: IvmStore,
       broadcastDeltas: Boolean = true): Unit = {
+    val core = stripRead(q) match {
+      case ScalarDeco(c, _, _) => c // subviews never need an output delta
+      case s                   => s
+    }
     doRefresh(view, q, base, deltas, store, broadcastDeltas,
-      needDelta = !stripRead(q).isInstanceOf[Aggregate], releaseDelta = true)
+      needDelta = !core.isInstanceOf[Aggregate], releaseDelta = true)
     ()
   }
 
@@ -310,6 +337,27 @@ object Ivm {
       broadcastDeltas: Boolean,
       needDelta: Boolean,
       releaseDelta: Boolean = false): DataFrame = {
+    stripRead(q0) match {
+      case sd @ ScalarDeco(child, subs, _) =>
+        // Reject undeclared deltas against the FULL view's tables (child +
+        // subviews) before splitting, then refresh each part independently
+        // inside ONE store transaction (reentrant: nested parts stage into
+        // the outer manifest flip — a crash publishes all or nothing).
+        val declared = declaredDeltaTables(view, sd, store)
+        for (t <- sd.tables.distinct if deltas(t).isDefined && !declared(t))
+          throw new IllegalStateException(
+            s"IVM: view '$view' received a delta for undeclared table '$t' — " +
+              s"declare it in Ivm.create(deltaTables=...) (declared: $declared)")
+        return store.transaction {
+          subs.zipWithIndex.foreach { case (s, i) =>
+            doRefresh(subViewName(view, i), s, base, deltas, store,
+              broadcastDeltas, needDelta = false, releaseDelta = true)
+          }
+          doRefresh(view, child, base, deltas, store, broadcastDeltas,
+            needDelta, releaseDelta)
+        }
+      case _ => ()
+    }
     val q = stripRead(q0) // TopK decorates reads; maintenance is the child's
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
       broadcastDeltas,
@@ -418,9 +466,10 @@ object Ivm {
       base: String => DataFrame,
       store: IvmStore): Unit =
     store.transaction {
-      for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString))
-        createStates(q, base, store, sharedNamer,
-          topName = sharedPath(q) + "/top", skipExisting = true)
+      for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString);
+           p <- sharedParts(q).distinctBy(_.toString))
+        createStates(p, base, store, sharedNamer,
+          topName = sharedPath(p) + "/top", skipExisting = true)
     }
 
   /** Refresh a SET of shared-state views against one delta batch: each
@@ -443,7 +492,8 @@ object Ivm {
       needTopDelta = false)
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
-      for (q <- views.values.toSeq.map(stripRead).distinctBy(_.toString)
+      for (q0 <- views.values.toSeq.map(stripRead).distinctBy(_.toString);
+           q <- sharedParts(q0).distinctBy(_.toString)
              if ZDelta.hasDelta(q, ctx)) { // untouched views are no-ops
         q match {
           case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
@@ -466,11 +516,22 @@ object Ivm {
     spjTops.foreach(_._2.unpersist())
   }
 
+  /** Maintenance parts of a shared view: a [[ScalarDeco]] top splits into
+    * its subviews + child — each content-addressed and maintained alone
+    * (two views sharing the same scalar subquery share its 1-row state). */
+  private def sharedParts(q: IvmQuery): Seq[IvmQuery] = q match {
+    case ScalarDeco(c, subs, _) => subs :+ c
+    case other                  => Seq(other)
+  }
+
   /** Current contents of a shared-state view. */
   def readShared(q: IvmQuery, store: IvmStore): DataFrame = q match {
     case TopK(c, sort, n) =>
       readShared(c, store).orderBy(Eval.sortCols(sort): _*).limit(n)
     case WindowDeco(c, cols) => readShared(c, store).select(cols: _*)
+    case ScalarDeco(c, subs, cols) =>
+      subs.foldLeft(readShared(c, store))(
+        (acc, s) => acc.crossJoin(readShared(s, store))).select(cols: _*)
     case ExpandCount(c, n) =>
       val ex = expandMultiset(readShared(c, store), n)
       ex.select(ex.columns.filterNot(_ == n).map(col): _*)

@@ -60,6 +60,7 @@ sealed trait IvmQuery {
     case TopK(c, _, _)       => c.tables
     case WindowDeco(c, _)    => c.tables
     case ExpandCount(c, _)   => c.tables
+    case ScalarDeco(c, subs, _) => c.tables ++ subs.flatMap(_.tables)
   }
 }
 
@@ -157,6 +158,27 @@ final case class WindowDeco(child: IvmQuery, cols: Seq[Column]) extends IvmQuery
   * difference are not Z-linear, but they are plain scalar functions OVER
   * maintained counts). Valid at the TOP of a view only. */
 final case class ExpandCount(child: IvmQuery, countCol: String) extends IvmQuery
+
+/** Uncorrelated SELECT-list scalar subqueries (`SELECT x, x / (SELECT
+  * SUM(y) FROM u) AS share`) as a READ-TIME decoration: the child and
+  * each 1-row global-aggregate subview maintain as INDEPENDENT states
+  * (each O(‖Δ‖) per batch), and the read cross-joins the 1-row scalars
+  * against the child state and applies `cols` (which reference each
+  * subview's single output column by its hidden name).
+  *
+  * This is the O(‖Δ‖) counterpart of folding the subquery INTO the
+  * maintained plan (the WHERE-form's cross-join composition): a scalar
+  * embedded in state forces an O(|view|) rewrite whenever the scalar
+  * moves, because every stored row carries the old value; a scalar kept
+  * OUTSIDE the state changes nothing about the child when it moves — the
+  * multiplication happens at read, which is O(output) for any engine.
+  * Valid at the TOP of a view only (optionally under [[TopK]] /
+  * [[WindowDeco]]); in nested positions (a subquery feeding an outer
+  * aggregate) the value must live in state and the join fold applies. */
+final case class ScalarDeco(child: IvmQuery, subs: Seq[IvmQuery],
+    cols: Seq[Column]) extends IvmQuery {
+  require(subs.nonEmpty && cols.nonEmpty, "ScalarDeco needs subviews + cols")
+}
 
 object IvmQuery {
   import org.apache.spark.sql.functions.{coalesce, col, least, lit}
@@ -392,6 +414,22 @@ object AggSpec {
     require(p >= 0 && p <= 1, s"percentile fraction out of [0,1]: $p")
   }
 
+  /** APPROX_COUNT_DISTINCT(e) — maintained HLL sketch state (DataSketches
+    * HllSketch, `lgK` log2 registers), INSERT-ONLY: the per-group state is
+    * the sketch itself (~KB of registers, independent of cardinality) and
+    * a batch merges via register-wise `hll_union` — the at-100-TB answer
+    * to exact COUNT(DISTINCT)'s auxiliary value multiset, whose state
+    * grows with the number of distinct values. Deletion is REJECTED
+    * loudly at refresh: HLL registers are max-aggregates and cannot be
+    * decremented (a deletable approximate distinct needs a different
+    * summary and error model — use COUNT(DISTINCT) when feeds retract).
+    * Union of sketches is register-wise max, so refresh ≡ recompute
+    * exactly (same registers → same estimate), not just approximately. */
+  final case class ApproxCountDistinct(expr: Column, lgK: Int, name: String)
+      extends AggSpec {
+    require(lgK >= 4 && lgK <= 21, s"lgK out of DataSketches range: $lgK")
+  }
+
   /** BOOL_AND(expr) — true iff every non-null value is true; NULL over an
     * all-NULL group. Fully self-maintainable from two signed counts
     * (true count, non-null count): and = (trueCnt == nn) — no auxiliary
@@ -448,6 +486,7 @@ object AggSpec {
     case s: ListAgg       => s.copy(name = n)
     case s: BoolAnd       => s.copy(name = n)
     case s: BoolOr        => s.copy(name = n)
+    case s: ApproxCountDistinct => s.copy(name = n)
     case s: Percentile    => s.copy(name = n)
   }
 
@@ -491,6 +530,7 @@ object AggSpec {
       case ListAgg(e, _, _) => Some(e)
       case BoolAnd(e, _) => Some(e); case BoolOr(e, _) => Some(e)
       case Percentile(e, _, _) => Some(e)
+      case ApproxCountDistinct(e, _, _) => Some(e)
       case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
       case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
       // The tracked "value" is the pair struct, NULL when the SQL value is

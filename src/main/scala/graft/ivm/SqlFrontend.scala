@@ -41,7 +41,49 @@ object SqlFrontend {
 
   /** Parse a SELECT into the engine AST. */
   def parseSelect(spark: SparkSession, select: String): IvmQuery =
-    fold(spark.sessionState.sqlParser.parsePlan(select))
+    foldTop(spark.sessionState.sqlParser.parsePlan(select))
+
+  /** Top-of-view fold: positions where READ decorations may apply. A
+    * SELECT list with uncorrelated scalar subqueries folds to
+    * [[ScalarDeco]] here — child and 1-row scalars as independent O(‖Δ‖)
+    * states, combined at read — instead of [[fold]]'s join composition,
+    * which embeds the scalar IN state and pays an O(|view|) rewrite every
+    * time it moves. Nested positions (the scalar feeding an outer
+    * aggregate) still need the value in state and keep the join fold. */
+  private def foldTop(plan: LogicalPlan): IvmQuery = plan match {
+    case GlobalLimit(
+        org.apache.spark.sql.catalyst.expressions.IntegerLiteral(n),
+        LocalLimit(_, Sort(order, true, child, _))) =>
+      graft.ivm.TopK(foldTop(child), order.map(sortPair), n)
+    case w: UnresolvedWith if !w.allowRecursion =>
+      val defs = w.cteRelations.foldLeft(Map.empty[String, IvmQuery]) {
+        case (acc, (name, sub, _)) => acc + (name -> substitute(fold(sub), acc))
+      }
+      substitute(foldTop(w.child), defs)
+    case Project(exprs, child)
+        if exprs.exists(hasScalarSub) && !exprs.exists(isGlobalAggItem) &&
+          !exprs.exists(hasWindowExpr) &&
+          !exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
+      var subViews = Seq.empty[IvmQuery]
+      val newItems = exprs.map { item =>
+        val (ni, svs) = extractScalarSubs(item, offset = subViews.size)
+        subViews ++= svs
+        ni.asInstanceOf[NamedExpression]
+      }
+      // prune the maintained child to the attributes the select list reads
+      // (the scalars live in their own states, not the child's)
+      val referenced = newItems.flatMap(_.collect {
+        case a: UnresolvedAttribute
+            if !a.nameParts.last.startsWith("__ivm_sq") => a.nameParts.last
+      }).distinct
+      val folded = fold(child)
+      val pruned =
+        if (referenced.isEmpty) folded
+        else graft.ivm.Project(folded,
+          referenced.map(org.apache.spark.sql.functions.col))
+      graft.ivm.ScalarDeco(pruned, subViews, newItems.map(selectItemCol))
+    case other => fold(other)
+  }
 
   private def fold(plan: LogicalPlan): IvmQuery = plan match {
     // ORDER BY + LIMIT → TopK read decoration: the child is maintained as
@@ -183,7 +225,8 @@ object SqlFrontend {
         "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
         "stddev_pop", "min_by", "max_by",
         "covar_pop", "covar_samp", "corr", "listagg", "string_agg",
-        "bool_and", "every", "bool_or", "median", "percentile")
+        "bool_and", "every", "bool_or", "median", "percentile",
+        "approx_count_distinct")
       cond2.collectFirst {
         case fn: UnresolvedFunction if aggFns(fn.nameParts.last.toLowerCase) => fn
       }.foreach { fn =>
@@ -364,6 +407,9 @@ object SqlFrontend {
         graft.ivm.WindowDeco(substitute(c, defs), cols)
       case graft.ivm.ExpandCount(c, n) =>
         graft.ivm.ExpandCount(substitute(c, defs), n)
+      case graft.ivm.ScalarDeco(c, subs, cols) =>
+        graft.ivm.ScalarDeco(substitute(c, defs),
+          subs.map(substitute(_, defs)), cols)
     }
 
   /** True when the expression tree contains an OVER clause (inline spec or
@@ -400,6 +446,7 @@ object SqlFrontend {
     case graft.ivm.Union(l, _)             => outputNames(l)
     case graft.ivm.WindowDeco(_, cols)     => Some(cols.map(ZDelta.colName))
     case graft.ivm.ExpandCount(c, n)       => outputNames(c).map(_.filterNot(_ == n))
+    case graft.ivm.ScalarDeco(_, _, cols)  => Some(cols.map(ZDelta.colName))
     case _                                 => None
   }
 
@@ -530,7 +577,8 @@ object SqlFrontend {
     "var_samp", "variance", "var_pop", "stddev_samp", "stddev", "std",
     "stddev_pop", "min_by", "max_by",
     "covar_pop", "covar_samp", "corr", "listagg", "string_agg",
-    "bool_and", "every", "bool_or", "median", "percentile")
+    "bool_and", "every", "bool_or", "median", "percentile",
+    "approx_count_distinct")
 
   /** True for a select item that is an aggregate call by NAME (the naive
     * [[isAggCall]] matches any function — too broad to distinguish a
@@ -563,8 +611,12 @@ object SqlFrontend {
     val keySpecs: Seq[(String, Option[Expression])] = grouping.map {
       case a: UnresolvedAttribute if byName.contains(a.nameParts.last) =>
         a.nameParts.last -> Some(byName(a.nameParts.last))
-      case a: UnresolvedAttribute => a.nameParts.last -> None
+      // GROUP BY <expr> where the select list carries it ALIASED (incl. the
+      // plain-rename `SELECT a AS b ... GROUP BY a`): the view's key is the
+      // alias — check before the bare-attribute fallback, which would
+      // otherwise claim the pre-rename name and orphan the select item
       case g if bySql.contains(g.sql) => bySql(g.sql) -> Some(byName(bySql(g.sql)))
+      case a: UnresolvedAttribute => a.nameParts.last -> None
       case other => throw new UnsupportedOperationException(
         s"IVM GROUP BY expression ${other.sql} must appear aliased in the " +
           "select list so the maintained view carries it")
@@ -674,6 +726,11 @@ object SqlFrontend {
             s"LISTAGG separator must be a string literal, got: ${other.sql}")
         }
         AggSpec.ListAgg(filtered(e, filt), sep, name)
+      // maintained HLL sketch (insert-only; see AggSpec scaladoc). Spark's
+      // relativeSD calling convention is intentionally not exposed — the
+      // maintained state is parameterized by lgK (register count)
+      case ("approx_count_distinct", Seq(e)) =>
+        AggSpec.ApproxCountDistinct(filtered(e, filt), 12, name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

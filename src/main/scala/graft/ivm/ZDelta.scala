@@ -160,7 +160,8 @@ object ZDelta {
       case RightJoin(l, r, _) => linear(l) ++ linear(r)
       case FullJoin(l, r, _)  => linear(l) ++ linear(r)
       case _: Aggregate       => Set.empty
-      case _: TopK | _: WindowDeco | _: ExpandCount => Set.empty // decorations
+      case _: TopK | _: WindowDeco | _: ExpandCount | _: ScalarDeco =>
+        Set.empty // decorations
     }
     def joinAcc(l: IvmQuery, r: IvmQuery): Set[String] = {
       val accL = if (r.tables.exists(declared)) linear(l) & declared else Set.empty[String]
@@ -479,6 +480,7 @@ object ZDelta {
     case TopK(c, _, _) => outputNames(c, ctx)
     case WindowDeco(_, cols) => cols.map(colName)
     case ExpandCount(c, n) => outputNames(c, ctx).filterNot(_ == n)
+    case ScalarDeco(_, _, cols) => cols.map(colName)
   }
 
   // ----------------------------------------------------------- outer joins
@@ -672,6 +674,15 @@ object ZDelta {
         val e = AggSpec.expr(a).get
         Seq(sum(when(e.isNotNull, w).otherwise(lit(0)))
           .as(adj(Eval.physNn(a.name))))
+      // HLL sketch: the batch's own sketch is the adjustment; the state
+      // merge below unions registers. INSERT-ONLY — a negative-weight row
+      // with a non-null argument trips the guard column and the merge
+      // raises (HLL registers cannot be decremented).
+      case AggSpec.ApproxCountDistinct(e, lgK, n) =>
+        Seq(hll_sketch_agg(when(w > 0, e), lgK).as(adj(Eval.physExt(n))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
+            sum(when(e.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
+              .as(hllNegGuard(n)))
       // BOOL_AND/OR: both counts are linear in the weight — pure SUM-style
       // self-maintenance (a NULL condition reads as false → adjusts 0).
       case AggSpec.BoolAnd(e, n) =>
@@ -820,6 +831,19 @@ object ZDelta {
       case a if AggSpec.needsAux(a) =>
         Seq(col(s"__ivm_newext_${a.name}").as(Eval.physExt(a.name)),
           accumulate(Eval.physNn(a.name)))
+      // HLL sketch: union registers (either side may be NULL — a group new
+      // to the state, or a batch whose rows are all NULL / other groups);
+      // a guarded delete raises instead of silently under-counting.
+      case AggSpec.ApproxCountDistinct(_, _, n) =>
+        val ext = Eval.physExt(n)
+        val (old, aj) = (col(ext), col(adj(ext)))
+        val merged = when(col(hllNegGuard(n)) > 0,
+          raise_error(lit(s"IVM: APPROX_COUNT_DISTINCT ('$n') is " +
+            "insert-only — an HLL sketch cannot fold a deletion; use " +
+            "COUNT(DISTINCT ...) when the feed retracts")).cast("binary"))
+          .otherwise(when(aj.isNull, old)
+            .otherwise(when(old.isNull, aj).otherwise(hll_union(old, aj))))
+        Seq(merged.as(ext), accumulate(Eval.physNn(n)))
       case a => Eval.physicalNames(a).map(accumulate)
     } :+ accumulate(HCOUNT)
 
@@ -848,4 +872,6 @@ object ZDelta {
   }
 
   private def adj(phys: String) = s"__ivm_d_$phys"
+  /** Count of (forbidden) negative-weight rows hitting an HLL sketch. */
+  private def hllNegGuard(n: String) = s"__ivm_hllneg_$n"
 }

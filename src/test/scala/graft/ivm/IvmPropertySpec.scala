@@ -220,7 +220,19 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g", "h")),
       "except_2side" -> IvmQuery.except(
         Project(sc, Seq(col("g"), col("h"))),
-        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g", "h")))
+        Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g", "h")),
+      // SELECT-list scalar subquery as the ScalarDeco READ decoration:
+      // child rows and the 1-row scalar maintain as independent states;
+      // the arithmetic happens at read, so a moving total rewrites nothing
+      "scalar_deco" -> ScalarDeco(
+        Project(sc, Seq(col("g"), col("v"))),
+        Seq(Aggregate(sc, Seq.empty, Seq(Sum(col("v"), "__ivm_sq0")))),
+        Seq(col("g"), col("v"),
+          (col("v") * lit(100) / col("__ivm_sq0")).as("share"))),
+      "scalar_deco_2side" -> ScalarDeco(
+        Project(sc, Seq(col("g"), col("v"))),
+        Seq(Aggregate(Scan("u"), Seq.empty, Seq(Avg(col("h"), "__ivm_sq0")))),
+        Seq(col("g"), (col("v") - col("__ivm_sq0")).as("dev"))))
   }
 
   for ((name, q) <- shapes)

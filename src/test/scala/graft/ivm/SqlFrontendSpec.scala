@@ -386,10 +386,21 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       Set(("b", 3, 7)))
   }
 
-  test("scalar subquery in the SELECT list folds to the same cross join") {
+  test("scalar subquery in the SELECT list folds to the ScalarDeco read decoration") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_share AS
          SELECT g, v, v / (SELECT SUM(v) FROM t) AS share FROM t""")
+    // child (pruned to referenced attrs) and the 1-row SUM are SEPARATE
+    // states: a delta refreshes both in O(||delta||); the division happens
+    // at read — no O(|view|) state rewrite when the total moves
+    q match {
+      case ScalarDeco(Project(Scan("t"), cols),
+          Seq(Aggregate(Scan("t"), Seq(), Seq(s))), out) =>
+        assert(cols.map(ZDelta.colName) == Seq("g", "v"))
+        assert(s.isInstanceOf[AggSpec.Sum] && s.name.startsWith("__ivm_sq"))
+        assert(out.length == 3)
+      case other => fail(s"unexpected AST: $other")
+    }
     val base: String => org.apache.spark.sql.DataFrame = {
       case "t" => df("g STRING, v DOUBLE", Seq(Row("a", 1d), Row("b", 3d)))
     }
@@ -632,10 +643,60 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       Seq("a", 3.0, 4.7, 4L), Seq("b", 20.0, 28.0, 3L)))
   }
 
+  test("APPROX_COUNT_DISTINCT maintains an HLL sketch; insert-only, deletes raise") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_hll AS
+         SELECT g, APPROX_COUNT_DISTINCT(v) AS au, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), Seq(a, _)) =>
+        assert(a.isInstanceOf[AggSpec.ApproxCountDistinct])
+      case other => fail(s"unexpected AST: $other")
+    }
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(
+        Row("a", 1), Row("a", 1), Row("a", 2), Row("b", 10), Row("b", null)))
+    }
+    val ins: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN", Seq(
+        Row("a", 3, true), Row("a", 1, true), // 1 is a duplicate: au stays 3
+        Row("c", 7, true))))
+      case _ => None
+    }
+    Ivm.create("sql_hll", q, base, store)
+    Ivm.refreshState("sql_hll", q, base, ins, store)
+    // union of per-batch sketches ≡ one-shot sketch: refresh == recompute
+    assertSameRows(Ivm.read("sql_hll", q, store), Ivm.recompute(q, base, ins))
+    assertRows(Ivm.read("sql_hll", q, store), Set(
+      Seq("a", 3L, 5L), Seq("b", 1L, 2L), Seq("c", 1L, 1L)))
+    // a second batch keeps folding into the same registers
+    val ins2: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("b", 11, true))))
+      case _ => None
+    }
+    Ivm.refreshState("sql_hll", q, base, ins2, store)
+    assertRows(Ivm.read("sql_hll", q, store)
+        .where(org.apache.spark.sql.functions.col("g") === "b"),
+      Set(Seq("b", 2L, 3L)))
+    // a delete cannot fold into HLL registers — loud rejection, not drift
+    val del: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 1, false))))
+      case _ => None
+    }
+    val e = intercept[Exception] {
+      Ivm.refreshState("sql_hll", q, base, del, store)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("insert-only"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
-        "CREATE IMMV bad AS SELECT b, APPROX_COUNT_DISTINCT(a) AS m FROM hello GROUP BY b")
+        "CREATE IMMV bad AS SELECT b, BIT_OR(a) AS m FROM hello GROUP BY b")
     }
     // ORDER BY with no LIMIT: an unbounded sort is presentation, not a
     // maintainable view (ORDER BY + LIMIT folds to TopK since round 4)
