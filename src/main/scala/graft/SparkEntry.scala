@@ -1536,6 +1536,78 @@ object SparkEntry {
         col("total_revenue").cast("double").as("total_revenue"))
     }),
 
+    // TPC-H Q15 (top supplier): the revenue CTE is a maintained aggregate,
+    // its MAX is a maintained nested aggregate (aux multiset over the
+    // grouped totals), and the equality filter is the WHERE-form scalar
+    // subquery — when a delta moves the max, the cross-join delta term
+    // requalifies rows in and out of the view.
+    "q101_tpch_q15" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q101 AS
+           WITH rev AS (
+             SELECT l_suppkey AS s_suppkey,
+                    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                      AS total
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+             GROUP BY l_suppkey)
+           SELECT s_suppkey, total FROM rev
+           WHERE total = (SELECT MAX(total) FROM rev)""")
+      Ivm.create("q101", v, base(s, dir), store)
+      Ivm.refreshState("q101", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q101", v, store)
+        .select(col("s_suppkey"), col("total").cast("double").as("total"))
+    }),
+
+    // TPC-H Q2 (adapted): rows at their group's minimum — the fact table
+    // joins its OWN per-key MIN aggregate and keeps the rows that touch
+    // it. A delete of the current minimum promotes the runner-up (aux
+    // multiset); an insert below it evicts the old winners.
+    "q102_tpch_q2" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q102 AS
+           SELECT p_partkey, p_brand, l_suppkey, l_extendedprice
+           FROM (SELECT p_partkey, p_brand FROM part WHERE p_size = 30) p
+           JOIN (SELECT l_partkey AS p_partkey, l_suppkey, l_extendedprice
+                 FROM lineitem) l
+             USING (p_partkey)
+           JOIN (SELECT l_partkey AS p_partkey, MIN(l_extendedprice) AS minp
+                 FROM lineitem GROUP BY l_partkey) m
+             USING (p_partkey)
+           WHERE l_extendedprice = minp""")
+      Ivm.create("q102", v, base(s, dir), store)
+      Ivm.refreshState("q102", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q102", v, store)
+    }),
+
+    // MAINTAINED APPROX_COUNT_DISTINCT: per-group HLL sketch state,
+    // insert-only (deletes raise — registers cannot be decremented). The
+    // oracle checks the exact count AND asserts the sketch estimate lands
+    // within 5% of it (est_ok must hash-match DuckDB's literal TRUE), so
+    // the accuracy claim is itself oracle-gated.
+    "q103_ivm_approx_distinct" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q103 AS
+           SELECT event_type,
+                  APPROX_COUNT_DISTINCT(user_id) AS approx_users,
+                  COUNT(DISTINCT user_id) AS exact_users,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""")
+      Ivm.create("q103", v, base(s, dir), store)
+      val insertOnly: String => Option[DataFrame] =
+        t => deltas(s, dir)(t).map(_.where(col(M))) // sketches: inserts only
+      Ivm.refreshState("q103", v, base(s, dir), insertOnly, store)
+      Ivm.read("q103", v, store).select(col("event_type"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("est_ok"),
+        col("exact_users"), col("n"))
+    }),
+
     // Sequence packing (training-example assembly): deterministic offset
     // packing of documents into 256-token context windows across 16
     // independent streams — no global sort, no payload shuffle; see
@@ -2476,6 +2548,64 @@ object SparkEntry {
                  CAST(promo_revenue AS DOUBLE) AS promo_revenue,
                  CAST(total_revenue AS DOUBLE) AS total_revenue
           FROM sums""",
+
+    "q103_ivm_approx_distinct" ->
+      s"""WITH applied AS (
+            SELECT event_type, user_id FROM events
+            UNION ALL
+            SELECT event_type, user_id FROM ($DE) WHERE $M
+          )
+          SELECT event_type, TRUE AS est_ok,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM applied GROUP BY 1""",
+
+    "q101_tpch_q15" ->
+      s"""WITH l2 AS (
+            SELECT l_suppkey, l_extendedprice, l_discount,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_suppkey, l_extendedprice, l_discount, 1 AS w
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+              UNION ALL
+              SELECT l_suppkey, l_extendedprice, l_discount,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), rev AS (
+            SELECT l_suppkey AS s_suppkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                       (CAST(1 AS DECIMAL(3,2)) -
+                        CAST(l_discount AS DECIMAL(4,2))) * m) AS total
+            FROM l2 GROUP BY 1
+          )
+          SELECT s_suppkey, CAST(total AS DOUBLE) AS total FROM rev
+          WHERE total = (SELECT MAX(total) FROM rev)""",
+
+    "q102_tpch_q2" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_suppkey, l_extendedprice, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_suppkey, l_extendedprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), el AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice FROM (
+              SELECT l_partkey, l_suppkey, l_extendedprice,
+                     unnest(range(CAST(m AS BIGINT))) AS i FROM l2)
+          ), mins AS (
+            SELECT l_partkey, MIN(l_extendedprice) AS minp FROM el GROUP BY 1
+          )
+          SELECT p.p_partkey, p.p_brand, el.l_suppkey, el.l_extendedprice
+          FROM part p
+          JOIN el ON el.l_partkey = p.p_partkey
+          JOIN mins ON mins.l_partkey = p.p_partkey
+          WHERE p.p_size = 30 AND el.l_extendedprice = mins.minp""",
 
     "q100_pack" ->
       """WITH t AS (

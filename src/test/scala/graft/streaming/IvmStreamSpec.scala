@@ -53,6 +53,34 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(!m.contains("b") && m("c") == 3L)
   }
 
+  test("maintain: HLL approx-distinct view streams insert-only batches") {
+    val s = spark
+    import s.implicits._
+
+    val baseRows = Seq(("a", 1), ("a", 1), ("b", 10)).toDF("g", "v")
+    val base: String => DataFrame = { case "t" => baseRows }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(AggSpec.ApproxCountDistinct(col("v"), 12, "au"), CountStar("cnt")))
+
+    val store = new MemStore
+    Ivm.create("hllv", q, base, store)
+
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val query = IvmStream.maintain("hllv", q, "t", base, store,
+      mem.toDF(), Files.createTempDirectory("ivm-ckpt").toString)
+    // append-only stream: each batch unions into the per-group registers
+    val batches = Seq(
+      Seq(D("a", 2, true), D("c", 7, true)),
+      Seq(D("a", 1, true), D("c", 8, true))) // a's 1 is a dup: au stays 2
+    batches.foreach { b => mem.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val got = Ivm.read("hllv", q, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 4L), ("b", 1L, 1L), ("c", 2L, 2L)), got)
+  }
+
   test("maintain: variance + min_by view streams on the LSM parquet store") {
     val s = spark
     import s.implicits._
