@@ -121,8 +121,26 @@ object Bench {
       val tQ13Refresh = (1 to 3).map(_ => time(q13Refresh())).sum / 3
       q13Recompute("w1"); q13Recompute("w2")
       val tQ13Recompute = (1 to 3).map(i => time(q13Recompute(s"s$i"))).sum / 3
+      // The FIXED per-batch floor of the q13 join view: refresh against a
+      // 1-row delta. q13_refresh_sec ≈ floor + O(‖Δ‖) marginal work, so
+      // floor/refresh close to 1 means the batch cost is Spark job latency,
+      // not data volume — the number that explains why recompute can still
+      // "win" at toy SFs while refresh is flat from sf0.001 to sf0.1
+      // (scaling block) and recompute grows with the base.
+      val oneRowDir =
+        java.nio.file.Files.createTempDirectory("ivm-bench-o1").toString
+      spark.read.parquet(oDeltaDir).limit(1).write
+        .mode("overwrite").parquet(oneRowDir)
+      val oneDelta: String => Option[DataFrame] = {
+        case "orders" => Some(spark.read.parquet(oneRowDir))
+        case _        => None
+      }
+      def q13Floor() = Ivm.refreshState("bench_q13", q13,
+        Fixtures.base(spark, sfDir), oneDelta, store)
+      q13Floor(); q13Floor() // warm-ups
+      val tQ13Floor = (1 to 3).map(_ => time(q13Floor())).sum / 3
 
-      f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f}"""
+      f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f,"q13_floor_sec":$tQ13Floor%.3f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
     // Scaling evidence for the Q13 join-view floor claim: refresh cost is

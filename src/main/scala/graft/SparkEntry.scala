@@ -1608,6 +1608,330 @@ object SparkEntry {
         col("exact_users"), col("n"))
     }),
 
+    // TPC-H Q7 (volume shipping): the nation dim joins TWICE under two
+    // renames (supplier's nation and customer's nation), the disjunctive
+    // nation-pair predicate rides the 6-way join as one maintained filter,
+    // and the year is a computed group key. Deltas feed lineitem AND
+    // orders in the same batch.
+    "q106_tpch_q7" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q106 AS
+           SELECT supp_nation, cust_nation,
+                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS revenue
+           FROM (SELECT s_suppkey AS l_suppkey, s_nationkey FROM supplier) s
+           JOIN (SELECT l_orderkey AS o_orderkey, l_suppkey, l_extendedprice,
+                        l_discount, l_shipdate FROM lineitem) l
+             USING (l_suppkey)
+           JOIN (SELECT o_orderkey, o_custkey AS c_custkey FROM orders) o
+             USING (o_orderkey)
+           JOIN (SELECT c_custkey, c_nationkey FROM customer) c
+             USING (c_custkey)
+           JOIN (SELECT n_nationkey AS s_nationkey, n_name AS supp_nation
+                 FROM nation) n1
+             USING (s_nationkey)
+           JOIN (SELECT n_nationkey AS c_nationkey, n_name AS cust_nation
+                 FROM nation) n2
+             USING (c_nationkey)
+           WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+              OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+           GROUP BY supp_nation, cust_nation, l_year""")
+      Ivm.create("q106", v, base(s, dir), store)
+      Ivm.refreshState("q106", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q106", v, store)
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("revenue").cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q8 (national market share): the view maintains the two exact
+    // sums (one CASE-gated); the share is a read-time ratio over them —
+    // the same maintained-state/read-expression split as Q14 (q99).
+    "q107_tpch_q8" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q107 AS
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  SUM(CASE WHEN supp_nation = 'NATION_3'
+                           THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END)
+                    AS nation_vol,
+                  SUM(vol) AS total_vol
+           FROM (
+             SELECT o_orderdate, supp_nation,
+                    CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      AS vol
+             FROM (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY') p
+             JOIN (SELECT l_partkey AS p_partkey, l_orderkey AS o_orderkey,
+                          l_suppkey, l_extendedprice, l_discount
+                   FROM lineitem) l
+               USING (p_partkey)
+             JOIN (SELECT o_orderkey, o_custkey AS c_custkey, o_orderdate
+                   FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') o
+               USING (o_orderkey)
+             JOIN (SELECT c_custkey, c_nationkey AS cn_key FROM customer) c
+               USING (c_custkey)
+             JOIN (SELECT n_nationkey AS cn_key, n_regionkey AS r_regionkey
+                   FROM nation) nc
+               USING (cn_key)
+             JOIN (SELECT r_regionkey FROM region WHERE r_name = 'AMERICA') r
+               USING (r_regionkey)
+             JOIN (SELECT s_suppkey AS l_suppkey, s_nationkey AS sn_key
+                   FROM supplier) sp
+               USING (l_suppkey)
+             JOIN (SELECT n_nationkey AS sn_key, n_name AS supp_nation
+                   FROM nation) ns
+               USING (sn_key)
+           )
+           GROUP BY o_year""")
+      Ivm.create("q107", v, base(s, dir), store)
+      Ivm.refreshState("q107", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q107", v, store).select(col("o_year"),
+        (col("nation_vol").cast("double") / col("total_vol").cast("double"))
+          .as("mkt_share"),
+        col("nation_vol").cast("double").as("nation_vol"),
+        col("total_vol").cast("double").as("total_vol"))
+    }),
+
+    // TPC-H Q9 (product-type profit, adapted: revenue in place of the
+    // absent ps_supplycost term): LIKE predicate on the part dim, profit
+    // grouped by the supplier's nation and the computed ship year.
+    "q108_tpch_q9" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q108 AS
+           SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS sum_profit
+           FROM (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') p
+           JOIN (SELECT l_partkey AS p_partkey, l_suppkey, l_extendedprice,
+                        l_discount, l_shipdate FROM lineitem) l
+             USING (p_partkey)
+           JOIN (SELECT s_suppkey AS l_suppkey, s_nationkey FROM supplier) sp
+             USING (l_suppkey)
+           JOIN (SELECT n_nationkey AS s_nationkey, n_name FROM nation) n
+             USING (s_nationkey)
+           GROUP BY n_name, o_year""")
+      Ivm.create("q108", v, base(s, dir), store)
+      Ivm.refreshState("q108", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q108", v, store)
+        .select(col("n_name"), col("o_year"),
+          col("sum_profit").cast("double").as("sum_profit"))
+    }),
+
+    // TPC-H Q11 (important stock, adapted to lineitem value): per-part
+    // value sum filtered against a FRACTION of the global total — the
+    // threshold is the WHERE-form scalar subquery over the same CTE, so
+    // one delta moves both sides and rows requalify in O(delta).
+    "q109_tpch_q11" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q109 AS
+           WITH pv AS (
+             SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                      AS v
+             FROM (SELECT l_partkey, l_extendedprice, l_suppkey
+                   FROM lineitem) li
+             JOIN (SELECT s_suppkey AS l_suppkey FROM supplier
+                   WHERE s_nationkey < 10) s
+               USING (l_suppkey)
+             GROUP BY l_partkey)
+           SELECT l_partkey, v FROM pv
+           WHERE v > (SELECT SUM(v) FROM pv) * CAST(0.0009 AS DECIMAL(6,4))""")
+      Ivm.create("q109", v, base(s, dir), store)
+      Ivm.refreshState("q109", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q109", v, store)
+        .select(col("l_partkey"), col("v").cast("double").as("v"))
+    }),
+
+    // TPC-H Q16 (supplier relationship, adapted): COUNT(DISTINCT) over a
+    // part-filtered join minus a NOT IN supplier blocklist — the distinct
+    // count reacts when a supplier's last qualifying line dies, and the
+    // blocklist is a maintained anti keyset.
+    "q110_tpch_q16" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q110 AS
+           SELECT p_brand, p_size,
+                  COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+                  COUNT(*) AS n
+           FROM (
+             SELECT p_brand, p_size, l_suppkey FROM (
+               SELECT p_brand, p_size, l_suppkey FROM
+                 (SELECT p_partkey, p_brand, p_size FROM part
+                  WHERE p_brand <> 'Brand#11'
+                    AND p_size IN (1, 5, 9, 13, 17, 21, 25)) p
+               JOIN (SELECT l_partkey AS p_partkey, l_suppkey FROM lineitem) l
+                 USING (p_partkey))
+             WHERE l_suppkey NOT IN (
+               SELECT s_suppkey AS l_suppkey FROM supplier
+               WHERE s_acctbal < 0))
+           GROUP BY p_brand, p_size""")
+      Ivm.create("q110", v, base(s, dir), store)
+      Ivm.refreshState("q110", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q110", v, store)
+    }),
+
+    // TPC-H Q17 (small-quantity revenue): the fact joins its OWN per-part
+    // quantity aggregate; the 0.2*avg comparison is done in exact integer/
+    // decimal cross-multiplied form (qty*cnt*5 < sum) so both engines
+    // agree bit-for-bit. The /7 is a read-time scalar.
+    "q111_tpch_q17" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q111 AS
+           SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_price,
+                  COUNT(*) AS n
+           FROM (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12') p
+           JOIN (SELECT l_partkey AS p_partkey, l_quantity, l_extendedprice
+                 FROM lineitem) l
+             USING (p_partkey)
+           JOIN (SELECT l_partkey AS p_partkey,
+                        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sumq,
+                        COUNT(*) AS cntq
+                 FROM lineitem GROUP BY l_partkey) a
+             USING (p_partkey)
+           WHERE CAST(l_quantity AS DECIMAL(18,2)) * cntq * 5 < sumq""")
+      Ivm.create("q111", v, base(s, dir), store)
+      Ivm.refreshState("q111", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q111", v, store).select(
+        (col("total_price").cast("double") / 7.0).as("avg_yearly"),
+        col("total_price").cast("double").as("total_price"), col("n"))
+    }),
+
+    // TPC-H Q20 (part promotion, adapted): IN against a HAVING-style
+    // aggregate subquery (per-supplier quantity over LIKE-filtered parts)
+    // — the keyset view maintains the sums; suppliers cross the threshold
+    // in either direction under deltas.
+    "q112_tpch_q20" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q112 AS
+           SELECT s_suppkey, s_name FROM supplier
+           WHERE s_suppkey IN (
+             SELECT l_suppkey AS s_suppkey FROM (
+               SELECT l_suppkey, SUM(l_quantity) AS q FROM
+                 (SELECT l_partkey, l_suppkey, l_quantity FROM lineitem) li
+               JOIN (SELECT p_partkey AS l_partkey FROM part
+                     WHERE p_name LIKE 'small%') pp
+                 USING (l_partkey)
+               GROUP BY l_suppkey)
+             WHERE q > 2100)""")
+      Ivm.create("q112", v, base(s, dir), store)
+      Ivm.refreshState("q112", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q112", v, store)
+    }),
+
+    // TPC-H Q21 (waiting suppliers, adapted lateness = shipped >60 days
+    // after order): the correlated EXISTS/NOT EXISTS pair de-correlates
+    // into two per-order COUNT(DISTINCT supplier) views — "another
+    // supplier exists" ⇔ nsupp ≥ 2, "no OTHER late supplier" ⇔ nlate = 1
+    // (the row itself is late) — all maintained, deltas on both tables.
+    "q113_tpch_q21" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q113 AS
+           WITH j AS (
+             SELECT o_orderkey, l_suppkey,
+                    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END AS late
+             FROM (SELECT o_orderkey, o_orderdate FROM orders
+                   WHERE o_orderstatus = 'F') o
+             JOIN (SELECT l_orderkey AS o_orderkey, l_suppkey, l_shipdate
+                   FROM lineitem) l
+               USING (o_orderkey)
+           ), ns AS (
+             SELECT o_orderkey, COUNT(DISTINCT l_suppkey) AS nsupp
+             FROM j GROUP BY o_orderkey
+           ), nl AS (
+             SELECT o_orderkey, COUNT(DISTINCT l_suppkey) AS nlate
+             FROM j WHERE late = 1 GROUP BY o_orderkey
+           )
+           SELECT s_name, COUNT(*) AS numwait
+           FROM j
+           JOIN ns USING (o_orderkey)
+           JOIN nl USING (o_orderkey)
+           JOIN (SELECT s_suppkey AS l_suppkey, s_name FROM supplier) s
+             USING (l_suppkey)
+           WHERE late = 1 AND nsupp >= 2 AND nlate = 1
+           GROUP BY s_name""")
+      Ivm.create("q113", v, base(s, dir), store)
+      Ivm.refreshState("q113", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q113", v, store)
+    }),
+
+    // TPC-H Q22 (global sales opportunity, adapted country code =
+    // c_nationkey % 5): the above-average test is cross-multiplied into
+    // exact decimal form via TWO scalar subviews (sum and count), and the
+    // "no orders" test is the maintained NOT IN anti keyset — customers
+    // enter the view when their last order is deleted.
+    "q114_tpch_q22" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q114 AS
+           WITH pos AS (
+             SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer
+             WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (1, 2, 3))
+           SELECT code, COUNT(*) AS numcust,
+                  SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS totacctbal
+           FROM (
+             SELECT code, c_acctbal FROM (
+               SELECT c_custkey, c_acctbal, code FROM (
+                 SELECT c_custkey, c_acctbal,
+                        CAST(c_nationkey % 5 AS BIGINT) AS code
+                 FROM customer)
+               WHERE code IN (1, 2, 3)
+                 AND CAST(c_acctbal AS DECIMAL(12,2)) *
+                       (SELECT COUNT(*) FROM pos) >
+                     (SELECT SUM(bal) FROM pos))
+             WHERE c_custkey NOT IN (
+               SELECT o_custkey AS c_custkey FROM orders
+               WHERE o_totalprice > 430000.0))
+           GROUP BY code""")
+      Ivm.create("q114", v, base(s, dir), store)
+      Ivm.refreshState("q114", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q114", v, store)
+        .select(col("code"), col("numcust"),
+          col("totacctbal").cast("double").as("totacctbal"))
+    }),
+
+    // MULTI-COLUMN IN: the composite (l_orderkey, l_suppkey) key set is
+    // one maintained DISTINCT view; the semi join reacts when a pair's
+    // last qualifying row dies or first arrives.
+    "q104_ivm_multi_in" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q104 AS
+           SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+           FROM lineitem
+           WHERE (l_orderkey, l_suppkey) IN (
+             SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 49)
+           GROUP BY l_returnflag""")
+      Ivm.create("q104", v, base(s, dir), store)
+      Ivm.refreshState("q104", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q104", v, store)
+    }),
+
+    // PLAIN UNION (set semantics): DISTINCT over the stateless bag union,
+    // deltas on BOTH sides in one batch — membership holds while either
+    // side still has a copy.
+    "q105_ivm_union_distinct" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q105 AS
+           SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 47
+           UNION
+           SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000""")
+      Ivm.create("q105", v, base(s, dir), store)
+      Ivm.refreshState("q105", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q105", v, store)
+    }),
+
     // Sequence packing (training-example assembly): deterministic offset
     // packing of documents into 256-token context windows across 16
     // independent streams — no global sort, no payload shuffle; see
@@ -2548,6 +2872,316 @@ object SparkEntry {
                  CAST(promo_revenue AS DOUBLE) AS promo_revenue,
                  CAST(total_revenue AS DOUBLE) AS total_revenue
           FROM sums""",
+
+    "q104_ivm_multi_in" ->
+      s"""WITH cl AS (
+            SELECT l_returnflag, l_orderkey, l_suppkey, l_quantity,
+                   SUM(w) AS c FROM (
+              SELECT l_returnflag, l_orderkey, l_suppkey, l_quantity, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_orderkey, l_suppkey, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3, 4 HAVING SUM(w) > 0
+          ), el AS (
+            SELECT l_returnflag, l_orderkey, l_suppkey, l_quantity FROM (
+              SELECT l_returnflag, l_orderkey, l_suppkey, l_quantity,
+                     unnest(range(CAST(c AS BIGINT))) AS i FROM cl)
+          )
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(l_quantity) AS sum_qty
+          FROM el
+          WHERE EXISTS (
+            SELECT 1 FROM el e2
+            WHERE e2.l_orderkey = el.l_orderkey
+              AND e2.l_suppkey = el.l_suppkey AND e2.l_quantity > 49)
+          GROUP BY 1""",
+
+    "q105_ivm_union_distinct" ->
+      s"""WITH ol AS (
+            SELECT o_orderkey, SUM(w) AS c FROM (
+              SELECT o_orderkey, 1 AS w FROM orders WHERE o_totalprice > 400000
+              UNION ALL
+              SELECT o_orderkey, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+              WHERE o_totalprice > 400000
+            ) GROUP BY 1 HAVING SUM(w) > 0
+          ), ll AS (
+            SELECT l_orderkey, SUM(w) AS c FROM (
+              SELECT l_orderkey, 1 AS w FROM lineitem WHERE l_quantity > 47
+              UNION ALL
+              SELECT l_orderkey, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+              WHERE l_quantity > 47
+            ) GROUP BY 1 HAVING SUM(w) > 0
+          )
+          SELECT l_orderkey AS k FROM ll
+          UNION
+          SELECT o_orderkey AS k FROM ol""",
+
+    "q106_tpch_q7" ->
+      s"""WITH l2 AS (
+            SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount,
+                   l_shipdate, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount,
+                     l_shipdate, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_suppkey, l_extendedprice, l_discount,
+                     l_shipdate, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3, 4, 5 HAVING SUM(w) > 0
+          ), o2 AS (
+            SELECT o_orderkey, o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l2.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(3,2)) -
+                           CAST(l2.l_discount AS DECIMAL(4,2)))
+                          * l2.m * o2.m) AS DOUBLE) AS revenue
+          FROM supplier s
+          JOIN l2 ON l2.l_suppkey = s.s_suppkey
+          JOIN o2 ON o2.o_orderkey = l2.l_orderkey
+          JOIN customer c ON c.c_custkey = o2.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+          GROUP BY 1, 2, 3""",
+
+    "q107_tpch_q8" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_orderkey, l_suppkey, l_extendedprice,
+                   l_discount, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_orderkey, l_suppkey, l_extendedprice,
+                     l_discount, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_orderkey, l_suppkey, l_extendedprice,
+                     l_discount, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3, 4, 5 HAVING SUM(w) > 0
+          ), o2 AS (
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_custkey, o_orderdate, 1 AS w FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderdate,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), vols AS (
+            SELECT CAST(year(o2.o_orderdate) AS BIGINT) AS o_year,
+                   ns.n_name AS supp_nation,
+                   CAST(l2.l_extendedprice AS DECIMAL(12,2)) *
+                   (CAST(1 AS DECIMAL(3,2)) -
+                    CAST(l2.l_discount AS DECIMAL(4,2))) AS vol,
+                   l2.m * o2.m AS m
+            FROM part p
+            JOIN l2 ON l2.l_partkey = p.p_partkey
+            JOIN o2 ON o2.o_orderkey = l2.l_orderkey
+            JOIN customer c ON c.c_custkey = o2.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = nc.n_regionkey
+            JOIN supplier sp ON sp.s_suppkey = l2.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = sp.s_nationkey
+            WHERE p.p_type = 'ECONOMY' AND r.r_name = 'AMERICA'
+          ), sums AS (
+            SELECT o_year,
+                   SUM(CASE WHEN supp_nation = 'NATION_3'
+                            THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END * m)
+                     AS nation_vol,
+                   SUM(vol * m) AS total_vol
+            FROM vols GROUP BY 1
+          )
+          SELECT o_year,
+                 CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE)
+                   AS mkt_share,
+                 CAST(nation_vol AS DOUBLE) AS nation_vol,
+                 CAST(total_vol AS DOUBLE) AS total_vol
+          FROM sums""",
+
+    "q108_tpch_q9" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice, l_discount,
+                   l_shipdate, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_suppkey, l_extendedprice, l_discount,
+                     l_shipdate, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_suppkey, l_extendedprice, l_discount,
+                     l_shipdate, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3, 4, 5 HAVING SUM(w) > 0
+          )
+          SELECT n.n_name, CAST(year(l2.l_shipdate) AS BIGINT) AS o_year,
+                 CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(3,2)) -
+                           CAST(l2.l_discount AS DECIMAL(4,2))) * l2.m)
+                      AS DOUBLE) AS sum_profit
+          FROM part p
+          JOIN l2 ON l2.l_partkey = p.p_partkey
+          JOIN supplier sp ON sp.s_suppkey = l2.l_suppkey
+          JOIN nation n ON n.n_nationkey = sp.s_nationkey
+          WHERE p.p_name LIKE '%red%'
+          GROUP BY 1, 2""",
+
+    "q109_tpch_q11" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_suppkey, l_extendedprice,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_suppkey, l_extendedprice, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_suppkey, l_extendedprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), pv AS (
+            SELECT l2.l_partkey,
+                   SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2)) * l2.m) AS v
+            FROM l2
+            JOIN supplier s ON s.s_suppkey = l2.l_suppkey
+            WHERE s.s_nationkey < 10
+            GROUP BY 1
+          )
+          SELECT l_partkey, CAST(v AS DOUBLE) AS v FROM pv
+          WHERE v > (SELECT SUM(v) FROM pv) * CAST(0.0009 AS DECIMAL(6,4))""",
+
+    "q110_tpch_q16" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_suppkey, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_suppkey, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_suppkey,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT p.p_brand, p.p_size,
+                 CAST(COUNT(DISTINCT l2.l_suppkey) AS BIGINT) AS supplier_cnt,
+                 CAST(SUM(l2.m) AS BIGINT) AS n
+          FROM part p
+          JOIN l2 ON l2.l_partkey = p.p_partkey
+          WHERE p.p_brand <> 'Brand#11'
+            AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
+            AND l2.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          GROUP BY 1, 2""",
+
+    "q111_tpch_q17" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_quantity, l_extendedprice,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_quantity, l_extendedprice, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_quantity, l_extendedprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), a AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2)) * m) AS sumq,
+                   CAST(SUM(m) AS BIGINT) AS cntq
+            FROM l2 GROUP BY 1
+          ), sums AS (
+            SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2)) * l2.m)
+                     AS total_price,
+                   CAST(SUM(l2.m) AS BIGINT) AS n
+            FROM part p
+            JOIN l2 ON l2.l_partkey = p.p_partkey
+            JOIN a ON a.l_partkey = l2.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+              AND CAST(l2.l_quantity AS DECIMAL(18,2)) * a.cntq * 5 < a.sumq
+          )
+          SELECT CAST(total_price AS DOUBLE) / 7.0 AS avg_yearly,
+                 CAST(total_price AS DOUBLE) AS total_price, n
+          FROM sums""",
+
+    "q112_tpch_q20" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_suppkey, l_quantity,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_suppkey, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_suppkey, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), k AS (
+            SELECT l_suppkey FROM (
+              SELECT l2.l_suppkey, SUM(l2.l_quantity * l2.m) AS q
+              FROM l2
+              JOIN part p ON p.p_partkey = l2.l_partkey
+              WHERE p.p_name LIKE 'small%'
+              GROUP BY 1)
+            WHERE q > 2100
+          )
+          SELECT s_suppkey, s_name FROM supplier
+          WHERE s_suppkey IN (SELECT l_suppkey FROM k)""",
+
+    "q113_tpch_q21" ->
+      s"""WITH l2 AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_orderkey, l_suppkey, l_shipdate, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_suppkey, l_shipdate,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), o2 AS (
+            SELECT o_orderkey, o_orderdate, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_orderdate, 1 AS w FROM orders
+              WHERE o_orderstatus = 'F'
+              UNION ALL
+              SELECT o_orderkey, o_orderdate,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+              WHERE o_orderstatus = 'F'
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), j AS (
+            SELECT o2.o_orderkey, l2.l_suppkey,
+                   CASE WHEN l2.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END AS late,
+                   l2.m * o2.m AS m
+            FROM o2 JOIN l2 ON l2.l_orderkey = o2.o_orderkey
+          ), ns AS (
+            SELECT o_orderkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                     AS nsupp
+            FROM j GROUP BY 1
+          ), nl AS (
+            SELECT o_orderkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                     AS nlate
+            FROM j WHERE late = 1 GROUP BY 1
+          )
+          SELECT s.s_name, CAST(SUM(j.m) AS BIGINT) AS numwait
+          FROM j
+          JOIN ns ON ns.o_orderkey = j.o_orderkey
+          JOIN nl ON nl.o_orderkey = j.o_orderkey
+          JOIN supplier s ON s.s_suppkey = j.l_suppkey
+          WHERE j.late = 1 AND ns.nsupp >= 2 AND nl.nlate = 1
+          GROUP BY 1""",
+
+    "q114_tpch_q22" ->
+      s"""WITH o2 AS (
+            SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_custkey, 1 AS w FROM orders
+              WHERE o_totalprice > 430000.0
+              UNION ALL
+              SELECT o_custkey, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+              WHERE o_totalprice > 430000.0
+            ) GROUP BY 1 HAVING SUM(w) > 0
+          ), pos AS (
+            SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer
+            WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (1, 2, 3)
+          )
+          SELECT CAST(c_nationkey % 5 AS BIGINT) AS code,
+                 CAST(COUNT(*) AS BIGINT) AS numcust,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS totacctbal
+          FROM customer
+          WHERE c_nationkey % 5 IN (1, 2, 3)
+            AND CAST(c_acctbal AS DECIMAL(12,2)) *
+                  (SELECT COUNT(*) FROM pos) > (SELECT SUM(bal) FROM pos)
+            AND c_custkey NOT IN (SELECT o_custkey FROM o2)
+          GROUP BY 1""",
 
     "q103_ivm_approx_distinct" ->
       s"""WITH applied AS (

@@ -139,6 +139,19 @@ object SqlFrontend {
     case Filter(Not(InSubquery(Seq(a: UnresolvedAttribute), lq: ListQuery)), child) =>
       val (outerKey, keySet) = foldInList(a, lq)
       antiComposition(fold(child), keySet, Seq(outerKey))
+    // Multi-column (a, b) IN / NOT IN (SELECT x, y ...) — same semi/anti
+    // compositions over the composite key (the subquery's columns rename
+    // positionally to the outer attributes).
+    case Filter(InSubquery(attrs, lq: ListQuery), child)
+        if attrs.length > 1 && attrs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+      val (keys, keySet) =
+        foldInListMulti(attrs.map(_.asInstanceOf[UnresolvedAttribute]), lq)
+      IvmQuery.semiJoin(fold(child), keySet, keys)
+    case Filter(Not(InSubquery(attrs, lq: ListQuery)), child)
+        if attrs.length > 1 && attrs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
+      val (keys, keySet) =
+        foldInListMulti(attrs.map(_.asInstanceOf[UnresolvedAttribute]), lq)
+      antiComposition(fold(child), keySet, keys)
     // Correlated EXISTS / NOT EXISTS → the same maintained semi/anti
     // compositions. The correlation must be same-name equi conditions
     // (x.k = y.k — alias the subquery side if names differ), matching the
@@ -267,9 +280,15 @@ object SqlFrontend {
         if exprs.forall(_.isInstanceOf[UnresolvedAttribute]) =>
       IvmQuery.distinct(fold(child),
         exprs.map(_.asInstanceOf[UnresolvedAttribute].nameParts.last))
+    // Plain UNION (set semantics) = DISTINCT over the bag union: the
+    // parser leaves it as Distinct(Union(...)); the distinct is the
+    // empty-aggs Aggregate (group liveness = membership) over ΔA ⊎ ΔB.
+    case Distinct(org.apache.spark.sql.catalyst.plans.logical.Union(
+        children, _, _)) if children.length >= 2 =>
+      val folded = children.map(fold).reduce(graft.ivm.Union(_, _))
+      IvmQuery.distinct(folded, requireNames(folded, "UNION"))
     // UNION ALL (bag union): Δ(A ⊎ B) = ΔA ⊎ ΔB, stateless. Spark parses
-    // n-ary unions into one node — fold left-deep. Plain UNION (DISTINCT)
-    // is intentionally not folded: wrap in SELECT DISTINCT to maintain it.
+    // n-ary unions into one node — fold left-deep.
     case org.apache.spark.sql.catalyst.plans.logical.Union(children, _, _)
         if children.length >= 2 =>
       children.map(fold).reduce(graft.ivm.Union(_, _))
@@ -322,6 +341,29 @@ object SqlFrontend {
     val renamed = if (innerName == outerKey) inner
       else graft.ivm.Project(inner, Seq(expr(innerName).as(outerKey)))
     (outerKey, renamed)
+  }
+
+  /** Fold a multi-column IN-list subquery: the subquery must select as
+    * many columns as the outer tuple; each renames positionally to its
+    * outer attribute. Returns (outer key names, renamed key-set view). */
+  private def foldInListMulti(
+      attrs: Seq[UnresolvedAttribute], lq: ListQuery): (Seq[String], IvmQuery) = {
+    val outerKeys = attrs.map(_.nameParts.last)
+    val innerNames = lq.plan match {
+      case Project(items, _) if items.length == attrs.length => items.map {
+        case ia: UnresolvedAttribute => ia.nameParts.last
+        case Alias(_, n)             => n
+        case other => throw new UnsupportedOperationException(
+          s"IN subquery select item must be a column or alias: ${other.sql}")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"IN subquery must select ${attrs.length} columns, got: ${other.nodeName}")
+    }
+    val inner = fold(lq.plan)
+    val renamed = if (innerNames == outerKeys) inner
+      else graft.ivm.Project(inner,
+        innerNames.zip(outerKeys).map { case (in, out) => expr(in).as(out) })
+    (outerKeys, renamed)
   }
 
   /** ANTI composition shared by NOT IN and NOT EXISTS: LEFT OUTER against

@@ -602,6 +602,41 @@ final class ParquetStore(
     }
   }
 
+  // ----------------------------------------------------------- time travel
+
+  /** Version of the latest committed manifest flip. */
+  def currentVersion: Long = version
+
+  /** Manifest versions still on disk — the keepVersions retention window,
+    * i.e. the snapshots [[asOf]] can still serve. */
+  def retainedVersions: Seq[Long] =
+    listDir(Paths.get(root)).map(_.getFileName.toString)
+      .filter(_.matches("_v\\d+")).map(_.drop(2).toLong).sorted
+
+  /** Read-only SNAPSHOT of this store as of manifest `v` (time travel):
+    * `Ivm.read(view, q, store.asOf(v))` is the maintained view exactly as
+    * committed by flip `v`. Free by construction: segments are immutable
+    * and [[prune]] retains every segment a kept manifest references, so
+    * any retained version resolves fully — the same mechanics that give
+    * in-flight refreshes snapshot isolation give readers history. Writes
+    * (and tags) through a snapshot are rejected. */
+  def asOf(v: Long): IvmStore = {
+    require(Files.exists(manifestPath(v)),
+      s"manifest _v$v is outside the retention window " +
+        s"(keepVersions=$keepVersions, current=_v$version)")
+    val (es, ts) = readManifest(v)
+    new IvmStore {
+      override def get(name: String): Option[DataFrame] =
+        es.get(name).map(e =>
+          ParquetStore.this.readEntry(e, e.allPaths, e.layered)())
+      override def getTag(key: String): Option[String] = ts.get(key)
+      override def put(name: String, df: DataFrame): Unit =
+        throw new UnsupportedOperationException("asOf snapshots are read-only")
+      override def setTag(key: String, value: String): Unit =
+        throw new UnsupportedOperationException("asOf snapshots are read-only")
+    }
+  }
+
   // --------------------------------------------------------------- pruning
 
   /** Delete manifests older than the keepVersions window and segments no

@@ -47,6 +47,38 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(("a", 7L, 2L), ("c", 7L, 1L)))
   }
 
+  test("asOf: a retained manifest serves the view as of that commit") {
+    val (root, f) = mkStore(keep = 3)
+    val store = f(root)
+    val base: String => DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 1), Row("a", 2), Row("b", 10)))
+    }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Sum(col("v"), "sum_v"), CountStar("cnt")))
+    Ivm.create("tv", q, base, store)
+    val v0 = store.currentVersion
+
+    val d1 = df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("a", 5, true), Row("b", 10, false))) // b dies
+    Ivm.refreshState("tv", q, base, t => if (t == "t") Some(d1) else None, store)
+    assert(store.currentVersion > v0)
+    assert(store.retainedVersions.contains(v0))
+
+    // time travel: the snapshot still shows b alive and a's pre-delta sum
+    val asOld = Ivm.read("tv", q, store.asOf(v0)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(asOld == Set(("a", 3L, 2L), ("b", 10L, 1L)))
+    val asNew = Ivm.read("tv", q, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(asNew == Set(("a", 8L, 3L)))
+    // snapshots are read-only; evicted versions are rejected loudly
+    intercept[UnsupportedOperationException] {
+      store.asOf(v0).put("x", df("x INT", Seq(Row(1))))
+    }
+    intercept[IllegalArgumentException] { store.asOf(-1L) }
+  }
+
   test("snapshot isolation: a DataFrame resolved before put() keeps its version") {
     val (root, f) = mkStore(keep = 3)
     val store = f(root)

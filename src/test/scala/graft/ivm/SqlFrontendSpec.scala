@@ -449,6 +449,39 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("sql_sq", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("multi-column IN and plain UNION fold to semi/distinct compositions") {
+    val (_, qi) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_min2 AS
+         SELECT a, b FROM t WHERE (a, b) IN (SELECT x AS a, y AS b FROM u)""")
+    qi match {
+      case Project(Join(Scan("t"),
+          Aggregate(_, Seq("a", "b"), Seq()), Seq("a", "b")), _) => ()
+      case other => fail(s"unexpected multi-IN AST: $other")
+    }
+    val (_, qu) = SqlFrontend.createImmv(spark,
+      "CREATE IMMV sql_ud AS SELECT g FROM t UNION SELECT g FROM u")
+    qu match {
+      case Aggregate(Union(_, _), Seq("g"), Seq()) => ()
+      case other => fail(s"unexpected UNION AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(Row("a", 1), Row("b", 2)))
+      case "u" => df("g STRING, h INT", Seq(Row("b", 1), Row("c", 2)))
+    }
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 1, false), Row("d", 9, true)))) // a leaves t entirely
+      case "u" => Some(df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("c", 2, false)))) // c leaves u entirely
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_ud", qu, base, store)
+    Ivm.refreshState("sql_ud", qu, base, deltas, store)
+    assertSameRows(Ivm.read("sql_ud", qu, store), Ivm.recompute(qu, base, deltas))
+    assertRows(Ivm.read("sql_ud", qu, store), Set(Seq("b"), Seq("d")))
+  }
+
   test("NOT IN subquery folds to the anti-join composition (marker filter)") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_notin AS
