@@ -1900,6 +1900,25 @@ object SparkEntry {
           col("totacctbal").cast("double").as("totacctbal"))
     }),
 
+    // TIME TRAVEL: create on the versioned store, commit a delta batch,
+    // then read the PRE-DELTA snapshot via asOf — the oracle is the
+    // delta-free base query, proving retained manifests serve history
+    // exactly (the snapshot-isolation mechanics double as time travel).
+    "q115_time_travel" -> ((s, dir) => {
+      val store = new ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("q115-store").toString,
+        keepVersions = 8) // retention window = how far back asOf can reach
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q115 AS
+           SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+                  COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+      Ivm.create("q115", v, base(s, dir), store)
+      val v0 = store.currentVersion
+      Ivm.refreshState("q115", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q115", v, store.asOf(v0)) // the view as of BEFORE the batch
+    }),
+
     // MULTI-COLUMN IN: the composite (l_orderkey, l_suppkey) key set is
     // one maintained DISTINCT view; the semi join reacts when a pair's
     // last qualifying row dies or first arrives.
@@ -2916,6 +2935,12 @@ object SparkEntry {
           SELECT l_orderkey AS k FROM ll
           UNION
           SELECT o_orderkey AS k FROM ol""",
+
+    // Pre-delta snapshot == the plain base query (no delta applied).
+    "q115_time_travel" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1, 2""",
 
     "q106_tpch_q7" ->
       s"""WITH l2 AS (

@@ -78,6 +78,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     ctx.pins.foreach(_.unpersist())
   }
 
+  test("TPC-H Q7 shape (q106): 6-way join plans with broadcast dims, no sort-merge") {
+    // recompute plan of the folded view — the same join tree the delta
+    // terms reuse; every dim (supplier/customer/nation×2/orders at this
+    // scale) must broadcast against the fact rather than shuffle it
+    val (_, v) = graft.ivm.SqlFrontend.createImmv(spark,
+      """CREATE IMMV audit_q7 AS
+             SELECT supp_nation, cust_nation,
+                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue
+             FROM (SELECT s_suppkey AS l_suppkey, s_nationkey FROM supplier) s
+             JOIN (SELECT l_orderkey AS o_orderkey, l_suppkey,
+                          l_extendedprice, l_shipdate FROM lineitem) l
+               USING (l_suppkey)
+             JOIN (SELECT o_orderkey, o_custkey AS c_custkey FROM orders) o
+               USING (o_orderkey)
+             JOIN (SELECT c_custkey, c_nationkey FROM customer) c
+               USING (c_custkey)
+             JOIN (SELECT n_nationkey AS s_nationkey, n_name AS supp_nation
+                   FROM nation) n1
+               USING (s_nationkey)
+             JOIN (SELECT n_nationkey AS c_nationkey, n_name AS cust_nation
+                   FROM nation) n2
+               USING (c_nationkey)
+             GROUP BY supp_nation, cust_nation, l_year""")
+    val p = plan(graft.ivm.Ivm.recompute(v,
+      graft.Fixtures.base(spark, dir), _ => None))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"dims must broadcast in the 6-way join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact side must not sort-merge at this dim/fact ratio:\n$p")
+  }
+
   test("exact dedup (q20): partial aggregation before the exchange") {
     val p = plan(q("q20_dedup_exact"))
     val firstAgg = p.indexOf("HashAggregate")
