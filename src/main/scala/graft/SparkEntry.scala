@@ -1900,6 +1900,32 @@ object SparkEntry {
           col("totacctbal").cast("double").as("totacctbal"))
     }),
 
+    // TPC-H Q17 in its NATIVE correlated form: the 0.2*avg-per-part scalar
+    // subquery DECORRELATES automatically into a per-key aggregate view
+    // LEFT-joined on the correlation key — same result as the manual
+    // join-back (q111), but the user writes the textbook SQL. avg over
+    // integer-valued doubles is exact, so the comparison is engine-stable.
+    "q116_tpch_q17_native" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q116 AS
+           SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS total_price,
+                  COUNT(*) AS n
+           FROM (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12') p
+           JOIN (SELECT l_partkey AS p_partkey, l_quantity, l_extendedprice
+                 FROM lineitem) l
+             USING (p_partkey)
+           WHERE l_quantity < (
+             SELECT 0.2 * AVG(l2.l_quantity) FROM
+               (SELECT l_partkey AS p_partkey, l_quantity AS l_quantity
+                FROM lineitem) l2
+             WHERE l2.p_partkey = p_partkey)""")
+      Ivm.create("q116", v, base(s, dir), store)
+      Ivm.refreshState("q116", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q116", v, store).select(
+        col("total_price").cast("double").as("total_price"), col("n"))
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -2935,6 +2961,31 @@ object SparkEntry {
           SELECT l_orderkey AS k FROM ll
           UNION
           SELECT o_orderkey AS k FROM ol""",
+
+    "q116_tpch_q17_native" ->
+      s"""WITH l2 AS (
+            SELECT l_partkey, l_quantity, l_extendedprice,
+                   CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_partkey, l_quantity, l_extendedprice, 1 AS w
+              FROM lineitem
+              UNION ALL
+              SELECT l_partkey, l_quantity, l_extendedprice,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2, 3 HAVING SUM(w) > 0
+          ), a AS (
+            SELECT l_partkey, SUM(l_quantity * m) / SUM(m) AS avgq
+            FROM l2 GROUP BY 1
+          ), sums AS (
+            SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2)) * l2.m)
+                     AS total_price,
+                   CAST(SUM(l2.m) AS BIGINT) AS n
+            FROM part p
+            JOIN l2 ON l2.l_partkey = p.p_partkey
+            JOIN a ON a.l_partkey = l2.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+              AND l2.l_quantity < 0.2 * a.avgq
+          )
+          SELECT CAST(total_price AS DOUBLE) AS total_price, n FROM sums""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->

@@ -13,37 +13,46 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  def eval(q: IvmQuery, resolve: String => DataFrame): DataFrame = q match {
+  /** Evaluate a view tree from base tables. `hook` short-circuits any
+    * subtree with an already-materialized frame (create uses it to serve
+    * interior aggregates from their just-written states instead of
+    * recomputing them from base — once per shared/spliced subtree, not
+    * once per referencing parent). */
+  def eval(q: IvmQuery, resolve: String => DataFrame,
+      hook: IvmQuery => Option[DataFrame] = _ => None): DataFrame =
+    hook(q).getOrElse(q match {
     case Scan(t)            => resolve(t)
-    case Filter(c, pred)    => eval(c, resolve).filter(pred)
-    case Project(c, cols)   => eval(c, resolve).select(cols: _*)
+    case Filter(c, pred)    => eval(c, resolve, hook).filter(pred)
+    case Project(c, cols)   => eval(c, resolve, hook).select(cols: _*)
     case Join(l, r, keys)   =>
-      val (le, re) = (eval(l, resolve), eval(r, resolve))
+      val (le, re) = (eval(l, resolve, hook), eval(r, resolve, hook))
       if (keys.isEmpty) le.crossJoin(re) else le.join(re, keys)
-    case Union(l, r)        => eval(l, resolve).unionByName(eval(r, resolve))
-    case TopK(c, sort, n)   => eval(c, resolve).orderBy(sortCols(sort): _*).limit(n)
-    case WindowDeco(c, cols) => eval(c, resolve).select(cols: _*)
+    case Union(l, r) => eval(l, resolve, hook).unionByName(eval(r, resolve, hook))
+    case TopK(c, sort, n) =>
+      eval(c, resolve, hook).orderBy(sortCols(sort): _*).limit(n)
+    case WindowDeco(c, cols) => eval(c, resolve, hook).select(cols: _*)
     case ExpandCount(c, n) =>
-      val ex = Ivm.expandMultiset(eval(c, resolve), n)
+      val ex = Ivm.expandMultiset(eval(c, resolve, hook), n)
       ex.select(ex.columns.filterNot(_ == n).map(col): _*)
     case ScalarDeco(c, subs, cols) =>
-      subs.foldLeft(eval(c, resolve))((acc, s) => acc.crossJoin(eval(s, resolve)))
+      subs.foldLeft(eval(c, resolve, hook))(
+        (acc, s) => acc.crossJoin(eval(s, resolve, hook)))
         .select(cols: _*)
     case LeftJoin(l, r, keys) =>
-      eval(l, resolve).join(eval(r, resolve), keys, "left_outer")
+      eval(l, resolve, hook).join(eval(r, resolve, hook), keys, "left_outer")
     case RightJoin(l, r, keys) =>
-      eval(l, resolve).join(eval(r, resolve), keys, "right_outer")
+      eval(l, resolve, hook).join(eval(r, resolve, hook), keys, "right_outer")
     case FullJoin(l, r, keys) =>
-      eval(l, resolve).join(eval(r, resolve), keys, "full_outer")
+      eval(l, resolve, hook).join(eval(r, resolve, hook), keys, "full_outer")
     case Aggregate(c, keys, aggs) =>
-      val child = eval(c, resolve)
+      val child = eval(c, resolve, hook)
       if (aggs.isEmpty) child.select(keys.map(col): _*).distinct() // DISTINCT view
       else {
         val exprs = aggs.map(evalAgg)
         if (keys.isEmpty) child.agg(exprs.head, exprs.tail: _*)
         else child.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
       }
-  }
+  })
 
   /** ORDER BY columns of a [[TopK]] decoration. */
   private[ivm] def sortCols(sort: Seq[(String, Boolean)]): Seq[Column] =
@@ -144,8 +153,9 @@ object Eval {
     * state needs: per-aggregate physical columns plus [[IvmCore.HCOUNT]]
     * (group liveness). Used by [[Ivm.create]] to seed state; the delta path
     * ([[ZDelta]]) maintains the same schema incrementally. */
-  private[ivm] def evalState(q: Aggregate, resolve: String => DataFrame): DataFrame = {
-    val child = eval(q.child, resolve)
+  private[ivm] def evalState(q: Aggregate, resolve: String => DataFrame,
+      hook: IvmQuery => Option[DataFrame] = _ => None): DataFrame = {
+    val child = eval(q.child, resolve, hook)
     val exprs = q.aggs.flatMap(Eval.statePhysical) :+ count(lit(1)).as(IvmCore.HCOUNT)
     if (q.keys.isEmpty) child.agg(exprs.head, exprs.tail: _*)
     else child.groupBy(q.keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
@@ -279,8 +289,9 @@ object Eval {
     * adjusts these counts with signed weights; the new extremum of a
     * touched group is the min/max over its alive (count>0) values. */
   private[ivm] def evalAuxState(
-      q: Aggregate, a: AggSpec, resolve: String => DataFrame): DataFrame = {
-    val child = eval(q.child, resolve)
+      q: Aggregate, a: AggSpec, resolve: String => DataFrame,
+      hook: IvmQuery => Option[DataFrame] = _ => None): DataFrame = {
+    val child = eval(q.child, resolve, hook)
     val v = AggSpec.expr(a).get.as(auxVal(a.name))
     child.select((q.keys.map(col) :+ v): _*)
       .where(col(auxVal(a.name)).isNotNull)

@@ -164,22 +164,75 @@ object Ivm {
       nameOf: (IvmQuery, String) => String,
       topName: String,
       skipExisting: Boolean): Unit = {
-    def matchCount(name: String, side: IvmQuery, keys: Seq[String]) =
-      (name, keys, () =>
-        Eval.eval(side, base).groupBy(keys.map(col): _*)
+    // Interior aggregate states are materialized DEEPEST-FIRST, and every
+    // evaluation above them reads the state output instead of recomputing
+    // the subtree from base — a shared/spliced interior (CTE referenced n
+    // times, shared multi-view groups, nested aggregation) is computed
+    // ONCE per create, not once per referencing parent. The hook serves
+    // any aggregate whose state this call (or a previous create in the
+    // same shared group) already wrote.
+    val served = scala.collection.concurrent.TrieMap.empty[String, (String, Aggregate)]
+    val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def hook(node: IvmQuery): Option[DataFrame] = node match {
+      case a: Aggregate =>
+        served.get(a.toString).filter(t => ready.contains(t._1))
+          .map { case (name, agg) =>
+            if (agg.aggs.isEmpty) store(name).select(agg.keys.map(col): _*)
+            else store(name).select(
+              (agg.keys.map(col) ++ agg.aggs.map(Eval.stateOutput)): _*)
+          }
+      case _ => None
+    }
+    /** Aggregate-nesting depth: the creation level of each state. */
+    def depth(node: IvmQuery): Int = node match {
+      case Aggregate(c, _, _)     => 1 + depth(c)
+      case Scan(_)                => 0
+      case Filter(c, _)           => depth(c)
+      case Project(c, _)          => depth(c)
+      case Join(l, r, _)          => math.max(depth(l), depth(r))
+      case LeftJoin(l, r, _)      => math.max(depth(l), depth(r))
+      case RightJoin(l, r, _)     => math.max(depth(l), depth(r))
+      case FullJoin(l, r, _)      => math.max(depth(l), depth(r))
+      case Union(l, r)            => math.max(depth(l), depth(r))
+      case TopK(c, _, _)          => depth(c)
+      case WindowDeco(c, _)       => depth(c)
+      case ExpandCount(c, _)      => depth(c)
+      case ScalarDeco(c, subs, _) =>
+        (depth(c) +: subs.map(depth)).max
+    }
+    // Content-identical states at DIFFERENT paths (a CTE spliced n times)
+    // must each exist under their path name, but only the canonical one is
+    // computed — duplicates copy its frame. Duplicates run one half-level
+    // later (levels are doubled) so the canonical is written first.
+    val canon = scala.collection.concurrent.TrieMap.empty[String, String]
+    def dedup(key: String, name: String, mk: () => DataFrame): (Int => Int, () => DataFrame) =
+      canon.putIfAbsent(key, name) match {
+        case Some(first) if first != name => (l => l + 1, () => store(first))
+        case _                            => (identity, mk)
+      }
+    def matchCount(name: String, side: IvmQuery, keys: Seq[String]) = {
+      val (bump, mk) = dedup(s"m:${keys.mkString(",")}:$side", name, () =>
+        Eval.eval(side, base, hook).groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as(HCOUNT)))
-    def walk(node: IvmQuery, path: String): Seq[(String, Seq[String], () => DataFrame)] =
+      (name, keys, bump(2 * (depth(side) + 1)), mk)
+    }
+    def walk(node: IvmQuery, path: String): Seq[(String, Seq[String], Int, () => DataFrame)] =
       node match {
         case a @ Aggregate(c, keys, _) =>
           val name = nameOf(a, path)
+          served.putIfAbsent(a.toString, (name, a))
+          val (bump, mk) = dedup(s"s:$a", name,
+            () => Eval.evalState(a, base, hook))
           walk(c, path + ".0") ++
-            Seq((name, keys, () => Eval.evalState(a, base))) ++
+            Seq((name, keys, bump(2 * depth(a)), mk)) ++
             a.aggs.filter(AggSpec.needsAux).map { spec =>
               // aux value-multiset buckets by group keys (value-hash for a
               // global aggregate), so group-sliced reads prune
               val bKeys = if (keys.nonEmpty) keys else Seq(Eval.auxVal(spec.name))
-              (s"$name.aux.${spec.name}", bKeys,
-                () => Eval.evalAuxState(a, spec, base))
+              val (bumpX, mkX) = dedup(s"x:${spec.name}:$a",
+                s"$name.aux.${spec.name}",
+                () => Eval.evalAuxState(a, spec, base, hook))
+              (s"$name.aux.${spec.name}", bKeys, bumpX(2 * depth(a)), mkX)
             }
         case Filter(c, _)  => walk(c, path + ".0")
         case Project(c, _) => walk(c, path + ".0")
@@ -205,15 +258,26 @@ object Ivm {
           "ScalarDeco is split by create/createShared before state walk")
       }
     val states = walk(q, "r").distinctBy(_._1)
-      .filterNot { case (name, _, _) => skipExisting && store.get(name).isDefined }
-    inParallel(states) { case (name, keys, mk) => store.putKeyed(name, mk(), keys) }
+      .filterNot { case (name, _, _, _) =>
+        skipExisting && store.get(name).isDefined }
+    // An aggregate state already in the store (skipExisting filtered it
+    // out) serves parents immediately; one created in THIS call serves
+    // parents only once its level has been written.
+    val creating = states.map(_._1).toSet
+    served.values.foreach { case (name, _) =>
+      if (!creating(name)) ready.add(name) }
+    states.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, level) =>
+      inParallel(level) { case (name, keys, _, mk) =>
+        store.putKeyed(name, mk(), keys) }
+      level.foreach { case (name, _, _, _) => ready.add(name) }
+    }
     q match {
       case _: Aggregate => () // top state IS the view
       case _ if skipExisting && store.get(topName).isDefined => ()
       case _ =>
         // SPJ view: store rows + multiset count (Z-set canonical form),
         // bucketed on the full row (the multiset's key).
-        val rows = Eval.eval(q, base)
+        val rows = Eval.eval(q, base, hook)
         store.putKeyed(topName,
           rows.groupBy(rows.columns.map(col): _*).agg(count(lit(1)).as(HCOUNT)),
           rows.columns.toSeq)

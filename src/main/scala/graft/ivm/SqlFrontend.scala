@@ -63,11 +63,12 @@ object SqlFrontend {
     case Project(exprs, child)
         if exprs.exists(hasScalarSub) && !exprs.exists(isGlobalAggItem) &&
           !exprs.exists(hasWindowExpr) &&
+          !exprs.exists(hasCorrelatedScalarSub) &&
           !exprs.exists(_.isInstanceOf[UnresolvedStar]) =>
       var subViews = Seq.empty[IvmQuery]
       val newItems = exprs.map { item =>
         val (ni, svs) = extractScalarSubs(item, offset = subViews.size)
-        subViews ++= svs
+        subViews ++= svs.map(_._1) // guard: all uncorrelated (1-row views)
         ni.asInstanceOf[NamedExpression]
       }
       // prune the maintained child to the attributes the select list reads
@@ -115,13 +116,16 @@ object SqlFrontend {
     // sum(y) FROM u) AS share`): same cross-join fold as the WHERE form;
     // the projected expressions then read the subviews' output columns.
     case Project(exprs, child) if exprs.exists(hasScalarSub) =>
-      var subViews = Seq.empty[IvmQuery]
+      var subViews = Seq.empty[(IvmQuery, Seq[String])]
       val newItems = exprs.map { item =>
         val (ni, svs) = extractScalarSubs(item, offset = subViews.size)
         subViews ++= svs
         ni.asInstanceOf[NamedExpression]
       }
-      val joined = subViews.foldLeft(fold(child))(graft.ivm.Join(_, _, Seq.empty))
+      val joined = subViews.foldLeft(fold(child)) {
+        case (acc, (v, Seq()))  => graft.ivm.Join(acc, v, Seq.empty)
+        case (acc, (v, keys))   => graft.ivm.LeftJoin(acc, v, keys)
+      }
       Filterable.project(newItems, joined)
     case Project(exprs, child) => Filterable.project(exprs, fold(child))
     // IN-subquery → maintained SEMI JOIN: the subquery becomes a DISTINCT
@@ -174,7 +178,10 @@ object SqlFrontend {
     case Filter(cond, child) if hasScalarSub(cond) =>
       val (newCond, subViews) = extractScalarSubs(cond)
       val folded = fold(child)
-      val joined = subViews.foldLeft(folded)(graft.ivm.Join(_, _, Seq.empty))
+      val joined = subViews.foldLeft(folded) {
+        case (acc, (v, Seq()))  => graft.ivm.Join(acc, v, Seq.empty)
+        case (acc, (v, keys))   => graft.ivm.LeftJoin(acc, v, keys)
+      }
       val filteredQ = graft.ivm.Filter(joined, expr(newCond.sql))
       outputNames(folded) match {
         case Some(cols) => // drop the helper scalar columns here
@@ -507,37 +514,111 @@ object SqlFrontend {
     e.exists(_.isInstanceOf[
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery])
 
-  /** Replace each uncorrelated scalar subquery in `e` with a reference to
-    * a hidden `__ivm_sq<i>` column and return the rewritten expression
-    * plus the 1-row global-aggregate subviews to cross-join (in order).
-    * `offset` numbers the hidden columns when a caller extracts from
-    * several expressions into one join chain. */
-  private def extractScalarSubs(
-      e: Expression, offset: Int = 0): (Expression, Seq[IvmQuery]) = {
-    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+  /** Aggregate-function names recognized inside a scalar subquery's select
+    * item (the maintained-aggregate surface of [[toAggSpec]]). */
+  private val scalarAggNames = Set("sum", "count", "avg", "mean", "min",
+    "max", "var_samp", "variance", "var_pop", "stddev_samp", "stddev",
+    "std", "stddev_pop", "min_by", "max_by", "covar_pop", "covar_samp",
+    "corr", "median", "percentile", "mode", "listagg", "string_agg",
+    "bool_and", "every", "bool_or", "approx_count_distinct")
+
+  /** Same-name equi correlation conjunct (foldExists's convention): the
+    * two sides carry the same terminal name under different qualifiers. */
+  private def isCorrConjunct(e: Expression): Boolean = e match {
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+      a.nameParts.last == b.nameParts.last && a.nameParts != b.nameParts
+    case _ => false
+  }
+
+  /** Does `e` contain a CORRELATED scalar subquery? (Routes the select
+    * list away from the 1-row ScalarDeco read decoration, which only
+    * serves uncorrelated global aggregates.) */
+  private def hasCorrelatedScalarSub(e: Expression): Boolean = e.exists {
+    case sq: org.apache.spark.sql.catalyst.expressions.ScalarSubquery =>
+      sq.plan match {
+        case Project(_, Filter(c, _)) => splitAnd(c).exists(isCorrConjunct)
+        case _                        => false
+      }
+    case _ => false
+  }
+
+  /** Fold ONE scalar subquery plan. Returns (replacement expression over
+    * the subview's hidden output columns, subview, join keys).
+    *
+    * Uncorrelated → a 1-row global-aggregate view, keys empty (cross
+    * join). Correlated (same-name equi conjuncts in the subquery's WHERE,
+    * [[foldExists]]'s convention — alias the inner side if names differ) →
+    * the standard DECORRELATION: a per-key aggregate view LEFT-joined on
+    * the correlation keys; an outer row with no inner group reads NULL,
+    * exactly SQL's empty-scalar-subquery semantics. The select item may be
+    * any expression over recognized aggregate calls (`0.2 * avg(x)`) —
+    * each call becomes a hidden maintained aggregate and the surrounding
+    * arithmetic stays in the replacement expression. */
+  private def foldScalarSub(
+      plan: LogicalPlan, tag: String): (Expression, IvmQuery, Seq[String]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
-    val subViews = scala.collection.mutable.Buffer.empty[IvmQuery]
+    val (item, from) = plan match {
+      case Project(Seq(i), c) => (i, c)
+      case other => throw new UnsupportedOperationException(
+        s"a scalar subquery must select exactly one item, got: ${other.nodeName}")
+    }
+    def stripQualifiers(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    val itemExpr: Expression = stripQualifiers(item match {
+      case UnresolvedAlias(ue, _) => ue
+      case Alias(ue, _)           => ue
+      case other                  => other
+    })
+    val (keys, foldedFrom) = from match {
+      case Filter(c, i) =>
+        val (corr, rest) = splitAnd(c).partition(isCorrConjunct)
+        if (corr.isEmpty) (Seq.empty[String], fold(from))
+        else {
+          val ks = corr.map {
+            case EqualTo(a: UnresolvedAttribute, _) => a.nameParts.last }
+          val fi = fold(i)
+          (ks, if (rest.isEmpty) fi
+               else graft.ivm.Filter(fi,
+                 rest.map(r => expr(stripQualifiers(r).sql)).reduce(_ && _)))
+        }
+      case other => (Seq.empty[String], fold(other))
+    }
+    var n = 0
+    val hidden = scala.collection.mutable.Buffer.empty[(String, UnresolvedFunction)]
+    val replacement = itemExpr.transformUp {
+      case fn: UnresolvedFunction
+          if scalarAggNames(fn.nameParts.last.toLowerCase) =>
+        val h = s"${tag}_$n"; n += 1
+        hidden += (h -> fn)
+        UnresolvedAttribute(Seq(h))
+    }
+    if (hidden.isEmpty) throw new UnsupportedOperationException(
+      "a scalar subquery must compute at least one aggregate " +
+        s"(SELECT agg(...) FROM ...), got: ${item.sql}")
+    val aggItems: Seq[NamedExpression] =
+      keys.map(k => UnresolvedAttribute(Seq(k)): NamedExpression) ++
+        hidden.map { case (h, fn) => Alias(fn, h)() }
+    val view = foldAggregate(
+      keys.map(k => UnresolvedAttribute(Seq(k)): Expression), aggItems, foldedFrom)
+    (replacement, view, keys)
+  }
+
+  /** Replace each scalar subquery in `e` with an expression over hidden
+    * `__ivm_sq<i>_<j>` columns and return the rewritten expression plus
+    * the subviews with their join keys (empty keys = cross join, nonempty
+    * = correlated LEFT join). `offset` numbers the hidden columns when a
+    * caller extracts from several expressions into one join chain. */
+  private def extractScalarSubs(
+      e: Expression, offset: Int = 0): (Expression, Seq[(IvmQuery, Seq[String])]) = {
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val subViews = scala.collection.mutable.Buffer.empty[(IvmQuery, Seq[String])]
     val rewritten = e.transformUp {
       case sq: ScalarSubquery =>
-        if (sq.outerAttrs.nonEmpty) throw new UnsupportedOperationException(
-          "correlated scalar subqueries are not supported in IVM views " +
-            "(rewrite as a join, or use EXISTS for membership)")
-        val n = s"__ivm_sq${offset + subViews.size}"
-        // allow an unaliased aggregate item: name it before folding
-        val aliased = sq.plan transform {
-          case Project(items, c) => Project(items.map {
-            case UnresolvedAlias(ue, _) => Alias(ue, n)()
-            case other                  => other
-          }, c)
-        }
-        subViews += (fold(aliased) match {
-          case graft.ivm.Aggregate(c, Seq(), Seq(one)) =>
-            graft.ivm.Aggregate(c, Seq.empty, Seq(AggSpec.renamed(one, n)))
-          case other => throw new UnsupportedOperationException(
-            "a scalar subquery must be a single uncorrelated global " +
-              s"aggregate (SELECT agg(...) FROM ...), got: $other")
-        })
-        UnresolvedAttribute(Seq(n))
+        val (repl, view, keys) =
+          foldScalarSub(sq.plan, s"__ivm_sq${offset + subViews.size}")
+        subViews += ((view, keys))
+        repl
     }
     (rewritten, subViews.toSeq)
   }

@@ -232,7 +232,20 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       "scalar_deco_2side" -> ScalarDeco(
         Project(sc, Seq(col("g"), col("v"))),
         Seq(Aggregate(Scan("u"), Seq.empty, Seq(Avg(col("h"), "__ivm_sq0")))),
-        Seq(col("g"), (col("v") - col("__ivm_sq0")).as("dev"))))
+        Seq(col("g"), (col("v") - col("__ivm_sq0")).as("dev"))),
+      // DECORRELATED scalar subquery (the SqlFrontend fold of
+      // `WHERE v > (SELECT 2*avg(h) FROM u WHERE u.g = t.g)`): per-key
+      // aggregate view LEFT-joined on the correlation key — a t-row whose
+      // g has no u-group compares against NULL and never qualifies; both
+      // tables take deltas in one batch
+      "corr_scalar_2side" -> Project(
+        Filter(
+          LeftJoin(Project(sc, Seq(col("g"), col("v"))),
+            Aggregate(Project(Scan("u"), Seq(col("g"), col("h"))),
+              Seq("g"), Seq(Avg(col("h"), "__sq0"))),
+            Seq("g")),
+          col("v") > lit(2) * col("__sq0")),
+        Seq(col("g"), col("v"))))
   }
 
   for ((name, q) <- shapes)

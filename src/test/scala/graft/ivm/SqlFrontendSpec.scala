@@ -449,6 +449,65 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(Ivm.read("sql_sq", q, store), Ivm.recompute(q, base, deltas))
   }
 
+  test("CORRELATED scalar subquery decorrelates to a LEFT join on the key") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_csq AS
+         SELECT g, v FROM t
+         WHERE v > (SELECT 2 * AVG(u.h) FROM u WHERE u.g = g)""")
+    q match {
+      case Project(Filter(LeftJoin(Scan("t"),
+          Aggregate(Scan("u"), Seq("g"), Seq(a)), Seq("g")), _), cols) =>
+        assert(a.isInstanceOf[AggSpec.Avg] && a.name.startsWith("__ivm_sq"))
+        assert(cols.map(ZDelta.colName) == Seq("g", "v"))
+      case other => fail(s"unexpected AST: $other")
+    }
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 9), Row("a", 1), Row("b", 5), Row("c", 7), Row("d", null)))
+      case "u" => df("g STRING, h INT",
+        Seq(Row("a", 2), Row("a", 4), Row("b", 1), Row("d", 8)))
+    }
+    // group a's threshold moves 6 → 2*3=6... then delta shifts it; group c
+    // has NO inner group (scalar NULL → row never qualifies); group d's
+    // NULL v never qualifies; deltas hit BOTH tables in one batch
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "u" => Some(df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 4, false), Row("b", 3, true)))) // a: avg 3→2, b: 1→2
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("b", 5, false), Row("c", 2, true))))
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_csq", q, base, store)
+    Ivm.refreshState("sql_csq", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_csq", q, store), Ivm.recompute(q, base, deltas))
+    // post-delta: a's threshold 2*2=4 → (a,9) in, (a,1) out; b empty after
+    // delete of (b,5); c rows have no inner group → NULL comparison → out
+    assertRows(Ivm.read("sql_csq", q, store), Set(Seq("a", 9)))
+  }
+
+  test("correlated scalar in the SELECT list LEFT-joins per-key aggregates") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_csel AS
+         SELECT g, v, (SELECT SUM(u.h) FROM u WHERE u.g = g) AS tot
+         FROM t""")
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(Row("a", 1), Row("c", 3)))
+      case "u" => df("g STRING, h INT", Seq(Row("a", 2), Row("a", 5)))
+    }
+    val deltas: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "u" => Some(df(s"g STRING, h INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 5, false)))) // a's sum 7 → 2
+      case _   => None
+    }
+    val store = new MemStore
+    Ivm.create("sql_csel", q, base, store)
+    Ivm.refreshState("sql_csel", q, base, deltas, store)
+    assertSameRows(Ivm.read("sql_csel", q, store), Ivm.recompute(q, base, deltas))
+    assertRows(Ivm.read("sql_csel", q, store),
+      Set(Seq("a", 1, 2L), Seq("c", 3, null))) // no inner group → NULL
+  }
+
   test("multi-column IN and plain UNION fold to semi/distinct compositions") {
     val (_, qi) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_min2 AS
