@@ -20,7 +20,21 @@ object Fixtures {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     tblMemo.getOrElseUpdate((s, s"$dir/$name.parquet"),
-      s.read.parquet(s"$dir/$name.parquet"))
+      normalizeTs(s.read.parquet(s"$dir/$name.parquet")))
+
+  /** The engine's event-time convention is BIGINT epoch nanos (cheap codegen
+    * arithmetic, no timezone semantics in the hot path). Testdata has shipped
+    * `ts` both as parquet timestamp[ns] (read as long via the legacy
+    * nanosAsLong flag) and as timestamp[us] (read as TIMESTAMP_NTZ) — so
+    * normalize at the read layer: a timestamp-typed `ts` becomes epoch
+    * nanos. Sessions run UTC, so the naive→epoch cast is identity; the
+    * DuckDB oracle reads the same naive timestamps as-is. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType.typeName.startsWith("timestamp") =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
 
   /** ~1% of lineitem rows; even line numbers are inserts, odd deletes.
     * SQL mirror: WHERE l_orderkey % 97 = 0, mult = (l_linenumber % 2 = 0). */

@@ -1926,6 +1926,34 @@ object SparkEntry {
         col("total_price").cast("double").as("total_price"), col("n"))
     }),
 
+    // Maintained APPROX_PERCENTILE: per-group KLL sketch state (O(k) per
+    // group at any scale — the 100 TB answer to exact PERCENTILE's value
+    // multiset). KLL compaction is randomized, so the gate is the sketch's
+    // rank-error contract, not a value hash: the estimate must land
+    // between the exact 40th and 60th percentiles (k=200 ⇒ ~1.65% rank
+    // error — a 10× margin), checked against exact PERCENTILE state
+    // maintained in the SAME view.
+    "q117_ivm_approx_percentile" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q117 AS
+           SELECT event_type,
+                  APPROX_PERCENTILE(value, 0.5) AS ap50,
+                  PERCENTILE(value, 0.4) AS lo,
+                  PERCENTILE(value, 0.6) AS hi,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""")
+      Ivm.create("q117", v, base(s, dir), store)
+      val insertOnly: String => Option[DataFrame] =
+        t => deltas(s, dir)(t).map(_.where(col(M))) // sketches: inserts only
+      Ivm.refreshState("q117", v, base(s, dir), insertOnly, store)
+      Ivm.read("q117", v, store).select(col("event_type"),
+        ((col("ap50").isNull && col("lo").isNull) ||
+          (col("ap50") >= col("lo") && col("ap50") <= col("hi")))
+          .as("est_ok"),
+        col("n"))
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -2986,6 +3014,17 @@ object SparkEntry {
               AND l2.l_quantity < 0.2 * a.avgq
           )
           SELECT CAST(total_price AS DOUBLE) AS total_price, n FROM sums""",
+
+    // The estimate gate is computed Spark-side (rank-error window vs exact
+    // percentiles in the same view); the oracle pins group set + counts.
+    "q117_ivm_approx_percentile" ->
+      s"""WITH applied AS (
+            SELECT event_type, value FROM events
+            UNION ALL
+            SELECT event_type, value FROM ($DE) WHERE $M
+          )
+          SELECT event_type, TRUE AS est_ok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM applied GROUP BY 1""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->

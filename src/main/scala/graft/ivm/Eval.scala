@@ -86,6 +86,14 @@ object Eval {
     // is bit-identical between refresh and recompute.
     case AggSpec.ApproxCountDistinct(e, lgK, n) =>
       when(count(e) > 0, hll_sketch_estimate(hll_sketch_agg(e, lgK))).as(n)
+    // Approx percentile via the SAME KLL sketch the maintained state
+    // stores (built-in approx_percentile is a different, non-mergeable
+    // summary); agreement with refresh is within the sketch's rank-error
+    // bound, not bit-exact — see AggSpec scaladoc.
+    case AggSpec.ApproxPercentile(e, p, k, n) =>
+      val d = e.cast("double")
+      when(count(d) > 0,
+        graft.functions.Kll.quantile(graft.functions.Kll.agg(d, k), p)).as(n)
     // BOOL_AND/OR via the same two-count formula the maintained state
     // derives its output from (true count vs non-null count).
     case AggSpec.BoolAnd(e, n) =>
@@ -192,6 +200,10 @@ object Eval {
         count(e).as(physNn(n)))
     case AggSpec.ApproxCountDistinct(e, lgK, n) =>
       Seq(hll_sketch_agg(e, lgK).as(physExt(n)), count(e).as(physNn(n)))
+    case AggSpec.ApproxPercentile(e, _, k, n) =>
+      val d = e.cast("double")
+      Seq(graft.functions.Kll.agg(d, k).as(physExt(n)),
+        count(d).as(physNn(n)))
     // Moments in double: exact for integer-valued inputs (≤ 2^53), and the
     // signed-delta adjustments commute with the base sums.
     case a if AggSpec.isMoment2(a) =>
@@ -240,6 +252,9 @@ object Eval {
       when(col(physNn(n)) > 0, col(physExt(n))).as(n)
     case AggSpec.ApproxCountDistinct(_, _, n) =>
       when(col(physNn(n)) > 0, hll_sketch_estimate(col(physExt(n)))).as(n)
+    case AggSpec.ApproxPercentile(_, p, _, n) =>
+      when(col(physNn(n)) > 0,
+        graft.functions.Kll.quantile(col(physExt(n)), p)).as(n)
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
@@ -275,6 +290,7 @@ object Eval {
     case AggSpec.BoolOr(_, n)        => Seq(physSum(n), physNn(n))
     case AggSpec.Percentile(_, _, n) => Seq(physExt(n), physNn(n))
     case AggSpec.ApproxCountDistinct(_, _, n) => Seq(physExt(n), physNn(n))
+    case AggSpec.ApproxPercentile(_, _, _, n) => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
     case a if AggSpec.isMomentXY(a) =>

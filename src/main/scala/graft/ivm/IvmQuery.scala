@@ -430,6 +430,23 @@ object AggSpec {
     require(lgK >= 4 && lgK <= 21, s"lgK out of DataSketches range: $lgK")
   }
 
+  /** APPROX_PERCENTILE(e, p) — maintained KLL quantile-sketch state
+    * (DataSketches KllDoublesSketch, `k` retained-item parameter),
+    * INSERT-ONLY like [[ApproxCountDistinct]]: the per-group state is the
+    * serialized sketch (~O(k) regardless of input size) and a batch merges
+    * via sketch union — the at-100-TB answer to exact [[Percentile]]'s
+    * auxiliary value multiset, whose state grows with the number of
+    * distinct values. Deletion is REJECTED loudly at refresh (a sketch
+    * cannot un-see a value). Unlike HLL, KLL compaction is randomized:
+    * refresh and recompute agree within the sketch's rank-error bound
+    * (~1.65% at the default k=200), not bit-exactly — outputs derived
+    * from it must be gated on an error window, never a value hash. */
+  final case class ApproxPercentile(expr: Column, p: Double, k: Int, name: String)
+      extends AggSpec {
+    require(p >= 0 && p <= 1, s"percentile fraction out of [0,1]: $p")
+    require(k >= 8 && k <= 65535, s"k out of DataSketches KLL range: $k")
+  }
+
   /** BOOL_AND(expr) — true iff every non-null value is true; NULL over an
     * all-NULL group. Fully self-maintainable from two signed counts
     * (true count, non-null count): and = (trueCnt == nn) — no auxiliary
@@ -487,6 +504,7 @@ object AggSpec {
     case s: BoolAnd       => s.copy(name = n)
     case s: BoolOr        => s.copy(name = n)
     case s: ApproxCountDistinct => s.copy(name = n)
+    case s: ApproxPercentile => s.copy(name = n)
     case s: Percentile    => s.copy(name = n)
   }
 
@@ -531,6 +549,7 @@ object AggSpec {
       case BoolAnd(e, _) => Some(e); case BoolOr(e, _) => Some(e)
       case Percentile(e, _, _) => Some(e)
       case ApproxCountDistinct(e, _, _) => Some(e)
+      case ApproxPercentile(e, _, _, _) => Some(e)
       case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
       case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
       // The tracked "value" is the pair struct, NULL when the SQL value is

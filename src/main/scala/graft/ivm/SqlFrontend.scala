@@ -854,6 +854,18 @@ object SqlFrontend {
       // maintained state is parameterized by lgK (register count)
       case ("approx_count_distinct", Seq(e)) =>
         AggSpec.ApproxCountDistinct(filtered(e, filt), 12, name)
+      // maintained KLL quantile sketch (insert-only; see AggSpec scaladoc).
+      // Spark's accuracy calling convention is not exposed — the maintained
+      // state is parameterized by the sketch's k (retained items)
+      case ("approx_percentile" | "percentile_approx", Seq(e, pE)) =>
+        val p = pE match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+              if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+            v.toString.toDouble
+          case other => throw new UnsupportedOperationException(
+            s"APPROX_PERCENTILE fraction must be a numeric literal, got: ${other.sql}")
+        }
+        AggSpec.ApproxPercentile(filtered(e, filt), p, 200, name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

@@ -683,6 +683,15 @@ object ZDelta {
             sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
             sum(when(e.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
               .as(hllNegGuard(n)))
+      // KLL quantile sketch: same insert-only sketch discipline as HLL —
+      // the batch's own sketch is the adjustment, the state merge below
+      // unions sketches, and a guarded delete raises.
+      case AggSpec.ApproxPercentile(e, _, k, n) =>
+        val d = e.cast("double")
+        Seq(graft.functions.Kll.agg(when(w > 0, d), k).as(adj(Eval.physExt(n))),
+            sum(when(d.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
+            sum(when(d.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
+              .as(hllNegGuard(n)))
       // BOOL_AND/OR: both counts are linear in the weight — pure SUM-style
       // self-maintenance (a NULL condition reads as false → adjusts 0).
       case AggSpec.BoolAnd(e, n) =>
@@ -844,6 +853,17 @@ object ZDelta {
           .otherwise(when(aj.isNull, old)
             .otherwise(when(old.isNull, aj).otherwise(hll_union(old, aj))))
         Seq(merged.as(ext), accumulate(Eval.physNn(n)))
+      case AggSpec.ApproxPercentile(_, _, _, n) =>
+        val ext = Eval.physExt(n)
+        val (old, aj) = (col(ext), col(adj(ext)))
+        val merged = when(col(hllNegGuard(n)) > 0,
+          raise_error(lit(s"IVM: APPROX_PERCENTILE ('$n') is " +
+            "insert-only — a KLL sketch cannot fold a deletion; use " +
+            "PERCENTILE(...) when the feed retracts")).cast("binary"))
+          .otherwise(when(aj.isNull, old)
+            .otherwise(when(old.isNull, aj)
+              .otherwise(graft.functions.Kll.merge(old, aj))))
+        Seq(merged.as(ext), accumulate(Eval.physNn(n)))
       case a => Eval.physicalNames(a).map(accumulate)
     } :+ accumulate(HCOUNT)
 
@@ -872,6 +892,7 @@ object ZDelta {
   }
 
   private def adj(phys: String) = s"__ivm_d_$phys"
-  /** Count of (forbidden) negative-weight rows hitting an HLL sketch. */
+  /** Count of (forbidden) negative-weight rows hitting an insert-only
+    * sketch state (HLL or KLL). */
   private def hllNegGuard(n: String) = s"__ivm_hllneg_$n"
 }

@@ -33,6 +33,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     // The custom function surface rides along with the extension, so SQL
     // users get the codegen'd dot product too: graft_vec_dot(a, b).
     ext.injectFunction(graft.functions.VecDot.functionDescription)
+    graft.functions.Kll.functionDescriptions.foreach(ext.injectFunction)
   }
 }
 

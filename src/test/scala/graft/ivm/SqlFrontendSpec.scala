@@ -785,6 +785,49 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("APPROX_PERCENTILE maintains a KLL sketch; insert-only, deletes raise") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_kll AS
+         SELECT g, APPROX_PERCENTILE(v, 0.5) AS p50, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), Seq(a, _)) =>
+        assert(a.isInstanceOf[AggSpec.ApproxPercentile])
+      case other => fail(s"unexpected AST: $other")
+    }
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(
+        Row("a", 1), Row("a", 2), Row("a", 3), Row("a", 4), Row("a", 5),
+        Row("b", 10), Row("b", 20), Row("b", null)))
+    }
+    val ins: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN", Seq(
+        Row("a", 6, true), Row("b", 30, true), Row("c", 7, true))))
+      case _ => None
+    }
+    Ivm.create("sql_kll", q, base, store)
+    Ivm.refreshState("sql_kll", q, base, ins, store)
+    // below k retained items the sketch is exact AND merge ≡ one-shot build,
+    // so refresh == recompute bit-for-bit here (only large groups see the
+    // randomized-compaction rank-error window)
+    assertSameRows(Ivm.read("sql_kll", q, store), Ivm.recompute(q, base, ins))
+    // INCLUSIVE criteria: the smallest observed value with rank ≥ p
+    assertRows(Ivm.read("sql_kll", q, store), Set(
+      Seq("a", 3.0, 6L), Seq("b", 20.0, 4L), Seq("c", 7.0, 1L)))
+    // a delete cannot fold into a KLL sketch — loud rejection, not drift
+    val del: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", 3, false))))
+      case _ => None
+    }
+    val e = intercept[Exception] {
+      Ivm.refreshState("sql_kll", q, base, del, store)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("insert-only"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
