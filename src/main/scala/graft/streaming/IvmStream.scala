@@ -129,6 +129,27 @@ object IvmStream {
         graft.ivm.Eval.momentXYOutput(a, sum(gx * w), sum(gy * w),
           sum(gx * gy * w), sum(gx * gx * w), sum(gy * gy * w),
           sum(when(gx.isNotNull, w).otherwise(lit(0)))).as(a.name)
+      // BOOL_AND/OR: both counts are linear in w — same two-signed-count
+      // formula as the batch engine (Eval): and = (trueCnt == nn).
+      case AggSpec.BoolAnd(e, n) =>
+        val tc = sum(when(e === true, w).otherwise(lit(0)))
+        val nn = sum(when(e.isNotNull, w).otherwise(lit(0)))
+        when(nn > 0, tc === nn).as(n)
+      case AggSpec.BoolOr(e, n) =>
+        val tc = sum(when(e === true, w).otherwise(lit(0)))
+        val nn = sum(when(e.isNotNull, w).otherwise(lit(0)))
+        when(nn > 0, tc > 0).as(n)
+      // Insert-only sketch aggregates: Spark's streaming state carries the
+      // aggregation buffer (HLL registers / KLL compactors) across batches,
+      // so the sketch itself IS the running state. Registers cannot un-see
+      // a value — a retraction row fails the query loudly (assert_true)
+      // instead of silently under-counting, the same contract as the batch
+      // refresh path.
+      case AggSpec.ApproxCountDistinct(e, lgK, n) =>
+        hll_sketch_estimate(hll_sketch_agg(insertOnly(e), lgK)).as(n)
+      case AggSpec.ApproxPercentile(e, p, k, n) =>
+        graft.functions.Kll.quantile(
+          graft.functions.Kll.agg(insertOnly(e.cast("double")), k), p).as(n)
       case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
           AggSpec.SumDistinct(_, _) | AggSpec.MinBy(_, _, _) |
           AggSpec.MaxBy(_, _, _) =>
@@ -140,6 +161,16 @@ object IvmStream {
     if (keys.isEmpty) deltaStream.agg(exprs.head, exprs.tail: _*)
     else deltaStream.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
+
+  /** `e` where the row is an insert; raises on a retraction row without
+    * needing to know `e`'s type (assert_true is NULL on pass, so the guard
+    * branch keeps the value branch's type). */
+  private def insertOnly(e: org.apache.spark.sql.Column) =
+    when(assert_true(col(MULT),
+      lit("streaming sketch aggregates are insert-only — a retraction " +
+        "cannot fold into HLL/KLL registers; use the foreachBatch " +
+        "maintain() mode with exact aggregates when the feed retracts"))
+      .isNull, e)
 
   /** Per-group output of [[statefulMinMax]]. */
   final case class MinMaxUpdate(

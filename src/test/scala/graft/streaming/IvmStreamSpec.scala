@@ -254,6 +254,51 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(last("a").getLong(2) == 2L)
   }
 
+  test("statefulAgg: insert-only sketches (HLL + KLL) keep state in the agg buffer") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[D]
+    val agg = IvmStream.statefulAgg(
+      mem.toDF().withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT),
+      Seq("g"), Seq(
+        ApproxCountDistinct(col("v"), 12, "au"),
+        ApproxPercentile(col("v"), 0.5, 200, "p50"),
+        CountStar("cnt")))
+    val query = agg.writeStream.format("memory")
+      .queryName("sk_stream").outputMode("update").start()
+
+    mem.addData(D("a", 1, true), D("a", 2, true), D("a", 3, true))
+    query.processAllAvailable()
+    mem.addData(D("a", 1, true), D("a", 4, true), D("a", 5, true)) // 1 is a dup
+    query.processAllAvailable()
+    query.stop()
+
+    val updates = s.table("sk_stream").collect()
+    val last = updates.zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
+    // registers persisted across batches: au = |{1,2,3,4,5}|; p50 exact at
+    // this size (KLL below k retained items) — multiset {1,1,2,3,4,5},
+    // smallest value with inclusive rank ≥ 0.5 is 2; cnt counts dupes too
+    assert(last("a").getLong(1) == 5L)
+    assert(last("a").getDouble(2) == 2.0)
+    assert(last("a").getLong(3) == 6L)
+
+    // a retraction row fails the query loudly — registers cannot un-see
+    val mem2 = MemoryStream[D]
+    val agg2 = IvmStream.statefulAgg(
+      mem2.toDF().withColumnRenamed("_duckdb_ivm_multiplicity", IvmCore.MULT),
+      Seq("g"), Seq(ApproxCountDistinct(col("v"), 12, "au"), CountStar("cnt")))
+    val query2 = agg2.writeStream.format("memory")
+      .queryName("sk_stream_del").outputMode("update").start()
+    mem2.addData(D("a", 1, false))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      query2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("insert-only"), e.getMessage)
+    query2.stop()
+  }
+
   test("statefulMinMax: deleting the current extremum falls back to runner-up") {
     val s = spark
     import s.implicits._
