@@ -1954,6 +1954,42 @@ object SparkEntry {
         col("n"))
     }),
 
+    // Maintained APPROX_TOP_K: per-group frequent-items sketch state
+    // (heavy hitters — the third maintained sketch next to HLL distinct
+    // counts and KLL quantiles). The gate is the sketch's
+    // NO_FALSE_NEGATIVES contract: the EXACT most-frequent item (computed
+    // Spark-side from the applied input, ties broken count DESC, item
+    // ASC — the sketch's own order) must appear in the maintained top-5
+    // candidate list; the oracle pins the group set and counts.
+    "q118_ivm_approx_topk" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q118 AS
+           SELECT event_type,
+                  APPROX_TOP_K(CAST(user_id % 50 AS STRING), 5) AS hh,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""")
+      Ivm.create("q118", v, base(s, dir), store)
+      val insertOnly: String => Option[DataFrame] =
+        t => deltas(s, dir)(t).map(_.where(col(M))) // sketches: inserts only
+      Ivm.refreshState("q118", v, base(s, dir), insertOnly, store)
+      val applied = tbl(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .unionByName(deltas(s, dir)("events").get.where(col(M))
+          .select(col("event_type"), col("user_id")))
+      val counts = applied
+        .groupBy(col("event_type"),
+          (col("user_id") % 50).cast("string").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("cnt").desc, col("item").asc)
+      val top1 = counts.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).select(col("event_type"), col("item"))
+      Ivm.read("q118", v, store).join(top1, Seq("event_type"))
+        .select(col("event_type"),
+          array_contains(col("hh"), col("item")).as("est_ok"), col("n"))
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3022,6 +3058,17 @@ object SparkEntry {
             SELECT event_type, value FROM events
             UNION ALL
             SELECT event_type, value FROM ($DE) WHERE $M
+          )
+          SELECT event_type, TRUE AS est_ok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM applied GROUP BY 1""",
+
+    // Heavy-hitter containment is asserted Spark-side (NO_FALSE_NEGATIVES
+    // vs the exact mode); the oracle pins group set + counts.
+    "q118_ivm_approx_topk" ->
+      s"""WITH applied AS (
+            SELECT event_type, user_id FROM events
+            UNION ALL
+            SELECT event_type, user_id FROM ($DE) WHERE $M
           )
           SELECT event_type, TRUE AS est_ok, CAST(COUNT(*) AS BIGINT) AS n
           FROM applied GROUP BY 1""",

@@ -94,6 +94,13 @@ object Eval {
       val d = e.cast("double")
       when(count(d) > 0,
         graft.functions.Kll.quantile(graft.functions.Kll.agg(d, k), p)).as(n)
+    // Heavy hitters via the SAME frequent-items sketch the maintained
+    // state stores; see AggSpec scaladoc for the containment (not list
+    // hash) comparison contract.
+    case AggSpec.ApproxTopK(e, k, m, n) =>
+      val t = e.cast("string")
+      when(count(t) > 0,
+        graft.functions.Freq.topK(graft.functions.Freq.agg(t, m), k)).as(n)
     // BOOL_AND/OR via the same two-count formula the maintained state
     // derives its output from (true count vs non-null count).
     case AggSpec.BoolAnd(e, n) =>
@@ -204,6 +211,10 @@ object Eval {
       val d = e.cast("double")
       Seq(graft.functions.Kll.agg(d, k).as(physExt(n)),
         count(d).as(physNn(n)))
+    case AggSpec.ApproxTopK(e, _, m, n) =>
+      val t = e.cast("string")
+      Seq(graft.functions.Freq.agg(t, m).as(physExt(n)),
+        count(t).as(physNn(n)))
     // Moments in double: exact for integer-valued inputs (≤ 2^53), and the
     // signed-delta adjustments commute with the base sums.
     case a if AggSpec.isMoment2(a) =>
@@ -255,6 +266,9 @@ object Eval {
     case AggSpec.ApproxPercentile(_, p, _, n) =>
       when(col(physNn(n)) > 0,
         graft.functions.Kll.quantile(col(physExt(n)), p)).as(n)
+    case AggSpec.ApproxTopK(_, k, _, n) =>
+      when(col(physNn(n)) > 0,
+        graft.functions.Freq.topK(col(physExt(n)), k)).as(n)
     case a if AggSpec.isMoment2(a) =>
       val n = a.name
       momentOutput(a, col(physSum(n)), col(physSum2(n)), col(physNn(n))).as(n)
@@ -291,6 +305,7 @@ object Eval {
     case AggSpec.Percentile(_, _, n) => Seq(physExt(n), physNn(n))
     case AggSpec.ApproxCountDistinct(_, _, n) => Seq(physExt(n), physNn(n))
     case AggSpec.ApproxPercentile(_, _, _, n) => Seq(physExt(n), physNn(n))
+    case AggSpec.ApproxTopK(_, _, _, n) => Seq(physExt(n), physNn(n))
     case a if AggSpec.isMoment2(a) =>
       Seq(physSum(a.name), physSum2(a.name), physNn(a.name))
     case a if AggSpec.isMomentXY(a) =>

@@ -447,6 +447,22 @@ object AggSpec {
     require(k >= 8 && k <= 65535, s"k out of DataSketches KLL range: $k")
   }
 
+  /** APPROX_TOP_K(e, k) — maintained frequent-items ("heavy hitters")
+    * sketch state (DataSketches ItemsSketch over the stringified input,
+    * ≤ `maxMapSize` tracked counters), INSERT-ONLY like the other
+    * sketches. Output is the top-k candidate item list under
+    * NO_FALSE_NEGATIVES — any item with true frequency above the count
+    * error bound ε·n (ε ≈ 3.5/maxMapSize) is guaranteed present; below
+    * maxMapSize distinct items counters and order are exact. Above the
+    * bound estimates depend on merge order, so gated outputs assert
+    * containment of a known heavy hitter, never a list hash. */
+  final case class ApproxTopK(expr: Column, k: Int, maxMapSize: Int, name: String)
+      extends AggSpec {
+    require(k >= 1, s"top-k needs k >= 1: $k")
+    require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+      s"maxMapSize must be a power of 2 >= 8: $maxMapSize")
+  }
+
   /** BOOL_AND(expr) — true iff every non-null value is true; NULL over an
     * all-NULL group. Fully self-maintainable from two signed counts
     * (true count, non-null count): and = (trueCnt == nn) — no auxiliary
@@ -505,6 +521,7 @@ object AggSpec {
     case s: BoolOr        => s.copy(name = n)
     case s: ApproxCountDistinct => s.copy(name = n)
     case s: ApproxPercentile => s.copy(name = n)
+    case s: ApproxTopK    => s.copy(name = n)
     case s: Percentile    => s.copy(name = n)
   }
 
@@ -550,6 +567,7 @@ object AggSpec {
       case Percentile(e, _, _) => Some(e)
       case ApproxCountDistinct(e, _, _) => Some(e)
       case ApproxPercentile(e, _, _, _) => Some(e)
+      case ApproxTopK(e, _, _, _) => Some(e)
       case VarSamp(e, _) => Some(e); case VarPop(e, _) => Some(e)
       case StddevSamp(e, _) => Some(e); case StddevPop(e, _) => Some(e)
       // The tracked "value" is the pair struct, NULL when the SQL value is

@@ -866,6 +866,21 @@ object SqlFrontend {
             s"APPROX_PERCENTILE fraction must be a numeric literal, got: ${other.sql}")
         }
         AggSpec.ApproxPercentile(filtered(e, filt), p, 200, name)
+      // maintained frequent-items sketch (insert-only; see AggSpec
+      // scaladoc): the top-k heavy-hitter CANDIDATE list, ordered
+      // (estimate DESC, item ASC); any input type stringifies
+      case ("approx_top_k", Seq(e, kE)) =>
+        val k = kE match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, t)
+              if Seq(org.apache.spark.sql.types.ByteType,
+                org.apache.spark.sql.types.ShortType,
+                org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.LongType).contains(t) =>
+            v.toString.toInt
+          case other => throw new UnsupportedOperationException(
+            s"APPROX_TOP_K k must be an integer literal, got: ${other.sql}")
+        }
+        AggSpec.ApproxTopK(filtered(e, filt), k, 256, name)
       case _ => throw new UnsupportedOperationException(
         s"unsupported aggregate function $fn (reference surface: SUM, COUNT" +
           " — README.md:35; extensions: COUNT(*), AVG, MIN, MAX, VAR/STDDEV)")

@@ -692,6 +692,13 @@ object ZDelta {
             sum(when(d.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
             sum(when(d.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
               .as(hllNegGuard(n)))
+      // Frequent-items sketch: same insert-only discipline.
+      case AggSpec.ApproxTopK(e, _, m, n) =>
+        val t = e.cast("string")
+        Seq(graft.functions.Freq.agg(when(w > 0, t), m).as(adj(Eval.physExt(n))),
+            sum(when(t.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
+            sum(when(t.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
+              .as(hllNegGuard(n)))
       // BOOL_AND/OR: both counts are linear in the weight — pure SUM-style
       // self-maintenance (a NULL condition reads as false → adjusts 0).
       case AggSpec.BoolAnd(e, n) =>
@@ -863,6 +870,18 @@ object ZDelta {
           .otherwise(when(aj.isNull, old)
             .otherwise(when(old.isNull, aj)
               .otherwise(graft.functions.Kll.merge(old, aj))))
+        Seq(merged.as(ext), accumulate(Eval.physNn(n)))
+      case AggSpec.ApproxTopK(_, _, _, n) =>
+        val ext = Eval.physExt(n)
+        val (old, aj) = (col(ext), col(adj(ext)))
+        val merged = when(col(hllNegGuard(n)) > 0,
+          raise_error(lit(s"IVM: APPROX_TOP_K ('$n') is " +
+            "insert-only — a frequent-items sketch cannot fold a " +
+            "deletion; maintain exact counts when the feed retracts"))
+            .cast("binary"))
+          .otherwise(when(aj.isNull, old)
+            .otherwise(when(old.isNull, aj)
+              .otherwise(graft.functions.Freq.merge(old, aj))))
         Seq(merged.as(ext), accumulate(Eval.physNn(n)))
       case a => Eval.physicalNames(a).map(accumulate)
     } :+ accumulate(HCOUNT)

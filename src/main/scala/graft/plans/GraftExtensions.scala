@@ -34,6 +34,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     // users get the codegen'd dot product too: graft_vec_dot(a, b).
     ext.injectFunction(graft.functions.VecDot.functionDescription)
     graft.functions.Kll.functionDescriptions.foreach(ext.injectFunction)
+    graft.functions.Freq.functionDescriptions.foreach(ext.injectFunction)
   }
 }
 

@@ -828,6 +828,49 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("APPROX_TOP_K maintains a frequent-items sketch; insert-only, deletes raise") {
+    val (_, q) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sql_freq AS
+         SELECT g, APPROX_TOP_K(v, 2) AS hh, COUNT(*) AS n
+         FROM t GROUP BY g""")
+    q match {
+      case Aggregate(Scan("t"), Seq("g"), Seq(a, _)) =>
+        assert(a.isInstanceOf[AggSpec.ApproxTopK])
+      case other => fail(s"unexpected AST: $other")
+    }
+    val store = new MemStore
+    val base: String => org.apache.spark.sql.DataFrame = {
+      case "t" => df("g STRING, v STRING", Seq(
+        Row("a", "x"), Row("a", "x"), Row("a", "y"), Row("a", "z"),
+        Row("b", "q"), Row("b", null)))
+    }
+    val ins: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v STRING, ${IvmCore.MULT} BOOLEAN", Seq(
+        Row("a", "y", true), Row("a", "y", true), // y overtakes x: 3 vs 2
+        Row("c", "m", true))))
+      case _ => None
+    }
+    Ivm.create("sql_freq", q, base, store)
+    Ivm.refreshState("sql_freq", q, base, ins, store)
+    // below maxMapSize distinct items the counters are exact and merge ≡
+    // one-shot build, so refresh == recompute including list order
+    assertSameRows(Ivm.read("sql_freq", q, store), Ivm.recompute(q, base, ins))
+    assertRows(Ivm.read("sql_freq", q, store), Set(
+      Seq("a", Seq("y", "x"), 6L), Seq("b", Seq("q"), 2L),
+      Seq("c", Seq("m"), 1L)))
+    // a delete cannot fold into the counters — loud rejection, not drift
+    val del: String => Option[org.apache.spark.sql.DataFrame] = {
+      case "t" => Some(df(s"g STRING, v STRING, ${IvmCore.MULT} BOOLEAN",
+        Seq(Row("a", "x", false))))
+      case _ => None
+    }
+    val e = intercept[Exception] {
+      Ivm.refreshState("sql_freq", q, base, del, store)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("insert-only"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("unsupported SQL raises like the reference's NotImplementedException") {
     intercept[UnsupportedOperationException] {
       SqlFrontend.createImmv(spark,
