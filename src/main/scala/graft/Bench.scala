@@ -321,7 +321,57 @@ object Bench {
       f"""{"batches":$nBatches,"total_sec":$total%.3f,"per_batch_sec":${total / nBatches}%.3f}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"sf":"$sfDir"}""")
+    // View cascade: hourly rollup → per-type summary maintained from the
+    // hourly view's OWN output changelog, vs recomputing and
+    // materializing BOTH levels flat each cycle (the non-incremental
+    // alternative a pipeline without composition pays).
+    val cascadeJson = try {
+      import graft.ivm._
+      import graft.ivm.AggSpec._
+      import org.apache.spark.sql.functions._
+      val store = new ParquetStore(spark,
+        java.nio.file.Files.createTempDirectory("ivm-casc").toString)
+      val dDir = java.nio.file.Files.createTempDirectory("ivm-casc-d").toString
+      Fixtures.deltaEvents(spark, sfDir).write.mode("overwrite").parquet(dDir)
+      val deltas: String => Option[DataFrame] = {
+        case "events" => Some(spark.read.parquet(dDir))
+        case _        => None
+      }
+      // Daily granularity: enough delta rows per touched (type, day) group
+      // that the post-aggregation changelog (≤ 2 rows per touched group)
+      // actually compresses the base delta — the fan-out-saver shape.
+      val up = Aggregate(
+        Project(Scan("events"), Seq(col("event_type"),
+          org.apache.spark.sql.functions.expr("ts DIV 86400000000000").as("day"))),
+        Seq("event_type", "day"), Seq(CountStar("hits")))
+      val down = Aggregate(Scan("casc_up"), Seq("event_type"),
+        Seq(Sum(col("hits"), "total"), Max(col("hits"), "peak"),
+          CountStar("days")))
+      val c = new Cascade(Seq("casc_up" -> up, "casc_down" -> down),
+        Fixtures.base(spark, sfDir), store)
+      val tCreate = time(c.create())
+      def refreshOnce() = c.refresh(deltas)
+      def recomputeOnce(tag: String): Unit = {
+        store.put(s"casc_upfull$tag",
+          Ivm.recompute(up, Fixtures.base(spark, sfDir), deltas))
+        store.put(s"casc_downfull$tag",
+          Eval.eval(down, { case "casc_up" => store(s"casc_upfull$tag") }))
+      }
+      val dRows = spark.read.parquet(dDir).count()
+      val upRows = refreshOnce().getOrElse("casc_up", 0L) // warm-up 1
+      refreshOnce() // warm-up 2
+      val tR = (1 to 3).map(_ => time(refreshOnce())).sum / 3
+      recomputeOnce("w")
+      val tC = (1 to 3).map(i => time(recomputeOnce(s"s$i"))).sum / 3
+      // delta_rows vs up_changelog_rows is the composability signal: the
+      // downstream level processes the POST-AGGREGATION changelog, not the
+      // base delta. Wall speedup at toy SF is floor-bound (two per-batch
+      // view floors vs a tiny flat recompute) — the scaling block's
+      // flat-refresh-vs-growing-recompute argument applies per level.
+      f"""{"create_sec":$tCreate%.3f,"chain_refresh_sec":$tR%.3f,"flat_recompute_sec":$tC%.3f,"speedup":${tC / tR}%.2f,"delta_rows":$dRows,"up_changelog_rows":$upRows}"""
+    } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"cascade":$cascadeJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1990,6 +1990,31 @@ object SparkEntry {
           array_contains(col("hh"), col("item")).as("est_ok"), col("n"))
     }),
 
+    // VIEW CASCADE (the poster's composability goal as an API): hourly
+    // per-(event_type, hour) counts maintain from the events delta, and a
+    // per-type daily summary maintains from the HOURLY VIEW'S OWN OUTPUT
+    // CHANGELOG — O(‖ΔV‖) downstream work, no rescan of the level below.
+    // Deletes flow through both levels (upstream group death must retract
+    // the hour from the downstream SUM/MAX/COUNT — MAX falls back via the
+    // aux multiset). All-BIGINT outputs keep the compare exact.
+    "q119_ivm_cascade" -> ((s, dir) => {
+      val store = new MemStore
+      val up = graft.ivm.Aggregate(
+        graft.ivm.Project(graft.ivm.Scan("events"), Seq(col("event_type"),
+          org.apache.spark.sql.functions.expr("ts DIV 3600000000000").as("hr"))),
+        Seq("event_type", "hr"), Seq(graft.ivm.AggSpec.CountStar("hits")))
+      val down = graft.ivm.Aggregate(graft.ivm.Scan("up119"),
+        Seq("event_type"),
+        Seq(graft.ivm.AggSpec.Sum(col("hits"), "total"),
+          graft.ivm.AggSpec.Max(col("hits"), "peak"),
+          graft.ivm.AggSpec.CountStar("hours")))
+      val c = new graft.ivm.Cascade(
+        Seq("up119" -> up, "down119" -> down), base(s, dir), store)
+      c.create()
+      c.refresh(deltas(s, dir))
+      c.read("down119")
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3072,6 +3097,26 @@ object SparkEntry {
           )
           SELECT event_type, TRUE AS est_ok, CAST(COUNT(*) AS BIGINT) AS n
           FROM applied GROUP BY 1""",
+
+    // Two-level cascade recomputed flat: signed per-(type, hour) counts
+    // with group death (HAVING), then the per-type summary. epoch_us//3.6e9
+    // ≡ the engine's nanos DIV 3600000000000 (same integer floor).
+    "q119_ivm_cascade" ->
+      s"""WITH w AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hr, 1 AS w
+            FROM events
+            UNION ALL
+            SELECT event_type, epoch_us(ts) // 3600000000,
+                   CASE WHEN $M THEN 1 ELSE -1 END
+            FROM ($DE)
+          ), up AS (
+            SELECT event_type, hr, CAST(SUM(w) AS BIGINT) AS hits
+            FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT event_type, CAST(SUM(hits) AS BIGINT) AS total,
+                 CAST(MAX(hits) AS BIGINT) AS peak,
+                 CAST(COUNT(*) AS BIGINT) AS hours
+          FROM up GROUP BY 1""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->

@@ -330,6 +330,19 @@ object Ivm {
       .select(cols.map(col): _*)
   }
 
+  /** A view's output changelog (the signed-WEIGHT frame [[refresh]]
+    * returns) re-expressed in the boolean-multiplicity delta convention
+    * (|w| row copies, `MULT` = w > 0) — the delta algebra is closed under
+    * composition, so one view's ΔV can feed a DOWNSTREAM view's refresh
+    * as if it were a base-table delta (see [[Cascade]]). */
+  def changelogAsDelta(dv: DataFrame): DataFrame = {
+    val cols = dv.columns.filterNot(_ == WEIGHT).toSeq
+    expandMultiset(
+      dv.select(cols.map(col) :+ (col(WEIGHT) > 0).as(MULT) :+
+        abs(col(WEIGHT)).as("__ivm_absw"): _*),
+      "__ivm_absw")
+  }
+
   /** Incrementally fold one batch of base-table deltas into the
     * materialized view. Returns ΔV with the signed WEIGHT column.
     *
