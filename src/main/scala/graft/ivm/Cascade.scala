@@ -126,3 +126,17 @@ final class Cascade(
     }
   }
 }
+
+object Cascade {
+  /** Build a cascade straight from SQL — one `CREATE IMMV <name> AS
+    * <select>` per level, upstream-first; a later statement references an
+    * earlier level simply by selecting FROM its view name. The reference's
+    * user surface (CREATE IMMV, SURVEY §3 EP3) composes without any AST
+    * plumbing on the caller's side. */
+  def fromSql(
+      spark: org.apache.spark.sql.SparkSession,
+      sqls: Seq[String],
+      base: String => DataFrame,
+      store: IvmStore): Cascade =
+    new Cascade(sqls.map(SqlFrontend.createImmv(spark, _)), base, store)
+}

@@ -307,6 +307,58 @@ object Demo {
       s"redaction wrong: $red")
     println("round-4 surface OK")
 
+    // ---- 10. round-6 surface: a SQL-defined VIEW CASCADE (the downstream
+    // IMMV selects FROM the upstream IMMV and refreshes from its output
+    // changelog), maintained sketch aggregates, and CDC ingestion.
+    val cascStore = new MemStore
+    val casc = Cascade.fromSql(spark, Seq(
+      """CREATE IMMV casc_up AS
+         SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+      """CREATE IMMV casc_down AS
+         SELECT l_returnflag, SUM(cnt) AS total, MAX(cnt) AS peak
+         FROM casc_up GROUP BY l_returnflag"""),
+      base, cascStore)
+    casc.create()
+    val fedRows = casc.refresh(deltas)
+    val cascWant = {
+      import org.apache.spark.sql.functions.{col, count, max, sum}
+      Ivm.recompute(Scan("lineitem"), base, deltas)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("cnt")).as("total"), max(col("cnt")).as("peak"))
+    }
+    require(casc.read("casc_down").exceptAll(cascWant).isEmpty,
+      "SQL cascade refresh mismatch")
+    require(fedRows.getOrElse("casc_up", -1L) > 0, s"no changelog fed: $fedRows")
+    val (_, skQ) = SqlFrontend.createImmv(spark,
+      """CREATE IMMV sk_v AS
+         SELECT l_returnflag,
+                APPROX_PERCENTILE(l_quantity, 0.5) AS p50,
+                APPROX_TOP_K(l_linestatus, 2) AS hh,
+                APPROX_COUNT_DISTINCT(l_orderkey) AS okeys,
+                COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""")
+    Ivm.create("sk_v", skQ, base, cascStore)
+    Ivm.refreshState("sk_v", skQ, base,
+      t => deltas(t).map(_.where(org.apache.spark.sql.functions.col(
+        IvmCore.MULT))), cascStore) // sketches: insert-only feed
+    val sk = Ivm.read("sk_v", skQ, cascStore)
+    require(sk.where("p50 IS NULL OR size(hh) < 1 OR okeys < 1").isEmpty,
+      "sketch view produced empty estimates")
+    val cdcDeltas = graft.sources.Cdc.toDeltas(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(
+        org.apache.spark.sql.Row("c", null, org.apache.spark.sql.Row("x", 2)),
+        org.apache.spark.sql.Row("u", org.apache.spark.sql.Row("a", 1),
+          org.apache.spark.sql.Row("a", 9)),
+        org.apache.spark.sql.Row("d", org.apache.spark.sql.Row("b", 5), null))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "op STRING, before STRUCT<g: STRING, v: INT>, after STRUCT<g: STRING, v: INT>")))
+    require(cdcDeltas.count() == 4, "CDC mapping row count")
+    println("round-6 surface OK (cascade fed " +
+      s"${fedRows("casc_up")} changelog rows)")
+
     println("DEMO OK")
     spark.stop()
   }

@@ -146,6 +146,24 @@ class CascadeSpec extends AnyFunSuite with SparkTestBase {
       Seq("a", 2L, 1L, 2L), Seq("c", 1L, 1L, 1L)))
   }
 
+  test("fromSql: the downstream IMMV selects FROM the upstream IMMV") {
+    val t0 = df("g STRING, h STRING, v INT", Seq(
+      Row("a", "x", 1), Row("a", "y", 2), Row("b", "x", 10)))
+    val c = Cascade.fromSql(spark, Seq(
+      """CREATE IMMV sql_up AS
+         SELECT g, h, COUNT(*) AS cnt, SUM(v) AS sv FROM t GROUP BY g, h""",
+      """CREATE IMMV sql_down AS
+         SELECT g, SUM(sv) AS total, MAX(cnt) AS peak FROM sql_up GROUP BY g"""),
+      baseFor(t0), new MemStore)
+    c.create()
+    val d = df(s"g STRING, h STRING, v INT, ${IvmCore.MULT} BOOLEAN", Seq(
+      Row("a", "x", 4, true), Row("b", "x", 10, false)))
+    val fed = c.refresh { case "t" => Some(d); case _ => None }
+    assert(fed("sql_up") > 0)
+    // applied: a:{x:(2 rows, sv 5), y:(1, 2)}; b gone
+    assertRows(c.read("sql_down"), Set(Seq("a", 7L, 2L)))
+  }
+
   test("level ordering and duplicate names are rejected") {
     intercept[IllegalArgumentException] {
       new Cascade(Seq("a" -> up, "a" -> down), baseFor(null), new MemStore)
