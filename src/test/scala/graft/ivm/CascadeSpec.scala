@@ -146,6 +146,33 @@ class CascadeSpec extends AnyFunSuite with SparkTestBase {
       Seq("a", 2L, 1L, 2L), Seq("c", 1L, 1L, 1L)))
   }
 
+  test("soak: 6 alternating batches on the LSM parquet store stay equal to recompute") {
+    val t0 = df("g STRING, h STRING, v INT",
+      (0 until 40).map(i => Row(s"g${i % 5}", s"h${i % 7}", i)))
+    val store = new ParquetStore(spark,
+      Files.createTempDirectory("cascade-soak").toString,
+      buckets = 4, smallStateBytes = 0, maxChain = 2)
+    val c = new Cascade(Seq("up" -> up, "down" -> down), baseFor(t0), store)
+    c.create()
+    var applied = t0
+    // deterministic alternating churn: odd batches delete what even ones
+    // inserted, plus fresh inserts — state chains compact mid-soak
+    (0 until 6).foreach { i =>
+      val rows =
+        if (i % 2 == 0)
+          (0 until 6).map(j => Row(s"g${(i + j) % 6}", s"hx$i", 100 + j, true))
+        else
+          (0 until 6).map(j => Row(s"g${(i - 1 + j) % 6}", s"hx${i - 1}",
+            100 + j, false)) :+ Row(s"g9", s"h9", i, true)
+      val d = df(s"g STRING, h STRING, v INT, ${IvmCore.MULT} BOOLEAN", rows)
+      c.refresh { case "t" => Some(d); case _ => None }
+      applied = applied.unionByName(d.where(col(IvmCore.MULT))
+          .drop(IvmCore.MULT))
+        .exceptAll(d.where(!col(IvmCore.MULT)).drop(IvmCore.MULT))
+      assertSameRows(c.read("down"), recompute2(applied, up, down))
+    }
+  }
+
   test("fromSql: the downstream IMMV selects FROM the upstream IMMV") {
     val t0 = df("g STRING, h STRING, v INT", Seq(
       Row("a", "x", 1), Row("a", "y", 2), Row("b", "x", 10)))
