@@ -520,7 +520,8 @@ object SqlFrontend {
     "max", "var_samp", "variance", "var_pop", "stddev_samp", "stddev",
     "std", "stddev_pop", "min_by", "max_by", "covar_pop", "covar_samp",
     "corr", "median", "percentile", "mode", "listagg", "string_agg",
-    "bool_and", "every", "bool_or", "approx_count_distinct")
+    "bool_and", "every", "bool_or", "approx_count_distinct",
+    "approx_percentile", "percentile_approx", "approx_top_k")
 
   /** Same-name equi correlation conjunct (foldExists's convention): the
     * two sides carry the same terminal name under different qualifiers. */

@@ -150,6 +150,9 @@ object IvmStream {
       case AggSpec.ApproxPercentile(e, p, k, n) =>
         graft.functions.Kll.quantile(
           graft.functions.Kll.agg(insertOnly(e.cast("double")), k), p).as(n)
+      case AggSpec.ApproxTopK(e, k, m, n) =>
+        graft.functions.Freq.topK(
+          graft.functions.Freq.agg(insertOnly(e.cast("string")), m), k).as(n)
       case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
           AggSpec.SumDistinct(_, _) | AggSpec.MinBy(_, _, _) |
           AggSpec.MaxBy(_, _, _) =>

@@ -264,6 +264,7 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
       Seq("g"), Seq(
         ApproxCountDistinct(col("v"), 12, "au"),
         ApproxPercentile(col("v"), 0.5, 200, "p50"),
+        ApproxTopK(col("v"), 2, 256, "hh"),
         CountStar("cnt")))
     val query = agg.writeStream.format("memory")
       .queryName("sk_stream").outputMode("update").start()
@@ -279,10 +280,13 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
       .map { case (k, rows) => k -> rows.maxBy(_._2)._1 }
     // registers persisted across batches: au = |{1,2,3,4,5}|; p50 exact at
     // this size (KLL below k retained items) — multiset {1,1,2,3,4,5},
-    // smallest value with inclusive rank ≥ 0.5 is 2; cnt counts dupes too
+    // smallest value with inclusive rank ≥ 0.5 is 2; top-2 heavy hitters
+    // exact below maxMapSize: 1 (count 2) then the item-asc tiebreak;
+    // cnt counts dupes too
     assert(last("a").getLong(1) == 5L)
     assert(last("a").getDouble(2) == 2.0)
-    assert(last("a").getLong(3) == 6L)
+    assert(last("a").getSeq[String](3) == Seq("1", "2"))
+    assert(last("a").getLong(4) == 6L)
 
     // a retraction row fails the query loudly — registers cannot un-see
     val mem2 = MemoryStream[D]
