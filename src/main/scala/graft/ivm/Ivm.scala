@@ -57,6 +57,19 @@ object Ivm {
     views.getOrElse(name, throw new IllegalArgumentException(
       s"IVM: view '$name' is not registered"))
 
+  /** End a view's lifecycle: remove its states (interior aggregates, delta
+    * accumulators, ScalarDeco subviews — everything under `view/`), its
+    * tags (delta-table declaration, streaming replay markers), and its
+    * catalog registration. Content-addressed SHARED states
+    * ([[createShared]]) are reference-counted by path outside the view
+    * prefix and are left in place. On a versioned store, retained older
+    * manifests still serve the dropped view via `asOf` until pruned. */
+  def drop(view: String, store: IvmStore): Unit = {
+    store.dropView(view)
+    views.remove(view)
+    ()
+  }
+
   // --------------------------------------------- reference-parity surface
 
   /** Resolve base tables from the session catalog (temp views / tables). */

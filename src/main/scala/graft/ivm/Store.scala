@@ -93,6 +93,16 @@ trait IvmStore {
   def setTag(key: String, value: String): Unit
   def getTag(key: String): Option[String]
 
+  /** Remove every state and tag under `view/` (and the exact name `view`)
+    * from the CURRENT version — the view's lifecycle end, exposed as
+    * [[Ivm.drop]]. Versioned backends keep serving the dropped states
+    * through retained older manifests (time travel) until pruning reclaims
+    * them; content-addressed SHARED states ([[Ivm.createShared]]) live
+    * outside the view's prefix and are not touched. */
+  def dropView(view: String): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not support dropView")
+
   def apply(name: String): DataFrame =
     get(name).getOrElse(throw new IllegalStateException(
       s"IVM state '$name' not found — was Ivm.create run for this view?"))
@@ -139,6 +149,11 @@ final class MemStore extends IvmStore {
   }
   override def setTag(key: String, value: String): Unit = tags.put(key, value)
   override def getTag(key: String): Option[String] = tags.get(key)
+  override def dropView(view: String): Unit = {
+    val p = s"$view/"
+    m.keys.filter(k => k == view || k.startsWith(p)).foreach(m.remove)
+    tags.keys.filter(k => k == view || k.startsWith(p)).foreach(tags.remove)
+  }
 }
 
 /** Bucketed, manifest-versioned, LSM-layered parquet store — the at-scale
@@ -425,6 +440,21 @@ final class ParquetStore(
       writeManifest(version, entries, tagMap)
       prune()
     }
+
+  /** One manifest flip that REMOVES the view's states/tags. Old manifests
+    * inside the retention window still reference the segments (asOf keeps
+    * working); pruning reclaims the files once no kept manifest does. Not
+    * stageable inside a transaction — a drop is its own lifecycle event. */
+  override def dropView(view: String): Unit = synchronized {
+    require(txnDepth == 0, "dropView inside a transaction is not supported")
+    val p = s"$view/"
+    val hit = (k: String) => k == view || k.startsWith(p)
+    version += 1
+    entries = entries.filterNot { case (k, _) => hit(k) }
+    tagMap = tagMap.filterNot { case (k, _) => hit(k) }
+    writeManifest(version, entries, tagMap)
+    prune()
+  }
 
   /** Reentrant: a transaction opened inside another stages into the outer
     * one, so `applyBatch { refresh { … }; setTag }` flips once. */

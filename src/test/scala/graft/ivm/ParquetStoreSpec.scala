@@ -321,4 +321,32 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(
       (Some("a"), 1, 1, 1L), (Some("b"), 10, 10, 1L), (None, 3, 8, 2L)))
   }
+
+  test("Ivm.drop removes a view's states and tags; other views and asOf survive") {
+    val (root, f) = mkStore(keep = 4, buckets = 4, smallBytes = 0)
+    val store = f(root)
+    val base: String => DataFrame = {
+      case "t" => df("g STRING, v INT", Seq(Row("a", 1), Row("b", 2)))
+    }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Sum(col("v"), "sv"), CountStar("cnt")))
+    Ivm.create("keepme", q, base, store)
+    Ivm.create("dropme", q, base, store, deltaTables = Set("t"))
+    store.setTag("dropme/_last_batch/t", "7")
+    val vBefore = store.currentVersion
+    Ivm.drop("dropme", store)
+    // gone from current: state read fails, tags cleared
+    intercept[IllegalStateException] { Ivm.read("dropme", q, store).collect() }
+    assert(store.getTag("dropme/_delta_tables").isEmpty)
+    assert(store.getTag("dropme/_last_batch/t").isEmpty)
+    // the sibling view is untouched and still refreshes
+    val d = df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("a", 10, true)))
+    Ivm.refreshState("keepme", q, base, t => if (t == "t") Some(d) else None, store)
+    val got = Ivm.read("keepme", q, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 11L, 2L), ("b", 2L, 1L)))
+    // time travel inside the retention window still serves the dropped view
+    assert(Ivm.read("dropme", q, store.asOf(vBefore)).count() == 2)
+  }
 }
