@@ -371,7 +371,13 @@ object Bench {
       f"""{"create_sec":$tCreate%.3f,"chain_refresh_sec":$tR%.3f,"flat_recompute_sec":$tC%.3f,"speedup":${tC / tR}%.2f,"delta_rows":$dRows,"up_changelog_rows":$upRows}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"cascade":$cascadeJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"cascade":$cascadeJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout tail-capture truncated the round-3 headline — always also
+    // write the JSON to a file the driver (and humans) can read whole.
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -39,8 +39,11 @@ object IvmProbe {
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        if (sys.props.get("graft.timing").contains("true"))
-          println(f"    query $funcName exec=${durationNs / 1e9}%.3fs")
+        if (sys.props.get("graft.timing").contains("true")) {
+          val phases = qe.tracker.phases.map { case (p, s) =>
+            f"$p=${(s.endTimeMs - s.startTimeMs) / 1e3}%.3f" }.mkString(" ")
+          println(f"    query $funcName exec=${durationNs / 1e9}%.3fs $phases")
+        }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     })
