@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.sql.{Column, SparkSession}
@@ -37,23 +36,35 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class FreqItemsAgg(
     child: Expression,
+    weight: Expression,
     maxMapSize: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[ItemsSketch[String]]
-    with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[ItemsSketch[String]] {
+
+  override def children: Seq[Expression] = Seq(child, weight)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType &&
+        weight.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string argument, got ${child.dataType.simpleString}")
+      s"$prettyName requires (string item, long weight) arguments, got " +
+        s"(${child.dataType.simpleString}, ${weight.dataType.simpleString})")
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
 
+  /** A row counts its item `weight` times (join-delta multiplicity;
+    * ItemsSketch has a native weighted update). NULL value/weight or
+    * weight <= 0 contribute nothing. */
   override def update(buffer: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    if (v != null) {
+      val w = weight.eval(input)
+      if (w != null && w.asInstanceOf[Long] > 0)
+        buffer.update(v.asInstanceOf[UTF8String].toString, w.asInstanceOf[Long])
+    }
     buffer
   }
 
@@ -76,8 +87,9 @@ case class FreqItemsAgg(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(newChild: Expression): FreqItemsAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqItemsAgg =
+    copy(child = newChildren(0), weight = newChildren(1))
 }
 
 /** Merge two serialized frequent-items sketches; NULL passes the other
@@ -164,7 +176,13 @@ object Freq {
   }
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    AggName -> (exprs => FreqItemsAgg(exprs(0), intLiteral(AggName, exprs(1)))),
+    // 2-arg form: unit weight; 3-arg form: (item, weight, maxMapSize)
+    AggName -> (exprs =>
+      if (exprs.length == 2)
+        FreqItemsAgg(exprs(0),
+          org.apache.spark.sql.catalyst.expressions.Literal(1L),
+          intLiteral(AggName, exprs(1)))
+      else FreqItemsAgg(exprs(0), exprs(1), intLiteral(AggName, exprs(2)))),
     MergeName -> (exprs => FreqMerge(exprs(0), exprs(1))),
     TopKName -> (exprs => FreqTopK(exprs(0), exprs(1))))
 
@@ -192,9 +210,17 @@ object Freq {
 
   import org.apache.spark.sql.functions.{call_function, lit}
 
-  /** Sketch-aggregate of a string column into ≤ maxMapSize counters. */
+  /** Sketch-aggregate of a string column into ≤ maxMapSize counters
+    * (unit weight per row). */
   def agg(e: Column, maxMapSize: Int): Column = {
     active(); call_function(AggName, e, lit(maxMapSize))
+  }
+
+  /** Weighted sketch-aggregate: each row counts its item `w` times — the
+    * form the delta rules use so join-delta rows with multiplicity > 1
+    * carry their full count. */
+  def aggW(e: Column, w: Column, maxMapSize: Int): Column = {
+    active(); call_function(AggName, e, w.cast("long"), lit(maxMapSize))
   }
 
   /** Merge two serialized sketches (NULL passes the other through). */

@@ -9,7 +9,6 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 import org.apache.spark.sql.{Column, SparkSession}
 
@@ -38,23 +37,44 @@ import org.apache.spark.sql.{Column, SparkSession}
   */
 case class KllSketchAgg(
     child: Expression,
+    weight: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch]
-    with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def children: Seq[Expression] = Seq(child, weight)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == DoubleType &&
+        weight.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a double argument, got ${child.dataType.simpleString}")
+      s"$prettyName requires (double value, long weight) arguments, got " +
+        s"(${child.dataType.simpleString}, ${weight.dataType.simpleString})")
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
+  /** A row inserts its value `weight` times (a delta row from a join can
+    * carry multiplicity > 1 — inserting once would under-count its rank
+    * mass). KLL has no weighted update, so this loops — weights are join
+    * multiplicities (small); a runaway weight fails loudly rather than
+    * spinning. NULL value, NULL weight, or weight <= 0 contribute
+    * nothing (the delta rules null the value out for retractions and
+    * guard them separately). */
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) buffer.update(v.asInstanceOf[Double])
+    if (v != null) {
+      val w = weight.eval(input)
+      if (w != null) {
+        val n = w.asInstanceOf[Long]
+        if (n > (1L << 24)) throw new IllegalStateException(
+          s"graft_kll_agg: row weight $n too large to expand into a KLL sketch")
+        var i = 0L
+        while (i < n) { buffer.update(v.asInstanceOf[Double]); i += 1 }
+      }
+    }
     buffer
   }
 
@@ -76,8 +96,9 @@ case class KllSketchAgg(
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KllSketchAgg =
     copy(inputAggBufferOffset = o)
-  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren(0), weight = newChildren(1))
 }
 
 /** Merge two serialized KLL sketches; NULL on either side passes the other
@@ -153,7 +174,12 @@ object Kll {
   }
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    AggName -> (exprs => KllSketchAgg(exprs(0), kLiteral(exprs(1)))),
+    // 2-arg form: unit weight; 3-arg form: (value, weight, k)
+    AggName -> (exprs =>
+      if (exprs.length == 2)
+        KllSketchAgg(exprs(0),
+          org.apache.spark.sql.catalyst.expressions.Literal(1L), kLiteral(exprs(1)))
+      else KllSketchAgg(exprs(0), exprs(1), kLiteral(exprs(2)))),
     MergeName -> (exprs => KllMerge(exprs(0), exprs(1))),
     QuantileName -> (exprs => KllQuantile(exprs(0), exprs(1))))
 
@@ -184,9 +210,16 @@ object Kll {
 
   import org.apache.spark.sql.functions.{call_function, lit}
 
-  /** Sketch-aggregate of a double column. */
+  /** Sketch-aggregate of a double column (unit weight per row). */
   def agg(e: Column, k: Int): Column = {
     active(); call_function(AggName, e, lit(k))
+  }
+
+  /** Weighted sketch-aggregate: each row inserts its value `w` times — the
+    * form the delta rules use so join-delta rows with multiplicity > 1
+    * carry their full rank mass. */
+  def aggW(e: Column, w: Column, k: Int): Column = {
+    active(); call_function(AggName, e, w.cast("long"), lit(k))
   }
 
   /** Merge two serialized sketches (NULL passes the other through). */

@@ -408,6 +408,75 @@ object Ivm {
       m.getOrElseUpdate(view, TrieMap.empty[String, StructType])
     }
 
+  // ------------------------------------------------ small-batch local path
+
+  /** Per-table row cap of the small-batch local path: a refresh whose
+    * delta tables are all at or under this collects them (and every
+    * O(touched) pinned intermediate, with 4× fan-out headroom) into
+    * driver-side LocalRelations. The engine already BROADCASTS all of
+    * these frames — "fits a broadcast" and "fits the driver" are the same
+    * assumption (Spark's broadcast exchange itself collects to the driver
+    * first) — and local frames erase most of the fixed per-batch job
+    * floor: Catalyst folds projections over LocalRelation, so
+    * touched-bucket lookups, broadcast builds, and changelog derivations
+    * stop scheduling jobs. Batches above the cap keep today's distributed
+    * pin path (`-Dgraft.localBatchRows=0` disables entirely). */
+  private def localBatchRows: Int =
+    sys.props.getOrElse("graft.localBatchRows", "65536").toInt
+
+  /** Collect `df` into a LocalRelation-backed DataFrame when it has at
+    * most `cap` rows; None when larger (callers fall back to the
+    * distributed path). The size probe is a separate count() — a
+    * limit-guarded collect looks cheaper but pays CollectLimit's
+    * incremental partition scale-up (several jobs) on every call. */
+  private[ivm] def collectLocal(df: DataFrame, cap: Int): Option[DataFrame] =
+    if (org.apache.spark.sql.GraftColumnOps.foldsToLocal(df))
+      Some(df.coalesce(1)) // already local (e.g. a cascade changelog feed)
+    else {
+      // single-pass size probe + collect: head(cap+1) is one job for the
+      // common case (a small delta file); an over-cap batch pays a few
+      // scale-up jobs before falling back to the distributed path
+      val rows = df.head(cap + 1)
+      if (rows.length > cap) None
+      else Some(df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema).coalesce(1))
+    }
+
+  /** Collect a frame the caller already gated as small (every pinned
+    * intermediate is O(touched) of a gated batch) — one plain collect, no
+    * size probe. The result is coalesced to ONE partition: SinglePartition
+    * satisfies every required distribution, so downstream aggregations
+    * over the frame plan with NO exchange (one stage, one task) instead of
+    * a 32-partition micro-shuffle — measured ~5× per action on a 15k-row
+    * frame. Joins against big relations still broadcast the local side,
+    * so nothing downstream collapses onto one task. */
+  private[ivm] def toLocal(df: DataFrame): DataFrame =
+    if (org.apache.spark.sql.GraftColumnOps.foldsToLocal(df))
+      df.coalesce(1) // pure projection over an earlier local pin — free
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema).coalesce(1)
+
+  /** Delta resolver for one batch that swaps each table's delta for a
+    * collected LocalRelation when it fits [[localBatchRows]] — memoized so
+    * the collect happens once per (batch, table). */
+  private final class BatchDeltas(
+      raw: String => Option[DataFrame], cap: Int)
+      extends (String => Option[DataFrame]) {
+    private val memo = TrieMap.empty[String, Option[DataFrame]]
+    override def apply(t: String): Option[DataFrame] = raw(t).map { d =>
+      memo.getOrElseUpdate(t,
+        if (cap > 0) collectLocal(d, cap) else None).getOrElse(d)
+    }
+    /** Every present delta among `tables` fit the local cap. */
+    def allLocal(tables: Seq[String]): Boolean =
+      tables.distinct.forall(t => apply(t).isEmpty || memo(t).isDefined)
+  }
+
+  /** Pin cap for a batch's O(touched) intermediates: tables gated at
+    * [[localBatchRows]], pins get 4× headroom for join fan-out. */
+  private def pinCap(bd: BatchDeltas, tables: Seq[String]): Int =
+    if (localBatchRows > 0 && bd.allLocal(tables)) 4 * localBatchRows else 0
+
   // temporary instrumentation (enable with -Dgraft.timing=true)
   private[ivm] def timed[A](tag: String)(f: => A): A =
     if (!sys.props.get("graft.timing").contains("true")) f
@@ -422,11 +491,17 @@ object Ivm {
       view: String,
       q0: IvmQuery,
       base: String => DataFrame,
-      deltas: String => Option[DataFrame],
+      deltas0: String => Option[DataFrame],
       store: IvmStore,
       broadcastDeltas: Boolean,
       needDelta: Boolean,
       releaseDelta: Boolean = false): DataFrame = {
+    // One BatchDeltas per batch: the ScalarDeco recursion reuses the outer
+    // wrapper so each table's delta is collected (or rejected) once.
+    val deltas: BatchDeltas = deltas0 match {
+      case b: BatchDeltas => b
+      case f              => new BatchDeltas(f, localBatchRows)
+    }
     stripRead(q0) match {
       case sd @ ScalarDeco(child, subs, _) =>
         // Reject undeclared deltas against the FULL view's tables (child +
@@ -449,13 +524,27 @@ object Ivm {
       case _ => ()
     }
     val q = stripRead(q0) // TopK decorates reads; maintenance is the child's
+    // State commits launch EAGERLY as ZDelta queues them: a state's merge
+    // I/O overlaps the planning of its siblings (the per-batch floor is
+    // driver-side, so the executors are idle while plans build). No pin
+    // barrier is needed: state reads resolved their (immutable) snapshot
+    // at plan-build time — MemStore hands out localCheckpointed frames,
+    // ParquetStore resolves manifest paths — so a commit can never be
+    // observed by a sibling's plan, and inside store.transaction the
+    // flips publish atomically at the end.
+    val pending = new java.util.concurrent.ConcurrentLinkedQueue[
+      scala.concurrent.Future[Unit]]()
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
         timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)),
       stateOpt = p => store.get(stateName(view, p)),
       schemaMemo = schemaMemoFor(store, view),
-      needTopDelta = needDelta)
+      needTopDelta = needDelta,
+      localCap = pinCap(deltas, q.tables),
+      onUpdate = u => pending.add(scala.concurrent.Future(
+        timed(s"merge ${u.path}")(
+          commitUpdate(store, stateName(view, u.path), u)))(statePool)))
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))
@@ -465,36 +554,35 @@ object Ivm {
       throw new IllegalStateException(
         s"IVM: view '$view' received a delta for undeclared table '$t' — " +
           s"declare it in Ivm.create(deltaTables=...) (declared: $declared)")
-    val dv0 = timed("plan-delta")(ZDelta.delta(q, ctx))
-    // Per-table delta accumulators (join-side tables only): the NEXT
-    // batch's join terms read current sides from them.
-    ZDelta.queueAccUpdates(q, ctx, declared)
-    // Pin ΔV before commits when the caller (or the SPJ top merge) reads
-    // it: the pinned frame survives the pins-unpersist below, and forcing
-    // it here also warms the shared state-join caches the merges reuse.
-    val dv = if (needDelta) {
-      val c = dv0.cache(); c.count(); c
-    } else dv0
-
-    // Commit every pending state update. No pin barrier is needed: state
-    // reads resolved their (immutable) snapshot at plan-build time —
-    // MemStore hands out localCheckpointed frames, ParquetStore resolves
-    // manifest paths — so a commit can never be observed by a sibling's
-    // plan. Inside store.transaction the flips publish atomically at the
-    // end. Commits are independent per state path → concurrent jobs.
-    // (Measured alternative: committing level-by-level deepest-first to
-    // pre-warm shared caches SERIALIZES the levels and loses ~25% wall —
-    // Spark's per-block cache locks already dedupe concurrent work.)
-    store.transaction {
-      inParallel(ctx.updates.toSeq) { u =>
-        timed(s"merge ${u.path}")(
-          commitUpdate(store, stateName(view, u.path), u))
+    /** Await every eagerly-submitted commit; first failure wins. Must run
+      * before the transaction closes (staged flips publish together) AND
+      * on any failure path (a commit may not outlive the open txn). */
+    def drain(): Unit = {
+      var f = pending.poll()
+      while (f != null) {
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        f = pending.poll()
       }
-      // SPJ views: fold ΔV into the stored multiset.
-      q match {
-        case _: Aggregate => ()
-        case _            => mergeTop(store, stateName(view, TOP), dv)
-      }
+    }
+    val dv = store.transaction {
+      try {
+        val dv0 = timed("plan-delta")(ZDelta.delta(q, ctx))
+        // Per-table delta accumulators (join-side tables only): the NEXT
+        // batch's join terms read current sides from them.
+        ZDelta.queueAccUpdates(q, ctx, declared)
+        // Pin ΔV before the top merge reads it — the pinned frame survives
+        // the pins-unpersist below.
+        val dv = if (needDelta) {
+          val c = dv0.cache(); c.count(); c
+        } else dv0
+        drain()
+        // SPJ views: fold ΔV into the stored multiset.
+        q match {
+          case _: Aggregate => ()
+          case _            => mergeTop(store, stateName(view, TOP), dv)
+        }
+        dv
+      } finally drain() // failure path: no commit may outlive the open txn
     }
     ctx.pins.foreach(_.unpersist())
     if (needDelta && releaseDelta) dv.unpersist()
@@ -570,8 +658,10 @@ object Ivm {
   def refreshShared(
       views: Map[String, IvmQuery],
       base: String => DataFrame,
-      deltas: String => Option[DataFrame],
+      deltas0: String => Option[DataFrame],
       store: IvmStore): Unit = {
+    val deltas = new BatchDeltas(deltas0, localBatchRows)
+    val allTables = views.values.toSeq.flatMap(_.tables).distinct
     val ctx = ZDelta.Ctx(base, deltas, p => store(p),
       sliceFn = (p, kdf, ks) => store.slice(p, kdf, ks),
       namer = sharedNamer,
@@ -579,7 +669,8 @@ object Ivm {
       schemaMemo = schemaMemoFor(store, "__shared__"),
       // Aggregate tops in a shared group discard their ΔV (SPJ tops are
       // unaffected: their top node is not an Aggregate)
-      needTopDelta = false)
+      needTopDelta = false,
+      localCap = pinCap(deltas, allTables))
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
     store.transaction {
       for (q0 <- views.values.toSeq.map(stripRead).distinctBy(_.toString);

@@ -226,7 +226,12 @@ final class ParquetStore(
     * and the byte size observed when written (drives the adaptive
     * layout). */
   private case class Entry(chains: Map[Int, List[String]],
-      bucketKeys: Seq[String], mergeKeys: Seq[String], bytes: Long) {
+      bucketKeys: Seq[String], mergeKeys: Seq[String], bytes: Long,
+      /** The state's CLEAN schema (no bookkeeping columns) as DDL, written
+        * with the data — readers pass it to the parquet scan instead of
+        * inferring from footers, a measurable fixed cost per state read in
+        * a refresh. Empty (old manifests) falls back to inference. */
+      schemaDDL: String = "") {
     def layered: Boolean = chains.values.exists(_.lengthCompare(1) > 0)
     def allPaths: Seq[String] = chains.values.flatten.toSeq
   }
@@ -268,29 +273,34 @@ final class ParquetStore(
   private def readManifest(v: Long): (Map[String, Entry], Map[String, String]) = {
     // E lines per bucket are in chain order (newest first) — preserve it
     val dirs = TrieMap.empty[String, Map[Int, List[String]]]
-    val keys = TrieMap.empty[String, (Seq[String], Seq[String], Long)]
+    val keys = TrieMap.empty[String, (Seq[String], Seq[String], Long, String)]
     val ts = TrieMap.empty[String, String]
     def csv(s: String): Seq[String] =
       if (s.isEmpty) Seq.empty else s.split(',').toSeq
     Files.readAllLines(manifestPath(v)).asScala.foreach { line =>
+      // the DDL is the LAST field and may itself contain no tabs, so a
+      // bounded split keeps it intact
       line.split('\t') match {
         case Array("E", name, bucket, path) =>
           val m = dirs.getOrElse(name, Map.empty)
           dirs.put(name,
             m + (bucket.toInt -> (m.getOrElse(bucket.toInt, Nil) :+ path)))
+        case Array("K", name, ks, bytes, mks, ddl) =>
+          keys.put(name, (csv(ks), csv(mks), bytes.toLong, ddl))
         case Array("K", name, ks, bytes, mks) =>
-          keys.put(name, (csv(ks), csv(mks), bytes.toLong))
+          keys.put(name, (csv(ks), csv(mks), bytes.toLong, ""))
         case Array("K", name, ks, bytes) =>
-          keys.put(name, (csv(ks), Seq.empty, bytes.toLong))
-        case Array("K", name, ks) => keys.put(name, (csv(ks), Seq.empty, 0L))
-        case Array("K", name)     => keys.put(name, (Seq.empty, Seq.empty, 0L))
+          keys.put(name, (csv(ks), Seq.empty, bytes.toLong, ""))
+        case Array("K", name, ks) => keys.put(name, (csv(ks), Seq.empty, 0L, ""))
+        case Array("K", name)     => keys.put(name, (Seq.empty, Seq.empty, 0L, ""))
         case Array("T", k, value) => ts.put(k, value)
         case _                    => // blank/unknown line — ignore
       }
     }
     val es = dirs.map { case (n, d) =>
-      val (ks, mks, bytes) = keys.getOrElse(n, (Seq.empty[String], Seq.empty[String], 0L))
-      n -> Entry(d, ks, mks, bytes)
+      val (ks, mks, bytes, ddl) = keys.getOrElse(n,
+        (Seq.empty[String], Seq.empty[String], 0L, ""))
+      n -> Entry(d, ks, mks, bytes, ddl)
     }
     (es.toMap, ts.toMap)
   }
@@ -301,7 +311,7 @@ final class ParquetStore(
     val sb = new StringBuilder
     es.foreach { case (name, e) =>
       sb.append(s"K\t$name\t${e.bucketKeys.mkString(",")}\t${e.bytes}" +
-        s"\t${e.mergeKeys.mkString(",")}\n")
+        s"\t${e.mergeKeys.mkString(",")}\t${e.schemaDDL}\n")
       e.chains.foreach { case (b, chain) =>
         chain.foreach(p => sb.append(s"E\t$name\t$b\t$p\n"))
       }
@@ -330,10 +340,25 @@ final class ParquetStore(
   // path set can be reused: skips re-listing files and re-reading parquet
   // footers on every state access (a measurable fixed cost per refresh).
   private val readMemo = TrieMap.empty[Seq[String], DataFrame]
-  private def readPaths(rels: Seq[String]): DataFrame = {
+  private def readPaths(rels: Seq[String], e: Entry): DataFrame = {
     val key = rels.distinct.sorted
-    readMemo.getOrElseUpdate(key,
-      spark.read.parquet(key.map(rel => s"$root/$rel"): _*))
+    readMemo.getOrElseUpdate(key, {
+      // Manifest-declared schema skips footer inference on every read; a
+      // bucketed segment additionally carries the tombstone + seq columns
+      // (its B= partition dir is addressed directly, so no partition
+      // column materializes). Old manifests without a DDL infer.
+      val reader = spark.read
+      val withSchema =
+        if (e.schemaDDL.isEmpty) reader
+        else {
+          val clean = org.apache.spark.sql.types.StructType.fromDDL(e.schemaDDL)
+          val full =
+            if (key.head.contains(s"/$B=")) clean.add(DEAD, "int").add(SEQ, "long")
+            else clean
+          reader.schema(full)
+        }
+      withSchema.parquet(key.map(rel => s"$root/$rel"): _*)
+    })
   }
 
   /** Latest-segment-wins per merge key over a chained read, tombstones
@@ -360,7 +385,7 @@ final class ParquetStore(
     * pass a filter that keeps or drops whole merge-key chains. */
   private def readEntry(e: Entry, paths: Seq[String], layered: Boolean)(
       preFilter: DataFrame => DataFrame = identity): DataFrame = {
-    val raw = preFilter(readPaths(paths))
+    val raw = preFilter(readPaths(paths, e))
     if (layered && e.mergeKeys.nonEmpty) resolveChains(raw, e.mergeKeys).drop(DEAD)
     else raw.drop(DEAD, SEQ)
   }
@@ -404,8 +429,10 @@ final class ParquetStore(
     if (!prunable) resolvedSemi(e.allPaths, e.layered)
     else {
       // dedupe driver-side: keyDf is small by contract, and skipping the
-      // distinct saves a shuffle round per slice
-      val touched = keyDf.select(bucketOf(e.bucketKeys).as(B))
+      // distinct saves a shuffle round per slice. For a collected local
+      // pin the projection folds to a LocalRelation — no job at all.
+      val touched = org.apache.spark.sql.GraftColumnOps.uncoalesced(keyDf)
+        .select(bucketOf(e.bucketKeys).as(B))
         .collect().map(_.getInt(0)).toSet
       val sel = e.chains.view.filterKeys(touched).toMap
       val paths = sel.values.flatten.toSeq
@@ -486,8 +513,18 @@ final class ParquetStore(
 
   private def putPlain(name: String, df: DataFrame, keys: Seq[String]): Unit = {
     val rel = segDir(name, nextSegVersion())
-    df.write.mode("overwrite").parquet(s"$root/$rel")
-    publish(name, Entry(Map(Whole -> List(rel)), keys, Seq.empty, dirBytes(rel)))
+    // A state KNOWN small (prior version under the single-segment
+    // threshold) rewrites as one file: a default-parallelism write spreads
+    // a few MB over 32 near-empty files, tripling both the write wall and
+    // every later read's open cost. First-time writes (unknown size) keep
+    // the plan's parallelism.
+    val sized = lookup(name) match {
+      case Some(e) if e.bytes > 0 && e.bytes < smallStateBytes => df.coalesce(1)
+      case _                                                   => df
+    }
+    sized.write.mode("overwrite").parquet(s"$root/$rel")
+    publish(name, Entry(Map(Whole -> List(rel)), keys, Seq.empty, dirBytes(rel),
+      df.schema.toDDL))
   }
 
   override def put(name: String, df: DataFrame): Unit =
@@ -515,7 +552,7 @@ final class ParquetStore(
         // empty segment so the schema stays readable
         if (found.isEmpty) putPlain(name, df.limit(0), bucketKeys)
         else publish(name, Entry(found.view.mapValues(List(_)).toMap,
-          bucketKeys, Seq.empty, dirBytes(rel)))
+          bucketKeys, Seq.empty, dirBytes(rel), df.schema.toDDL))
     }
 
   /** Bucket subdirectories actually written by a partitionBy job (empty
@@ -563,7 +600,8 @@ final class ParquetStore(
       // derive them from it.
       val (touched, pinned) = Ivm.timed(s"m.touched $name") {
         if (keyHint != null)
-          (keyHint.select(bucketOf(bKeys).as(B)).collect().map(_.getInt(0)).toSet,
+          (org.apache.spark.sql.GraftColumnOps.uncoalesced(keyHint)
+            .select(bucketOf(bKeys).as(B)).collect().map(_.getInt(0)).toSet,
             None)
         else {
           val up = updated.withColumn(B, bucketOf(bKeys)).cache()
@@ -603,7 +641,7 @@ final class ParquetStore(
             b -> (p :: e.chains.getOrElse(b, Nil))
           }
           publish(name, Entry(chains, bKeys, mergeKeys,
-            e.bytes + dirBytes(rel)))
+            e.bytes + dirBytes(rel), e.schemaDDL))
         } else {
           val oldPaths = sel.values.flatten.toSeq
           val newRows = {
@@ -626,7 +664,8 @@ final class ParquetStore(
             touched.flatMap(b => written.get(b).map(b -> List(_)))
           if (merged.isEmpty) putPlain(name, newRows.limit(0), bKeys)
           else publish(name, Entry(merged, bKeys, mergeKeys,
-            merged.values.flatten.toSeq.distinct.map(dirBytes).sum))
+            merged.values.flatten.toSeq.distinct.map(dirBytes).sum,
+            e.schemaDDL))
         }
       } finally pinned.foreach(_.unpersist())
     }

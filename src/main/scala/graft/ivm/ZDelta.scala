@@ -84,7 +84,34 @@ object ZDelta {
         * join and never builds the retract/assert output plan — a
         * measurable slice of the per-batch planning floor. Interior
         * aggregates are unaffected (their ΔV feeds the parent). */
-      needTopDelta: Boolean = true) {
+      needTopDelta: Boolean = true,
+      /** > 0 enables the SMALL-BATCH LOCAL path: [[pin]] collects frames
+        * up to this many rows into driver-side [[LocalRelation]]s instead
+        * of checkpointing. Every pinned frame is O(touched) and the engine
+        * already broadcasts them all — "fits a broadcast" and "fits the
+        * driver" are the same assumption, Spark's own broadcast exchange
+        * collects to the driver first. The payoff is per-batch job count:
+        * Catalyst folds projections/filters over local relations
+        * (ConvertToLocalRelation), so touched-bucket collects, broadcast
+        * builds, and changelog derivations stop scheduling Spark jobs.
+        * [[Ivm]] sets this only after verifying the batch's delta tables
+        * are under `graft.localBatchRows`; a pin that still exceeds the
+        * cap falls back to the checkpoint path. 0 = always checkpoint
+        * (the large-batch distributed path). */
+      localCap: Int = 0,
+      /** Fired as each [[StateUpdate]] is queued (after it lands in
+        * [[updates]]). [[Ivm.refresh]] uses it to submit the state commit
+        * CONCURRENTLY with the remaining plan construction — a state's
+        * merge I/O overlaps the planning of its siblings instead of
+        * waiting for the whole delta plan. Callers owning the hook must
+        * drain their commits before the store transaction closes. null =
+        * no hook (callers commit from [[updates]] at the end). */
+      onUpdate: StateUpdate => Unit = null) {
+    /** Queue a state update and fire [[onUpdate]]. */
+    def queue(u: StateUpdate): Unit = {
+      updates += u
+      if (onUpdate != null) onUpdate(u)
+    }
     /** Analyzed output schema of subtree `q`, memoized across refreshes
       * (see [[schemaMemo]]). Keyed structurally (`q.toString`) so shared
       * subtrees dedupe and distinct views in one shared-group Ctx never
@@ -120,7 +147,11 @@ object ZDelta {
         sys.props.getOrElse("graft.pinMode", "lazy") match {
           case "cache" => df.cache()
           case "eager" => df.localCheckpoint(true)
-          case _       => df.localCheckpoint(false)
+          case _ if localCap > 0 =>
+            // small-batch path: one plain collect to a LocalRelation (the
+            // batch gate already bounds O(touched) frames)
+            Ivm.toLocal(df)
+          case _ => df.localCheckpoint(false)
         }
       }
       pins += c; c
@@ -293,8 +324,8 @@ object ZDelta {
           case None =>
             adj.select(cols.map(col) :+ col("__ivm_adj").as(HCOUNT): _*)
         }
-        ctx.updates += StateUpdate(p, cols, newTotals, keyHint = adj,
-          alive = col(HCOUNT) =!= 0)
+        ctx.queue(StateUpdate(p, cols, newTotals, keyHint = adj,
+          alive = col(HCOUNT) =!= 0))
       }
     }
 
@@ -578,8 +609,8 @@ object ZDelta {
               .as(HCOUNT) :+
             coalesce(col(HCOUNT), lit(0)).as("__ivm_oldcnt")): _*)
         val updC = ctx.pin(upd, cntPath + ".upd")
-        ctx.updates += StateUpdate(cntPath, keys,
-          updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj)
+        ctx.queue(StateUpdate(cntPath, keys,
+          updC.select((keys.map(col) :+ col(HCOUNT)): _*), keyHint = adj))
         // (ii) died keys: preserved rows re-enter anti (+multiplicity each)
         val died = updC.where(col("__ivm_oldcnt") > 0 && col(HCOUNT) <= 0)
           .select(keys.map(col): _*)
@@ -688,14 +719,14 @@ object ZDelta {
       // unions sketches, and a guarded delete raises.
       case AggSpec.ApproxPercentile(e, _, k, n) =>
         val d = e.cast("double")
-        Seq(graft.functions.Kll.agg(when(w > 0, d), k).as(adj(Eval.physExt(n))),
+        Seq(graft.functions.Kll.aggW(when(w > 0, d), w, k).as(adj(Eval.physExt(n))),
             sum(when(d.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
             sum(when(d.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
               .as(hllNegGuard(n)))
       // Frequent-items sketch: same insert-only discipline.
       case AggSpec.ApproxTopK(e, _, m, n) =>
         val t = e.cast("string")
-        Seq(graft.functions.Freq.agg(when(w > 0, t), m).as(adj(Eval.physExt(n))),
+        Seq(graft.functions.Freq.aggW(when(w > 0, t), w, m).as(adj(Eval.physExt(n))),
             sum(when(t.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))),
             sum(when(t.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
               .as(hllNegGuard(n)))
@@ -761,8 +792,8 @@ object ZDelta {
             .select((auxKeys.map(col) :+
               (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
                 .as(HCOUNT)): _*))
-        ctx.updates += StateUpdate(auxPath, auxKeys, updatedAux, auxBucketKeys,
-          keyHint = if (keys.nonEmpty) touched else dAux)
+        ctx.queue(StateUpdate(auxPath, auxKeys, updatedAux, auxBucketKeys,
+          keyHint = if (keys.nonEmpty) touched else dAux))
 
         // alive values of touched groups after this batch =
         //   (old aux rows of touched groups) minus touched pairs,
@@ -887,7 +918,7 @@ object ZDelta {
     } :+ accumulate(HCOUNT)
 
     val updated = joined.select((keys.map(col) ++ newPhys): _*)
-    ctx.updates += StateUpdate(path, keys, updated, keyHint = touched)
+    ctx.queue(StateUpdate(path, keys, updated, keyHint = touched))
 
     // Caller discards the top ΔV — return a never-executed placeholder
     // instead of planning the retract/assert union.

@@ -91,8 +91,15 @@ object IvmProbe {
       case `deltaTable` => Some(spark.read.parquet(deltaDir))
       case _            => None
     }
-    time("create")(Ivm.create("bench_v", view,
-      Fixtures.base(spark, sfDir), store))
+    // SPARK_GRAFT_DECLARE=true declares the single fed table (as the bench
+    // does) — skips the delta-accumulator maintenance a multi-table feed
+    // would need.
+    if (sys.env.get("SPARK_GRAFT_DECLARE").contains("true"))
+      time("create")(Ivm.create("bench_v", view,
+        Fixtures.base(spark, sfDir), store, deltaTables = Set(deltaTable)))
+    else
+      time("create")(Ivm.create("bench_v", view,
+        Fixtures.base(spark, sfDir), store))
     // SPARK_GRAFT_PIN_DV=true uses refresh() (pins + materializes ΔV
     // before commits) instead of refreshState() — measures whether one
     // up-front materialization beats lazy shared-cache contention.

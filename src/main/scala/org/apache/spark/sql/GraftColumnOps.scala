@@ -20,6 +20,26 @@ object GraftColumnOps {
       else s.stripPrefix("`").stripSuffix("`")
   }
 
+  /** Unwrap a `coalesce(1)` put on a LocalRelation-backed frame (the IVM
+    * small-batch pins): returns the frame WITHOUT the Repartition node so
+    * that pure projections over it constant-fold to a LocalRelation
+    * (ConvertToLocalRelation) and collect() driver-side with no Spark job
+    * — the Repartition in between otherwise blocks the fold. Identity for
+    * any other plan shape. */
+  def uncoalesced(df: DataFrame): DataFrame = df.queryExecution.logical match {
+    case catalyst.plans.logical.Repartition(1, false, child) =>
+      classic.Dataset.ofRows(
+        df.sparkSession.asInstanceOf[classic.SparkSession], child)
+    case _ => df
+  }
+
+  /** True when the frame's optimized plan is already a LocalRelation —
+    * the IVM small-batch path then skips collect jobs entirely (its
+    * evaluation is a driver-side constant fold). */
+  def foldsToLocal(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan
+      .isInstanceOf[catalyst.plans.logical.LocalRelation]
+
   /** Wrap an (unresolved) Catalyst expression as a public Column. Needed
     * where `Expression.sql` does not round-trip through the parser — e.g.
     * window expressions with an unspecified frame print the internal
