@@ -614,6 +614,17 @@ object SparkEntry {
         ops.Multimodal.fakeMediaFromDocs(tbl(s, dir, "documents")), everyN = 2)
         .withColumn("frame_payload", col("frame_payload").cast("string"))),
 
+    // REAL image decode (JDK javax.imageio, no external libs): encode a
+    // deterministic grayscale PNG per doc, DECODE it back, and gate the
+    // per-image pixel-luminance histogram. PNG is lossless and the pixel
+    // function is pure arithmetic, so DuckDB verifies the decoded pixels
+    // by recomputing the arithmetic over range()-generated coordinates —
+    // a wrong decode (or a byte-level fake) hash-mismatches immediately.
+    "q121_multimodal_decode" -> ((s, dir) =>
+      ops.Multimodal.pixelHistogram(
+        ops.Multimodal.syntheticImages(tbl(s, dir, "documents"), w = 16, h = 12))
+        .where(col("bin_count") > 0)),
+
     // Sessionization: 30-minute-gap sessions per user via window functions
     // (lag + running sum). ts stays integer nanos end-to-end; session
     // bounds exported as epoch micros BIGINT for cross-engine parity.
@@ -2015,6 +2026,46 @@ object SparkEntry {
       c.read("down119")
     }),
 
+    // CDC UPDATES INTO A SKETCH VIEW: a Debezium-shaped log whose `u` ops
+    // expand into retraction ⊎ assertion (Cdc.toDeltas) maintains an
+    // APPROX_COUNT_DISTINCT view — the retraction-hit groups' HLL sketches
+    // rebuild from the post-batch child (O(touched groups), not O(state)),
+    // so the composition round 3 flagged as fatal is now first-class. The
+    // oracle checks the exact counts AND gates the estimate within 5%.
+    "q120_ivm_cdc_sketch" -> ((s, dir) => {
+      val store = new MemStore
+      val (_, v) = graft.ivm.SqlFrontend.createImmv(s,
+        """CREATE IMMV q120 AS
+           SELECT event_type,
+                  APPROX_COUNT_DISTINCT(user_id) AS approx_users,
+                  COUNT(DISTINCT user_id) AS exact_users,
+                  COUNT(*) AS n
+           FROM events GROUP BY event_type""")
+      Ivm.create("q120", v, base(s, dir), store)
+      // Debezium envelope derived deterministically from the base parquet:
+      // even %37 rows are updates (user_id += 1e6), odd %37 rows deletes,
+      // %59 rows inserts of a fresh user (full row images, as Debezium
+      // emits them).
+      val ev = Fixtures.tbl(s, dir, "events") // ts normalized like base()
+      def img(uidShift: Long) = struct(col("event_id"), col("ts"),
+        (col("user_id") + uidShift).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+      val nullImg = when(lit(false), img(0)) // typed NULL image
+      val upd = ev.where(col("event_id") % 37 === 0 && col("event_id") % 2 === 0)
+        .select(lit("u").as("op"), img(0).as("before"), img(1000000L).as("after"))
+      val del = ev.where(col("event_id") % 37 === 0 && col("event_id") % 2 =!= 0)
+        .select(lit("d").as("op"), img(0).as("before"), nullImg.as("after"))
+      val ins = ev.where(col("event_id") % 59 === 0)
+        .select(lit("c").as("op"), nullImg.as("before"), img(2000000L).as("after"))
+      val delta = graft.sources.Cdc.toDeltas(upd.unionByName(del).unionByName(ins))
+      Ivm.refreshState("q120", v, base(s, dir),
+        t => if (t == "events") Some(delta) else None, store)
+      Ivm.read("q120", v, store).select(col("event_type"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("est_ok"),
+        col("exact_users"), col("n"))
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3118,6 +3169,25 @@ object SparkEntry {
                  CAST(COUNT(*) AS BIGINT) AS hours
           FROM up GROUP BY 1""",
 
+    "q120_ivm_cdc_sketch" ->
+      """WITH ins AS (
+            SELECT event_type, user_id FROM events
+            UNION ALL
+            SELECT event_type, user_id + 1000000 AS user_id FROM events
+            WHERE event_id % 37 = 0 AND event_id % 2 = 0
+            UNION ALL
+            SELECT event_type, user_id + 2000000 AS user_id FROM events
+            WHERE event_id % 59 = 0
+          ), del AS (
+            SELECT event_type, user_id FROM events WHERE event_id % 37 = 0
+          ), applied AS (
+            SELECT * FROM ins EXCEPT ALL SELECT * FROM del
+          )
+          SELECT event_type, TRUE AS est_ok,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM applied GROUP BY 1""",
+
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
@@ -3999,6 +4069,15 @@ object SparkEntry {
            substr(text, CAST(frame_idx * flen + 1 AS INT), CAST(flen AS INT))
              AS frame_payload
          FROM f""",
+
+    // pixelHistogram mirror: PNG is lossless, pixels are pure arithmetic —
+    // DuckDB recomputes the decoded histogram from the formula alone.
+    "q121_multimodal_decode" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(((d.doc_id * 31 + 7 * x.x + 13 * y.y) % 256) // 16 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS bin_count
+         FROM documents d, range(0, 16) x(x), range(0, 12) y(y)
+         GROUP BY 1, 2""",
 
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -141,7 +141,15 @@ object ZDelta {
       * ContextCleaner once the refresh drops them; unpersist() on them is
       * a harmless no-op. Like any localCheckpoint, losing an executor
       * mid-refresh fails the batch (retry the refresh) rather than
-      * recomputing lineage — acceptable for a maintenance loop. */
+      * recomputing lineage — acceptable for a maintenance loop under low
+      * churn, and the small-batch local path sidesteps it entirely (pins
+      * live on the driver). For clusters with dynamic allocation /
+      * preemption, `-Dgraft.pinMode=reliable` pins via RELIABLE
+      * checkpoint instead: blocks persist to the context's checkpoint
+      * directory (HDFS/S3-compatible), so an executor loss mid-refresh
+      * degrades to a re-read, not a failed batch. Requires
+      * `sparkContext.setCheckpointDir` (fails fast otherwise); costs one
+      * distributed write per pin — the price of the durability. */
     def pin(df: DataFrame, tag: String = "?"): DataFrame = {
       val c = Ivm.timed(s"pin $tag") {
         sys.props.getOrElse("graft.pinMode", "lazy") match {
@@ -149,8 +157,14 @@ object ZDelta {
           case "eager" => df.localCheckpoint(true)
           case _ if localCap > 0 =>
             // small-batch path: one plain collect to a LocalRelation (the
-            // batch gate already bounds O(touched) frames)
+            // batch gate already bounds O(touched) frames). Driver-resident,
+            // so it needs no executor durability — reliable mode keeps it.
             Ivm.toLocal(df)
+          case "reliable" =>
+            require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+              "graft.pinMode=reliable needs sparkContext.setCheckpointDir " +
+                "(an HDFS/S3-compatible path) before refresh")
+            df.checkpoint(false)
           case _ => df.localCheckpoint(false)
         }
       }
@@ -179,7 +193,10 @@ object ZDelta {
     * without crossing a stateful node (stateful nodes read their own
     * state), THEMSELVES declared (a never-delta'd table is never stale),
     * and with a declared table on the OPPOSITE side (only an other-side
-    * delta ever reads this side's current content). */
+    * delta ever reads this side's current content). Tables feeding a
+    * SKETCH-bearing aggregate also accumulate: the retraction fallback
+    * rebuilds touched groups from `currentW(child)`, which must compose
+    * every previously applied delta, not just the create-time snapshot. */
   private[ivm] def accTables(q: IvmQuery, declared: Set[String]): Set[String] = {
     def linear(n: IvmQuery): Set[String] = n match {
       case Scan(t)            => Set(t)
@@ -203,7 +220,10 @@ object ZDelta {
       case Scan(_)            => Set.empty
       case Filter(c, _)       => accTables(c, declared)
       case Project(c, _)      => accTables(c, declared)
-      case Aggregate(c, _, _) => accTables(c, declared)
+      case Aggregate(c, _, aggs) =>
+        val own = if (aggs.exists(isSketch)) linear(c) & declared
+                  else Set.empty[String]
+        own ++ accTables(c, declared)
       case Union(l, r)        => accTables(l, declared) ++ accTables(r, declared)
       case Join(l, r, _)      => joinAcc(l, r)
       case LeftJoin(l, r, _)  => joinAcc(l, r)
@@ -668,12 +688,71 @@ object ZDelta {
   private def deltaAggregate(agg: Aggregate, ctx: Ctx, path: String): DataFrame = {
     val Aggregate(child, keys, aggs) = agg
     val d0 = delta(child, ctx, path + ".0")
+    val sketchSpecs = aggs.filter(isSketch)
     // Child delta feeds the main adjustment plus one aux pipeline per
-    // MIN/MAX spec — pin it once.
-    val d = if (aggs.exists(AggSpec.needsAux)) ctx.pin(d0, path + ".d") else d0
+    // MIN/MAX spec (and the sketch retraction probe) — pin it once.
+    val d = if (aggs.exists(AggSpec.needsAux) || sketchSpecs.nonEmpty)
+      ctx.pin(d0, path + ".d") else d0
     val w = col(WEIGHT)
     def bcast(df: DataFrame): DataFrame =
       if (ctx.broadcastDeltas) broadcast(df) else df
+
+    // ---- sketch retraction fallback: a deletion cannot fold into an HLL /
+    // KLL / frequent-items sketch (registers are max-aggregates), but it
+    // need not kill the view either — REBUILD only the retraction-hit
+    // groups' sketches from the post-batch child relation. Post-batch child
+    // = current(child) ⊎ Δ(child): `currentW` composes the create-time base
+    // snapshot with every previously applied delta (accumulators / interior
+    // states), so the rebuild is correct across batches; the key filter
+    // pushes below the consolidation groupBy (all its columns are grouping
+    // columns) and on into the base scans, so the cost is O(touched groups'
+    // child rows) — never a full child rescan. The probe is one driver-side
+    // head(1) over the (already pinned, usually LocalRelation) delta, so
+    // the steady-state insert-only plan is unchanged and a batch with no
+    // sketch-hitting deletions pays nothing. This unblocks CDC update feeds
+    // (Cdc.toDeltas expands `u` into retraction ⊎ assertion) driving
+    // APPROX_* views — HLL rebuild is bit-identical to recompute (register
+    // union is order-free); KLL/frequent-items agree within their
+    // documented error bounds.
+    val sketchRebuild: Option[DataFrame] =
+      if (sketchSpecs.isEmpty) None
+      else {
+        val negCond = (w < 0) &&
+          sketchSpecs.map(a => AggSpec.expr(a).get.isNotNull).reduce(_ || _)
+        if (d.where(negCond).head(1).isEmpty) None
+        else {
+          val cur = currentW(child, ctx, path + ".0")
+          val rowCols = cur.columns.filterNot(_ == WEIGHT).toSeq
+          val all = cur.unionByName(d.select(cur.columns.map(col): _*))
+          val scoped =
+            if (keys.isEmpty) all
+            else {
+              val rk = ctx.pin(
+                d.where(negCond).select(keys.map(col): _*).distinct(),
+                path + ".sketchrk")
+              filterByKeys(all, rk, keys, hint = bcast)
+            }
+          val net = scoped.groupBy(rowCols.map(col): _*).agg(sum(w).as(WEIGHT))
+            .where(col(WEIGHT) > 0)
+          val sketchAggs: Seq[Column] = sketchSpecs.map {
+            case AggSpec.ApproxCountDistinct(e, lgK, n) =>
+              // duplicates don't move HLL registers — no weight expansion
+              hll_sketch_agg(e, lgK).as(rebuiltExt(n))
+            case AggSpec.ApproxPercentile(e, _, k, n) =>
+              graft.functions.Kll.aggW(e.cast("double"), col(WEIGHT), k)
+                .as(rebuiltExt(n))
+            case AggSpec.ApproxTopK(e, _, m, n) =>
+              graft.functions.Freq.aggW(e.cast("string"), col(WEIGHT), m)
+                .as(rebuiltExt(n))
+            case other => sys.error(s"not a sketch aggregate: $other")
+          }
+          Some(ctx.pin(
+            if (keys.isEmpty) net.agg(sketchAggs.head, sketchAggs.tail: _*)
+            else net.groupBy(keys.map(col): _*)
+              .agg(sketchAggs.head, sketchAggs.tail: _*),
+            path + ".sketchrb"))
+        }
+      }
 
     // Signed per-group adjustments of the physical state columns.
     // MIN/MAX contribute only their non-null count here — the extremum
@@ -853,9 +932,17 @@ object ZDelta {
     // Attach the recomputed extrema (one tiny frame per MIN/MAX spec).
     // A global newExt aggregate always yields exactly one row (possibly
     // null extremum), so crossJoin is safe.
-    val joined0 = newExtFrames.foldLeft(joined1) { case (acc, (_, newExt, _)) =>
+    val joinedExt = newExtFrames.foldLeft(joined1) { case (acc, (_, newExt, _)) =>
       if (keys.isEmpty) acc.crossJoin(newExt)
       else leftOuterByKeys(acc, newExt, keys, hint = bcast)
+    }
+    // Attach rebuilt sketches of retraction-hit groups (absent in the
+    // common insert-only batch; a global rebuild is always exactly 1 row).
+    val joined0 = sketchRebuild match {
+      case None => joinedExt
+      case Some(rb) =>
+        if (keys.isEmpty) joinedExt.crossJoin(rb)
+        else leftOuterByKeys(joinedExt, rb, keys, hint = bcast)
     }
     // With the top ΔV discarded the state update is the ONLY consumer —
     // no pin, no output plan (see Ctx.needTopDelta).
@@ -879,25 +966,31 @@ object ZDelta {
         Seq(col(s"__ivm_newext_${a.name}").as(Eval.physExt(a.name)),
           accumulate(Eval.physNn(a.name)))
       // HLL sketch: union registers (either side may be NULL — a group new
-      // to the state, or a batch whose rows are all NULL / other groups);
-      // a guarded delete raises instead of silently under-counting.
+      // to the state, or a batch whose rows are all NULL / other groups).
+      // A retraction-hit group takes its REBUILT sketch (see sketchRebuild
+      // above); the raise branch only remains for the probe-said-no case,
+      // where it can never fire (the guard is a subset of the probe).
       case AggSpec.ApproxCountDistinct(_, _, n) =>
         val ext = Eval.physExt(n)
         val (old, aj) = (col(ext), col(adj(ext)))
-        val merged = when(col(hllNegGuard(n)) > 0,
-          raise_error(lit(s"IVM: APPROX_COUNT_DISTINCT ('$n') is " +
-            "insert-only — an HLL sketch cannot fold a deletion; use " +
-            "COUNT(DISTINCT ...) when the feed retracts")).cast("binary"))
+        val onRetract = sketchRebuild match {
+          case Some(_) => col(rebuiltExt(n))
+          case None => raise_error(lit(s"IVM: APPROX_COUNT_DISTINCT ('$n') " +
+            "hit a deletion the retraction probe missed")).cast("binary")
+        }
+        val merged = when(col(hllNegGuard(n)) > 0, onRetract)
           .otherwise(when(aj.isNull, old)
             .otherwise(when(old.isNull, aj).otherwise(hll_union(old, aj))))
         Seq(merged.as(ext), accumulate(Eval.physNn(n)))
       case AggSpec.ApproxPercentile(_, _, _, n) =>
         val ext = Eval.physExt(n)
         val (old, aj) = (col(ext), col(adj(ext)))
-        val merged = when(col(hllNegGuard(n)) > 0,
-          raise_error(lit(s"IVM: APPROX_PERCENTILE ('$n') is " +
-            "insert-only — a KLL sketch cannot fold a deletion; use " +
-            "PERCENTILE(...) when the feed retracts")).cast("binary"))
+        val onRetract = sketchRebuild match {
+          case Some(_) => col(rebuiltExt(n))
+          case None => raise_error(lit(s"IVM: APPROX_PERCENTILE ('$n') " +
+            "hit a deletion the retraction probe missed")).cast("binary")
+        }
+        val merged = when(col(hllNegGuard(n)) > 0, onRetract)
           .otherwise(when(aj.isNull, old)
             .otherwise(when(old.isNull, aj)
               .otherwise(graft.functions.Kll.merge(old, aj))))
@@ -905,11 +998,12 @@ object ZDelta {
       case AggSpec.ApproxTopK(_, _, _, n) =>
         val ext = Eval.physExt(n)
         val (old, aj) = (col(ext), col(adj(ext)))
-        val merged = when(col(hllNegGuard(n)) > 0,
-          raise_error(lit(s"IVM: APPROX_TOP_K ('$n') is " +
-            "insert-only — a frequent-items sketch cannot fold a " +
-            "deletion; maintain exact counts when the feed retracts"))
-            .cast("binary"))
+        val onRetract = sketchRebuild match {
+          case Some(_) => col(rebuiltExt(n))
+          case None => raise_error(lit(s"IVM: APPROX_TOP_K ('$n') " +
+            "hit a deletion the retraction probe missed")).cast("binary")
+        }
+        val merged = when(col(hllNegGuard(n)) > 0, onRetract)
           .otherwise(when(aj.isNull, old)
             .otherwise(when(old.isNull, aj)
               .otherwise(graft.functions.Freq.merge(old, aj))))
@@ -942,7 +1036,16 @@ object ZDelta {
   }
 
   private def adj(phys: String) = s"__ivm_d_$phys"
-  /** Count of (forbidden) negative-weight rows hitting an insert-only
-    * sketch state (HLL or KLL). */
+  /** Count of negative-weight rows hitting a sketch state (HLL/KLL/freq) —
+    * > 0 routes the group to its rebuilt sketch. */
   private def hllNegGuard(n: String) = s"__ivm_hllneg_$n"
+  /** Rebuilt-from-post-batch sketch column of a retraction-hit group. */
+  private def rebuiltExt(n: String) = s"__ivm_rb_$n"
+  /** Sketch-state aggregates (insert-optimized; deletions trigger a
+    * touched-group rebuild instead of folding into the sketch). */
+  private def isSketch(a: AggSpec): Boolean = a match {
+    case _: AggSpec.ApproxCountDistinct | _: AggSpec.ApproxPercentile |
+         _: AggSpec.ApproxTopK => true
+    case _ => false
+  }
 }

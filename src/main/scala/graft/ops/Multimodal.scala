@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * run as BATCHED per-partition operators.
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape,
-  * operator signatures — is real and tested. The codec itself is a STUB
-  * (`FakeCodec`): this container has no image/audio libraries, so decode
-  * produces a deterministic byte-histogram "feature vector" and metadata
-  * passthrough. Swapping in a real codec (JNI/opencv/ffmpeg) changes ONE
-  * function and nothing about the distributed shape.
+  * operator signatures — is real and tested. IMAGES decode for real:
+  * [[ImageCodec]] wraps the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF,
+  * zero external dependencies), so pixel-level feature extraction and
+  * resize are genuine. Audio/video codecs remain a STUB ([[FakeCodec]]):
+  * this container has no media libraries beyond the JDK; swapping in a
+  * real one (JNI/ffmpeg) changes ONE function and nothing about the
+  * distributed shape.
   *
   * Scale design: payloads dominate row size, so operators (a) never
   * shuffle payload bytes — feature extraction projects payloads away
@@ -60,6 +62,86 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------ the REAL codec
+
+  /** Real image codec over the JDK's `javax.imageio` — decodes/encodes
+    * PNG, JPEG, BMP, GIF with zero external dependencies. Executor-side
+    * only (called inside mapPartitions); all methods are pure. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Formats `javax.imageio` handles; others fall back to [[FakeCodec]]. */
+    val Formats: Set[String] = Set("png", "jpeg", "jpg", "bmp", "gif")
+
+    /** Decode a payload; None when the bytes are not a readable image
+      * (ImageIO.read returns null on unrecognized input). */
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Encode as lossless PNG. */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic grayscale PNG: pixel (x, y) has luminance
+      * `pix(x, y) & 0xff` in all three channels. Lossless, so a decode
+      * round-trips the exact pixel function — the oracle for the gated
+      * pixel-histogram query recomputes the same arithmetic without ever
+      * touching bytes. */
+    def synthPng(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pix(x, y) & 0xff
+          img.setRGB(x, y, v * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** 16-bin luminance histogram counts of a decoded image (luminance =
+      * (r + g + b) / 3, integer division — equals the gray value for
+      * grayscale pixels). */
+    def lumaHistogram(img: BufferedImage): Array[Long] = {
+      val hist = new Array[Long](FakeCodec.FeatureDim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          hist(luma / FakeCodec.FeatureDim) += 1
+          x += 1
+        }
+        y += 1
+      }
+      hist
+    }
+
+    /** Real resize: decode, scale with bilinear interpolation, re-encode
+      * PNG. None when the payload is not a decodable image. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decode(payload).map { img =>
+        val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodePng(scaled)
+      }
+  }
+
   // ------------------------------------------------------ synthetic media
 
   /** Deterministic fake media table derived from `documents` (the repo has
@@ -76,11 +158,34 @@ object Multimodal {
         (col("n_chars") % 48 + 16).cast("int").as("height"),
         (col("doc_id") % 7 + 1).cast("int").as("n_frames")).as("meta"))
 
+  /** Deterministic real-PNG media table: one `w`×`h` grayscale image per
+    * doc, pixel (x, y) = (doc_id·31 + 7x + 13y) mod 256. The pixels are a
+    * pure arithmetic function, and PNG is lossless — so an oracle can
+    * verify DECODED pixel statistics by recomputing the arithmetic,
+    * without an image library of its own. */
+  def syntheticImages(docs: DataFrame, w: Int = 16, h: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val png = ImageCodec.synthPng(w, h,
+          (x, y) => ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+        (id, png)
+      })
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("png").as("format"), lit(w).as("width"),
+          lit(h).as("height"), lit(1).as("n_frames")).as("meta"))
+  }
+
   // -------------------------------------------------- batched operators
 
   /** Feature extraction: decode each payload (batched) → fixed-dim float
     * vector. Output drops the payload — downstream stages shuffle only
-    * id + features + meta, never bytes. */
+    * id + features + meta, never bytes. Payloads whose format claims an
+    * image and whose bytes DECODE get a real pixel-luminance histogram
+    * ([[ImageCodec]]); everything else falls back to the byte-histogram
+    * stub (the audio/video placeholder). */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -92,14 +197,49 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, payload, format) =>
-            (id, format, payload.length, FakeCodec.features(payload))
+            val real =
+              if (ImageCodec.Formats(format)) ImageCodec.decode(payload)
+              else None
+            val feats = real match {
+              case Some(img) =>
+                val hist = ImageCodec.lumaHistogram(img)
+                val n = math.max(hist.sum, 1L).toFloat
+                hist.map(_ / n)
+              case None => FakeCodec.features(payload)
+            }
+            (id, format, payload.length, feats)
           }
         }
       }
       .toDF("media_id", "format", "n_bytes", "features")
   }
 
-  /** STUB resize: rewrites payload + metadata to the target box.
+  /** Decoded pixel-luminance histogram — one row per (media_id, bin) with
+    * the RAW pixel count, for exact cross-engine gating: on
+    * [[syntheticImages]] input the counts are a pure function of doc_id,
+    * so the oracle recomputes them arithmetically. Fails loudly on an
+    * undecodable payload (a silent skip would fake coverage). */
+  def pixelHistogram(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, payload) =>
+          val img = ImageCodec.decode(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"pixelHistogram: media_id=$id payload is not a decodable image"))
+          ImageCodec.lumaHistogram(img).zipWithIndex.map {
+            case (c, bin) => (id, bin, c)
+          }
+        })
+      }
+      .toDF("media_id", "bin", "bin_count")
+  }
+
+  /** Resize to the target box. Decodable images resize for REAL (bilinear
+    * scale, re-encoded PNG via [[ImageCodec]]); other payloads keep the
+    * stub's proportional truncation (the audio/video placeholder).
     * Typed mapPartitions (not .rdd): rows stay Tungsten-encoded with no
     * Row-boxing round trip, matching [[extractFeatures]]. */
   def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
@@ -110,7 +250,12 @@ object Multimodal {
       .as[(Long, Array[Byte], String, Int, Int, Int)]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { case (id, payload, fmt, w0, h0, nf) =>
-          (id, FakeCodec.resize(payload, w0, h0, w, h), fmt, nf)
+          val out =
+            (if (ImageCodec.Formats(fmt)) ImageCodec.resize(payload, w, h)
+             else None)
+              .getOrElse(FakeCodec.resize(payload, w0, h0, w, h))
+          val outFmt = if (ImageCodec.Formats(fmt)) "png" else fmt
+          (id, out, outFmt, nf)
         })
       }
       .toDF("media_id", "payload", "format", "n_frames")

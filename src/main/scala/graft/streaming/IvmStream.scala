@@ -214,6 +214,77 @@ object IvmStream {
       }
   }
 
+  /** Per-group output of [[statefulAggTtl]]: the running (sum, count) of
+    * the group, or its tombstone (`expired = true`, count 0) when the TTL
+    * reclaimed the state. */
+  final case class TtlAggUpdate(
+      key: String, sum: Option[Double], count: Long, expired: Boolean)
+
+  /** Weighted running aggregate with EVENT-TIME TTL state eviction — the
+    * 100 TB knob for UNBOUNDED key domains that [[statefulAgg]] (a plain
+    * streaming groupBy, whose state store grows with every distinct key
+    * forever) and [[windowedAgg]] (watermark eviction, but only for
+    * window-keyed groups) cannot cover: session/user/document keys that
+    * keep arriving but individually go cold.
+    *
+    * State per group is the linear (Σv·w, non-null count, Σw) triple;
+    * each batch folds its weighted rows and re-arms an event-time timeout
+    * at (group's max observed event time + ttl). Once the stream's
+    * watermark passes that, Spark reclaims the state and one tombstone row
+    * (`expired = true`) is emitted — downstream sinks can drop the group.
+    * A key recurring AFTER expiry restarts from zero: eviction is a
+    * deliberate forget, the same contract as any TTL'd state store.
+    *
+    * Input schema: key STRING, v DOUBLE, ts TIMESTAMP, MULT BOOLEAN.
+    * Update output mode; requires the returned query's sink to accept
+    * updates. */
+  def statefulAggTtl(
+      deltaStream: DataFrame,
+      keyCol: String,
+      valCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      ttlMillis: Long): org.apache.spark.sql.Dataset[TtlAggUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = deltaStream.sparkSession
+    import spark.implicits._
+    // cast BEFORE the watermark: re-projecting the event-time column after
+    // withWatermark strips the watermark tag and fails analysis
+    val rows = deltaStream
+      .select(col(keyCol).cast("string"), col(valCol).cast("double"),
+        col(tsCol).cast("timestamp").as(tsCol), col(MULT))
+      .withWatermark(tsCol, watermarkDelay)
+      .as[(String, Option[Double], java.sql.Timestamp, Boolean)]
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Long, Long), TtlAggUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, batch, state: GroupState[(Double, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(TtlAggUpdate(key, None, 0L, expired = true))
+          } else {
+            var (sum, nn, n) = state.getOption.getOrElse((0d, 0L, 0L))
+            var maxTs = Long.MinValue
+            batch.foreach { case (_, v, ts, isInsert) =>
+              val w = if (isInsert) 1L else -1L
+              v.foreach { x => sum += x * w; nn += w }
+              n += w
+              if (ts != null) maxTs = math.max(maxTs, ts.getTime)
+            }
+            state.update((sum, nn, n))
+            // re-arm: the group lives ttl past its newest event. Timeout
+            // timestamps must stay ahead of the current watermark — clamp
+            // to watermark + 1ms for a batch of only-late rows.
+            val arm = math.max(
+              if (maxTs == Long.MinValue) 0L else maxTs + ttlMillis,
+              state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(arm)
+            Iterator.single(TtlAggUpdate(key,
+              if (nn > 0) Some(sum) else None, n, expired = false))
+          }
+      }
+  }
+
   /** Event-time tumbling-window aggregation with watermark-bounded state —
     * the streaming form of the `q29_events_hourly` batch query. Late rows
     * beyond `watermarkDelay` are dropped and their state reclaimed: the

@@ -735,7 +735,7 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
       Seq("a", 3.0, 4.7, 4L), Seq("b", 20.0, 28.0, 3L)))
   }
 
-  test("APPROX_COUNT_DISTINCT maintains an HLL sketch; insert-only, deletes raise") {
+  test("APPROX_COUNT_DISTINCT maintains an HLL sketch; deletes rebuild the group") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_hll AS
          SELECT g, APPROX_COUNT_DISTINCT(v) AS au, COUNT(*) AS n
@@ -772,20 +772,20 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertRows(Ivm.read("sql_hll", q, store)
         .where(org.apache.spark.sql.functions.col("g") === "b"),
       Set(Seq("b", 2L, 3L)))
-    // a delete cannot fold into HLL registers — loud rejection, not drift
+    // a delete cannot fold into HLL registers — the touched group's
+    // sketch REBUILDS from the post-batch rows instead (round 4)
     val del: String => Option[org.apache.spark.sql.DataFrame] = {
       case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
         Seq(Row("a", 1, false))))
       case _ => None
     }
-    val e = intercept[Exception] {
-      Ivm.refreshState("sql_hll", q, base, del, store)
-    }
-    assert(e.getMessage != null && e.getMessage.contains("insert-only"),
-      s"wrong error: ${e.getMessage}")
+    Ivm.refreshState("sql_hll", q, base, del, store)
+    // one copy of (a,1) removed: a still holds {1,2,3} (au 3), n drops
+    assertRows(Ivm.read("sql_hll", q, store), Set(
+      Seq("a", 3L, 4L), Seq("b", 2L, 3L), Seq("c", 1L, 1L)))
   }
 
-  test("APPROX_PERCENTILE maintains a KLL sketch; insert-only, deletes raise") {
+  test("APPROX_PERCENTILE maintains a KLL sketch; deletes rebuild the group") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_kll AS
          SELECT g, APPROX_PERCENTILE(v, 0.5) AS p50, COUNT(*) AS n
@@ -815,20 +815,20 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     // INCLUSIVE criteria: the smallest observed value with rank ≥ p
     assertRows(Ivm.read("sql_kll", q, store), Set(
       Seq("a", 3.0, 6L), Seq("b", 20.0, 4L), Seq("c", 7.0, 1L)))
-    // a delete cannot fold into a KLL sketch — loud rejection, not drift
+    // a delete cannot fold into a KLL sketch — the touched group's
+    // sketch REBUILDS from the post-batch rows instead (round 4); the
+    // quantile visibly moves (a: {1,2,4,5,6} → p50 = 4)
     val del: String => Option[org.apache.spark.sql.DataFrame] = {
       case "t" => Some(df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
         Seq(Row("a", 3, false))))
       case _ => None
     }
-    val e = intercept[Exception] {
-      Ivm.refreshState("sql_kll", q, base, del, store)
-    }
-    assert(e.getMessage != null && e.getMessage.contains("insert-only"),
-      s"wrong error: ${e.getMessage}")
+    Ivm.refreshState("sql_kll", q, base, del, store)
+    assertRows(Ivm.read("sql_kll", q, store), Set(
+      Seq("a", 4.0, 5L), Seq("b", 20.0, 4L), Seq("c", 7.0, 1L)))
   }
 
-  test("APPROX_TOP_K maintains a frequent-items sketch; insert-only, deletes raise") {
+  test("APPROX_TOP_K maintains a frequent-items sketch; deletes rebuild the group") {
     val (_, q) = SqlFrontend.createImmv(spark,
       """CREATE IMMV sql_freq AS
          SELECT g, APPROX_TOP_K(v, 2) AS hh, COUNT(*) AS n
@@ -858,17 +858,18 @@ class SqlFrontendSpec extends AnyFunSuite with SparkTestBase {
     assertRows(Ivm.read("sql_freq", q, store), Set(
       Seq("a", Seq("y", "x"), 6L), Seq("b", Seq("q"), 2L),
       Seq("c", Seq("m"), 1L)))
-    // a delete cannot fold into the counters — loud rejection, not drift
+    // a delete cannot fold into the counters — the touched group's
+    // sketch REBUILDS from the post-batch rows instead (round 4); the
+    // deleted value's LAST copy vanishing must drop it from the list
     val del: String => Option[org.apache.spark.sql.DataFrame] = {
       case "t" => Some(df(s"g STRING, v STRING, ${IvmCore.MULT} BOOLEAN",
-        Seq(Row("a", "x", false))))
+        Seq(Row("a", "z", false))))
       case _ => None
     }
-    val e = intercept[Exception] {
-      Ivm.refreshState("sql_freq", q, base, del, store)
-    }
-    assert(e.getMessage != null && e.getMessage.contains("insert-only"),
-      s"wrong error: ${e.getMessage}")
+    Ivm.refreshState("sql_freq", q, base, del, store)
+    assertRows(Ivm.read("sql_freq", q, store), Set(
+      Seq("a", Seq("y", "x"), 5L), Seq("b", Seq("q"), 2L),
+      Seq("c", Seq("m"), 1L)))
   }
 
   test("unsupported SQL raises like the reference's NotImplementedException") {

@@ -351,4 +351,47 @@ class IvmStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.contains(Seq("2026-01-01 01:00:00", "click", 2L, 3.0)))
     assert(rows.contains(Seq("2026-01-01 02:00:00", "view", 1L, 5.0)))
   }
+
+  test("statefulAggTtl: cold group state is EVICTED past the TTL") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Double, java.sql.Timestamp, Boolean)]
+    val df = mem.toDF().toDF("g", "v", "ts", IvmCore.MULT)
+    // watermark 5 min behind max event time; state lives 10 min past the
+    // group's newest event
+    val agg = IvmStream.statefulAggTtl(df, "g", "v", "ts",
+      watermarkDelay = "5 minutes", ttlMillis = 10 * 60 * 1000L)
+    val query = agg.writeStream.format("memory")
+      .queryName("ttl_stream").outputMode("update").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: a and b at 01:00 (watermark → 00:55)
+    mem.addData(("a", 2.0, ts(1, 0), true), ("a", 3.0, ts(1, 0), true),
+      ("b", 7.0, ts(1, 0), true))
+    query.processAllAvailable()
+    // batch 2: only b stays warm at 01:30 (watermark → 01:25 > a's 01:10
+    // timeout arm) — a's state must be reclaimed and tombstoned
+    mem.addData(("b", 1.0, ts(1, 30), true))
+    query.processAllAvailable()
+    // batch 3: advance watermark past b's own re-arm AND re-feed a — it
+    // must restart FROM ZERO (sum 9, not 5+9): eviction is a real forget
+    mem.addData(("a", 9.0, ts(2, 0), true))
+    query.processAllAvailable()
+    query.stop()
+
+    val updates = s.table("ttl_stream").collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getLong(2), r.getBoolean(3)))
+    // a: initial sum 5, then tombstone, then fresh sum 9 after re-feed
+    val aSeq = updates.filter(_._1 == "a").toSeq
+    assert(aSeq.contains(("a", Some(5.0), 2L, false)), s"got $aSeq")
+    assert(aSeq.contains(("a", None, 0L, true)), s"no tombstone: $aSeq")
+    assert(aSeq.contains(("a", Some(9.0), 1L, false)),
+      s"state not forgotten: $aSeq")
+    // b was re-armed by its 01:30 row, so it survived batch 2's watermark
+    // (01:25) and accumulated across both batches
+    val bSeq = updates.filter(_._1 == "b").toSeq
+    assert(bSeq.contains(("b", Some(8.0), 2L, false)), s"got $bSeq")
+  }
 }
