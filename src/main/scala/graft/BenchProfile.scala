@@ -59,11 +59,15 @@ object BenchProfile {
       refresh()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"== refresh $i wall $wall%.3f s, ${jobs.size} jobs, " +
-        f"sum-job ${jobs.map(_._2).sum}%.3f s")
+        f"sum-job ${jobs.map(_._2).sum}%.3f s, tpl hits=" +
+        s"${org.apache.spark.sql.GraftTemplates.hits} misses=" +
+        s"${org.apache.spark.sql.GraftTemplates.misses}")
       jobs.sortBy(-_._2).take(12).foreach { case (id, s, d) =>
         println(f"   job $id%3d $s%6.3f s  ${d.take(90)}")
       }
     }
+    println("== last substituted plan ==")
+    println(org.apache.spark.sql.GraftTemplates.lastPlanDump)
     spark.stop()
   }
 

@@ -429,18 +429,25 @@ object Ivm {
     * distributed path). The size probe is a separate count() — a
     * limit-guarded collect looks cheaper but pays CollectLimit's
     * incremental partition scale-up (several jobs) on every call. */
-  private[ivm] def collectLocal(df: DataFrame, cap: Int): Option[DataFrame] =
-    if (org.apache.spark.sql.GraftColumnOps.foldsToLocal(df))
-      Some(df.coalesce(1)) // already local (e.g. a cascade changelog feed)
-    else {
-      // single-pass size probe + collect: head(cap+1) is one job for the
-      // common case (a small delta file); an over-cap batch pays a few
-      // scale-up jobs before falling back to the distributed path
-      val rows = df.head(cap + 1)
-      if (rows.length > cap) None
-      else Some(df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema).coalesce(1))
+  private[ivm] def collectLocal(df: DataFrame, cap: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.GraftTemplates
+    df.queryExecution.optimizedPlan match {
+      // already local (e.g. a cascade changelog feed): re-tag so the frame
+      // is a plan-template substitution point, not a per-batch literal
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(GraftTemplates.taggedLocal(df.sparkSession,
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(l.output), l.data).coalesce(1))
+      case _ =>
+        // single-pass size probe + collect: executeTake(cap+1) is one job
+        // for the common case (a small delta file); an over-cap batch pays
+        // a few scale-up jobs before falling back to the distributed path
+        val rows = df.queryExecution.executedPlan.executeTake(cap + 1)
+        if (rows.length > cap) None
+        else Some(GraftTemplates.taggedLocal(
+          df.sparkSession, df.schema, rows).coalesce(1))
     }
+  }
 
   /** Collect a frame the caller already gated as small (every pinned
     * intermediate is O(touched) of a gated batch) — one plain collect, no
@@ -450,11 +457,22 @@ object Ivm {
     * a 32-partition micro-shuffle — measured ~5× per action on a 15k-row
     * frame. Joins against big relations still broadcast the local side,
     * so nothing downstream collapses onto one task. */
-  private[ivm] def toLocal(df: DataFrame): DataFrame =
-    if (org.apache.spark.sql.GraftColumnOps.foldsToLocal(df))
-      df.coalesce(1) // pure projection over an earlier local pin — free
-    else df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema).coalesce(1)
+  private[ivm] def toLocal(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftTemplates
+    df.queryExecution.optimizedPlan match {
+      // pure projection over an earlier local pin — the fold already ran
+      // driver-side; re-tag the result as a fresh substitution point
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        GraftTemplates.taggedLocal(df.sparkSession,
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(l.output), l.data).coalesce(1)
+      case _ =>
+        // template-cached execution: the pin's plan structure repeats every
+        // batch with fresh leaf data, so after batch 1 this skips Catalyst
+        GraftTemplates.taggedLocal(df.sparkSession, df.schema,
+          GraftTemplates.collect(df).toSeq).coalesce(1)
+    }
+  }
 
   /** Delta resolver for one batch that swaps each table's delta for a
     * collected LocalRelation when it fits [[localBatchRows]] — memoized so
@@ -524,14 +542,17 @@ object Ivm {
       case _ => ()
     }
     val q = stripRead(q0) // TopK decorates reads; maintenance is the child's
-    // State commits launch EAGERLY as ZDelta queues them: a state's merge
-    // I/O overlaps the planning of its siblings (the per-batch floor is
-    // driver-side, so the executors are idle while plans build). No pin
-    // barrier is needed: state reads resolved their (immutable) snapshot
-    // at plan-build time — MemStore hands out localCheckpointed frames,
-    // ParquetStore resolves manifest paths — so a commit can never be
-    // observed by a sibling's plan, and inside store.transaction the
-    // flips publish atomically at the end.
+    // State commits run AFTER the whole delta plan is built (then in
+    // parallel with each other). They must NOT launch eagerly as ZDelta
+    // queues them: delta construction reads PRE-batch state snapshots
+    // lazily — a join's second term resolves the first side's aggregate
+    // state AFTER that state's update was queued, and the outer-join rules
+    // read the match-count state they just updated — so a commit landing
+    // mid-construction (MemStore replaces the entry; ParquetStore's open
+    // transaction serves staged flips to same-txn reads) silently feeds
+    // POST-batch state into the remaining delta terms. With commits now
+    // driver-direct (~10 ms for small states) the lost planning/IO overlap
+    // is noise; correctness is not.
     val pending = new java.util.concurrent.ConcurrentLinkedQueue[
       scala.concurrent.Future[Unit]]()
     val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
@@ -541,8 +562,10 @@ object Ivm {
       stateOpt = p => store.get(stateName(view, p)),
       schemaMemo = schemaMemoFor(store, view),
       needTopDelta = needDelta,
-      localCap = pinCap(deltas, q.tables),
-      onUpdate = u => pending.add(scala.concurrent.Future(
+      localCap = pinCap(deltas, q.tables))
+    /** Submit every queued state commit (parallel; statePool). */
+    def submitCommits(): Unit = ctx.updates.foreach(u =>
+      pending.add(scala.concurrent.Future(
         timed(s"merge ${u.path}")(
           commitUpdate(store, stateName(view, u.path), u)))(statePool)))
     // A batch that touches none of the view's base tables is a no-op —
@@ -571,10 +594,12 @@ object Ivm {
         // batch's join terms read current sides from them.
         ZDelta.queueAccUpdates(q, ctx, declared)
         // Pin ΔV before the top merge reads it — the pinned frame survives
-        // the pins-unpersist below.
+        // the pins-unpersist below. The ΔV pin executes BEFORE commits
+        // launch: its plan reads the same pre-batch state snapshots.
         val dv = if (needDelta) {
           val c = dv0.cache(); c.count(); c
         } else dv0
+        submitCommits()
         drain()
         // SPJ views: fold ΔV into the stored multiset.
         q match {

@@ -511,20 +511,146 @@ final class ParquetStore(
     sz(Paths.get(s"$root/$rel"))
   }
 
+  /** Row cap of the driver-direct segment write: a "known small" state
+    * (bytes under [[smallStateBytes]]) virtually always fits; the cap only
+    * bounds the driver collect when one batch grows a state explosively. */
+  private val localPutRows = 1 << 18
+
   private def putPlain(name: String, df: DataFrame, keys: Seq[String]): Unit = {
-    val rel = segDir(name, nextSegVersion())
     // A state KNOWN small (prior version under the single-segment
-    // threshold) rewrites as one file: a default-parallelism write spreads
-    // a few MB over 32 near-empty files, tripling both the write wall and
-    // every later read's open cost. First-time writes (unknown size) keep
-    // the plan's parallelism.
-    val sized = lookup(name) match {
-      case Some(e) if e.bytes > 0 && e.bytes < smallStateBytes => df.coalesce(1)
-      case _                                                   => df
+    // threshold) takes the DRIVER-DIRECT write: execute the merge plan
+    // once (executeTake), write ONE parquet file from the driver via
+    // Spark's own ParquetWriteSupport — identical bytes to a distributed
+    // write, but no per-write Spark job and no Hadoop commit protocol
+    // (~150-250 ms of fixed overhead per state per batch, the dominant
+    // slice of the small-batch refresh floor). The rows in hand then also
+    // serve every subsequent read of this segment as a LocalRelation
+    // (readMemo pre-population) — state slices in the NEXT batch plan with
+    // no scan job. First-time writes (unknown size) keep the distributed
+    // path and its parallelism.
+    val knownSmall = lookup(name).exists(e => e.bytes > 0 && e.bytes < smallStateBytes)
+    val local =
+      if (knownSmall || org.apache.spark.sql.GraftColumnOps.foldsToLocal(df))
+        org.apache.spark.sql.GraftTemplates.collectCapped(df, localPutRows)
+      else None
+    local match {
+      case Some(rows) =>
+        putLocalRows(name, df.schema, rows.toSeq, keys)
+      case None =>
+        val rel = segDir(name, nextSegVersion())
+        df.write.mode("overwrite").parquet(s"$root/$rel")
+        publish(name, Entry(Map(Whole -> List(rel)), keys, Seq.empty,
+          dirBytes(rel), df.schema.toDDL))
     }
-    sized.write.mode("overwrite").parquet(s"$root/$rel")
-    publish(name, Entry(Map(Whole -> List(rel)), keys, Seq.empty, dirBytes(rel),
-      df.schema.toDDL))
+  }
+
+  /** Driver-direct segment publish: one parquet file written from the
+    * driver, plus a readMemo LocalRelation so every subsequent read of the
+    * segment is job-free. Nullability is relaxed to match what a parquet
+    * read reports. */
+  private def putLocalRows(name: String,
+      schema0: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      keys: Seq[String]): Unit = {
+    val rel = segDir(name, nextSegVersion())
+    val schema = org.apache.spark.sql.GraftLocalIO.nullable(schema0)
+    Files.createDirectories(Paths.get(s"$root/$rel"))
+    val ddl = schema.toDDL
+    val bytes = org.apache.spark.sql.GraftLocalIO.writeParquet(
+      spark, schema, rows, s"$root/$rel/part-00000-graft.parquet")
+    publish(name, Entry(Map(Whole -> List(rel)), keys, Seq.empty, bytes, ddl))
+    // Same schema the read path would apply (manifest DDL round-trip), so
+    // downstream plans see identical types with or without the memo.
+    // Tagged: the NEXT batch's plans treat this state read as a template
+    // substitution point; SinglePartition → joins over it plan
+    // exchange-free.
+    readMemo(List(rel)) = org.apache.spark.sql.GraftTemplates.taggedLocal(
+      spark, org.apache.spark.sql.types.StructType.fromDDL(ddl), rows)
+      .coalesce(1)
+  }
+
+  /** Rows of a state whose current segment is driver-resident (written by
+    * [[putLocalRows]]); None when the state lives distributed or layered. */
+  private def localRowsOf(e: Entry): Option[
+      (org.apache.spark.sql.types.StructType,
+       Seq[org.apache.spark.sql.catalyst.InternalRow])] =
+    if (e.layered || e.chains.size != 1 || !e.chains.contains(Whole)) None
+    else readMemo.get(e.allPaths.distinct.sorted).flatMap { df =>
+      df.queryExecution.logical match {
+        case org.apache.spark.sql.catalyst.plans.logical.Repartition(1, false,
+            l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) =>
+          Some((org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(l.output), l.data))
+        case _ => None
+      }
+    }
+
+  /** Key types the driver-side merge can hash exactly like Spark's
+    * null-safe join equality: atomic values whose `equals`/`hashCode` are
+    * value-based (UTF8String, Decimal — same scale on both sides by the
+    * aligning cast — primitives; NaN boxes equal; -0.0 normalized; binary
+    * wrapped as a Seq). Anything else falls back to the Spark-plan merge. */
+  private def driverKeySafe(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.GraftLocalIO.isAtomic(dt)
+
+  /** Small-state merge ENTIRELY on the driver: one (template-cached) Spark
+    * action computes the aligned updated rows + liveness flag; the keyed
+    * replace old∖upd ∪ alive(upd) runs as a hash-map pass over
+    * driver-resident rows; the new segment writes driver-direct. Replaces
+    * a 4-join/2-exchange Spark plan per state per batch — the dominant
+    * remaining slice of the small-batch refresh floor. Returns false when
+    * preconditions fail (state not driver-resident, exotic key type,
+    * result over the collect cap) — caller falls back to the plan merge. */
+  private def mergeSmallDriver(name: String, e: Entry, updated: DataFrame,
+      mergeKeys: Seq[String], alive: Column, bKeys: Seq[String]): Boolean = {
+    if (mergeKeys.isEmpty) return false
+    localRowsOf(e) match {
+      case Some((schema, oldRows))
+          if mergeKeys.forall(k => schema.fieldNames.contains(k) &&
+            driverKeySafe(schema(k).dataType)) =>
+        val n = schema.length
+        val aligned = updated.select(schema.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)) :+
+          alive.cast("boolean").as("__ivm_alive"): _*)
+        org.apache.spark.sql.GraftTemplates
+          .collectCapped(aligned, localPutRows) match {
+          case None => false
+          case Some(updRows) =>
+            val types = schema.map(_.dataType)
+            val keyIdx = mergeKeys.map(schema.fieldIndex)
+            def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Seq[Any] =
+              keyIdx.map { i =>
+                if (r.isNullAt(i)) null
+                else r.get(i, types(i)) match {
+                  case d: java.lang.Double if d == 0.0 => 0.0 // -0.0 ≡ 0.0
+                  case f: java.lang.Float if f == 0.0f => 0.0f
+                  case b: Array[Byte]                  => b.toSeq
+                  case v                               => v
+                }
+              }
+            val m = new java.util.LinkedHashMap[Seq[Any],
+              org.apache.spark.sql.catalyst.InternalRow]
+            oldRows.foreach(r => m.put(keyOf(r), r))
+            updRows.foreach { r =>
+              val live = !r.isNullAt(n) && r.getBoolean(n)
+              val vals = Array.tabulate[Any](n)(i =>
+                if (r.isNullAt(i)) null else r.get(i, types(i)))
+              val row = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(vals)
+              val k = keyOf(row)
+              if (live) m.put(k, row) else m.remove(k)
+            }
+            if (m.size > localPutRows) return false
+            val merged = {
+              val b = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+              m.values.forEach(r => b += r)
+              b.result()
+            }
+            putLocalRows(name, schema, merged, bKeys)
+            true
+        }
+      case _ => false
+    }
   }
 
   override def put(name: String, df: DataFrame): Unit =
@@ -589,10 +715,12 @@ final class ParquetStore(
       s"IVM state '$name' not found — was Ivm.create run for this view?"))
     if (mergeKeys.isEmpty || buckets == 1 || e.bytes < smallStateBytes ||
         e.chains.contains(Whole) || e.bucketKeys != bKeys) {
-      // small state (or layout mismatch): ONE whole-rewrite query; putKeyed
-      // re-decides the layout, so a state that grows past the threshold
-      // converts to bucketed on its next write
-      super.merge(name, updated, mergeKeys, alive, bKeys, keyHint)
+      // small state (or layout mismatch): driver-side keyed merge when the
+      // current segment is driver-resident, else ONE whole-rewrite query;
+      // putKeyed re-decides the layout, so a state that grows past the
+      // threshold converts to bucketed on its next write
+      if (!mergeSmallDriver(name, e, updated, mergeKeys, alive, bKeys))
+        super.merge(name, updated, mergeKeys, alive, bKeys, keyHint)
     } else {
       // Touched buckets from the cheap keyHint when provided (a cached
       // superset of updated's keys — a superset only costs an extra

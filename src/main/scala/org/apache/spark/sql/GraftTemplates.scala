@@ -1,0 +1,319 @@
+package org.apache.spark.sql
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
+
+/** Compiled delta-plan templates — the per-batch Catalyst amortizer for the
+  * IVM maintenance loop.
+  *
+  * A maintained view's refresh runs a dozen small driver actions per batch
+  * (pin collects, state-merge computations). Their plan STRUCTURE is
+  * batch-invariant — only the delta rows and the small-state contents
+  * change — yet each action re-pays analysis, optimization, physical
+  * planning and codegen lookup (~50-100 ms each), which IS the fixed
+  * refresh floor at small batch sizes (README "refresh floor" profile).
+  *
+  * This executor caches the PHYSICAL plan per structure and re-executes it
+  * with fresh data: every engine-created LocalRelation (delta collects,
+  * pins, small-state reads) is tagged with a param id in its attribute
+  * metadata; `collect` canonicalizes the analyzed plan with LocalRelation
+  * data stripped into a cache key, and on a hit substitutes the current
+  * rows into the cached plan's `LocalTableScanExec` leaves (matched by
+  * param POSITION in the canonical traversal — identical structure implies
+  * identical traversal) and calls `executeCollect`. Only analysis is paid
+  * per batch; optimization, planning and codegen are amortized across the
+  * view's lifetime. Parquet leaves stay in the template by path — base
+  * snapshots are immutable under the maintenance contract, and their
+  * broadcast futures are deliberately REUSED across batches (same bytes,
+  * one build). Any state whose layout changes (small → bucketed) changes
+  * the leaf set, hence the key, hence falls back to a fresh build.
+  *
+  * Templates compile in a cloned session with data-dependent optimizations
+  * disabled, so a plan built from batch-1 data stays valid for any later
+  * batch:
+  *   - ConvertToLocalRelation / PropagateEmptyRelation (would fold or drop
+  *     subtrees based on the build batch's rows),
+  *   - OptimizeOneRowPlan / EliminateLimits (exploit maxRows of the build
+  *     batch),
+  *   - AQE (re-plans per execution — the opposite of a template) and DPP
+  *     (irrelevant for unpartitioned snapshot dirs).
+  * An untagged LocalRelation (a literal table) cannot be substituted, so
+  * its DATA is digested into the key instead — equal key ⇒ equal rows ⇒
+  * reusing the build-time rows is sound.
+  *
+  * 100 TB note: templates only serve the small-batch local path (the
+  * caller gates on `graft.localBatchRows`); large batches take fresh
+  * plans where planning cost is noise against data cost. The win scales
+  * with VIEW COUNT — hundreds of maintained views × a dozen actions ×
+  * ~70 ms is exactly the driver bottleneck a single-driver cluster hits.
+  */
+object GraftTemplates {
+
+  /** Attribute-metadata key carrying a param id on engine-created locals. */
+  val PID = "graft.pid"
+
+  private val nextId = new AtomicLong()
+  private final case class Template(plan: SparkPlan, paramIds: Seq[Long])
+  private val cache = TrieMap.empty[String, Template]
+  // one conf-pinned clone per session, for template compilation
+  private val tplSessions = TrieMap.empty[SparkSession, classic.SparkSession]
+  @volatile var hits: Long = 0L
+  @volatile var misses: Long = 0L
+
+  // set true if the template session's rule exclusions prove ineffective
+  // (see the self-check in sessionFor) — templates then disable entirely
+  @volatile private var selfCheckFailed = false
+
+  private def enabled: Boolean =
+    !selfCheckFailed && !sys.props.get("graft.planTemplates").contains("false")
+
+  /** LocalRelation-backed frame whose attributes carry a fresh param id —
+    * the substitution point marker. All engine-created locals (delta
+    * collects, pins, small-state segments) are built through this. */
+  def taggedLocal(spark: SparkSession, schema: StructType,
+      rows: Seq[InternalRow]): DataFrame = {
+    val pid = nextId.incrementAndGet()
+    val attrs = DataTypeUtils.toAttributes(schema).map { a =>
+      a.withMetadata(new MetadataBuilder().withMetadata(a.metadata)
+        .putLong(PID, pid).build()).asInstanceOf[AttributeReference]
+    }
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      LocalRelation(attrs, rows))
+  }
+
+  /** Re-tag an existing local-backed frame (dev/spike helper). */
+  def tag(df: DataFrame): DataFrame = {
+    val (schema, rows) = df.queryExecution.optimizedPlan match {
+      case l: LocalRelation => (DataTypeUtils.fromAttributes(l.output), l.data)
+      case _ => (df.schema,
+        df.queryExecution.executedPlan.executeCollect().toSeq)
+    }
+    taggedLocal(df.sparkSession, schema, rows).coalesce(1)
+  }
+
+  private def pidOf(attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Long] =
+    attrs.headOption.filter(_.metadata.contains(PID)).map(_.metadata.getLong(PID))
+
+  /** Structural cache key: the analyzed plan with LocalRelation data
+    * stripped and attribute metadata cleared, canonicalized (normalizes
+    * exprIds), plus a leaf descriptor line pinning file-source paths (the
+    * canonical form does not print them) and digests of untagged local
+    * data. */
+  def cacheKey(analyzed: LogicalPlan): String = {
+    val stripped = analyzed.transform {
+      case l: LocalRelation => l.copy(data = Nil)
+    }.transformAllExpressions {
+      case a: AttributeReference if a.metadata != Metadata.empty =>
+        a.withMetadata(Metadata.empty).asInstanceOf[AttributeReference]
+    }
+    val leaves = analyzed.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => "fs:" + fs.location.rootPaths.mkString(",")
+        case o                    => "rel:" + o.toString
+      }
+      case l: LocalRelation if pidOf(l.output).isEmpty =>
+        // untagged literal table: rows are part of the structure
+        "lit:" + l.output.map(_.dataType.sql).mkString(",") + ":" +
+          l.data.map(_.hashCode()).hashCode()
+      case l: LocalRelation => "param:" + l.output.map(_.dataType.sql).mkString(",")
+      case o => "leaf:" + o.nodeName
+    }.mkString("|")
+    stripped.canonicalized.toString + "\n##" + leaves
+  }
+
+  /** The conf-pinned session templates compile under. */
+  private def sessionFor(spark: SparkSession): classic.SparkSession =
+    tplSessions.getOrElseUpdate(spark, {
+      val s = spark.asInstanceOf[classic.SparkSession].cloneSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      s.conf.set("spark.sql.optimizer.excludedRules", Seq(
+        "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation",
+        "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation",
+        "org.apache.spark.sql.catalyst.optimizer.OptimizeOneRowPlan",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateLimits").mkString(","))
+      // small-batch actions aggregate O(touched) rows — one reducer beats
+      // 32 near-empty shuffle partitions (AQE is off in this session)
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      // The engine's broadcast() hints exist for the DISTRIBUTED path
+      // (never shuffle a base table against a delta). Here they force a
+      // BroadcastExchange — an extra job per join — onto joins whose local
+      // sides are already SinglePartition and would otherwise plan
+      // exchange-free. Drop the hints and let size stats decide: local ⋈
+      // local collapses into one stage, local ⋈ parquet still broadcasts
+      // the small side by its stats.
+      s.conf.set("spark.sql.optimizer.disableHints", "true")
+      // an un-coalesced LocalTableScan otherwise parallelizes a few
+      // thousand rows over `defaultParallelism` (= all cores) partitions —
+      // 32 no-op tasks per stage is most of the small-action latency
+      s.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+      // CORRECTNESS: a ReusedExchange/ReusedSubquery holds a FIELD
+      // reference (not a child) to another exchange instance, which
+      // substitution cannot rewrite — it would replay the build batch's
+      // rows. Plans must contain only real exchanges.
+      s.conf.set("spark.sql.exchangeReuseEnabled", "false")
+      s.conf.set("spark.sql.execution.reuseSubquery", "false")
+      // SELF-CHECK: the soundness of every template rests on the optimizer
+      // NOT baking param data into the plan. If a Spark version makes
+      // ConvertToLocalRelation or PropagateEmptyRelation non-excludable,
+      // a Filter over a param would fold its build rows into the leaf —
+      // undetectable at substitution time (attrs unchanged). Probe both
+      // rules once; on failure disable templates entirely (fail safe).
+      val probeSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.IntegerType)))
+      val twoRows: Seq[InternalRow] = Seq(1, 2).map(i =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i)))
+      val foldProbe = s.withActive {
+        classic.Dataset.ofRows(s,
+          taggedLocal(s, probeSchema, twoRows)
+            .where(functions.col("a") < 2).queryExecution.analyzed)
+          .queryExecution.optimizedPlan
+      }
+      val emptyProbe = s.withActive {
+        classic.Dataset.ofRows(s,
+          taggedLocal(s, probeSchema, Nil)
+            .join(taggedLocal(s, probeSchema, twoRows), Seq("a"))
+            .queryExecution.analyzed)
+          .queryExecution.optimizedPlan
+      }
+      if (foldProbe.isInstanceOf[LocalRelation] ||
+          emptyProbe.isInstanceOf[LocalRelation]) {
+        selfCheckFailed = true
+        System.err.println("graft: plan-template rule exclusions ineffective " +
+          "on this Spark version — templates disabled (fresh plans per batch)")
+      }
+      s
+    })
+
+  /** Params (tagged LocalRelations) in deterministic traversal order. */
+  private def paramsOf(analyzed: LogicalPlan): Seq[(Long, Seq[InternalRow])] =
+    analyzed.collect {
+      case l: LocalRelation if pidOf(l.output).isDefined =>
+        (pidOf(l.output).get, l.data)
+    }
+
+  private def substituted(tpl: Template,
+      params: Seq[(Long, Seq[InternalRow])]): SparkPlan = {
+    // positional mapping: build-time param i ↔ current param i
+    val rowsByBuildId = tpl.paramIds.zip(params.map(_._2)).toMap
+    tpl.plan.transformUp {
+      case l: LocalTableScanExec =>
+        pidOf(l.output).flatMap(rowsByBuildId.get) match {
+          case Some(rows) => l.copy(rows = rows)
+          case None       => l.copy() // untagged: key pinned identical rows
+        }
+    }
+  }
+
+  /** Execute `df` through the template cache; falls back to a plain
+    * executeCollect when disabled. Returns InternalRows (safe copies). */
+  def collect(df: DataFrame): Array[InternalRow] =
+    run(df, p => p.executeCollect())
+
+  /** Template-cached executeTake: rows if at most `cap`, else None. */
+  def collectCapped(df: DataFrame, cap: Int): Option[Array[InternalRow]] = {
+    val rows = run(df, p => p.executeTake(cap + 1))
+    if (rows.length > cap) None else Some(rows)
+  }
+
+  // dev instrumentation (enable with -Dgraft.timing=true)
+  private def t[A](tag: String)(f: => A): A =
+    if (!sys.props.get("graft.timing").contains("true")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"        [tpl] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+
+  private def run(df: DataFrame,
+      exec: SparkPlan => Array[InternalRow]): Array[InternalRow] = {
+    if (!enabled) return exec(df.queryExecution.executedPlan)
+    val spark = df.sparkSession
+    val analyzed = t("analyze")(df.queryExecution.analyzed)
+    // RDD-backed leaves (localCheckpoint pins on the distributed path) have
+    // per-batch identities — a template could never be reused, and caching
+    // one per batch would just grow the cache. Execute plainly.
+    if (analyzed.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+      return exec(df.queryExecution.executedPlan)
+    if (cache.size > 2048) clear() // runaway-key backstop; templates rebuild
+    val params = paramsOf(analyzed)
+    val key = t("key")(cacheKey(analyzed))
+    val tplSession = sessionFor(spark)
+    val tpl = cache.get(key) match {
+      case Some(t) if t.plan == null => // untemplatable structure
+        return exec(df.queryExecution.executedPlan)
+      case Some(t) if t.paramIds.length == params.length =>
+        hits += 1; t
+      case _ =>
+        misses += 1
+        val phys = tplSession.withActive {
+          classic.Dataset.ofRows(tplSession, analyzed)
+            .queryExecution.executedPlan
+        }
+        // SOUNDNESS GATE: every param must survive into the physical plan
+        // as a substitutable LocalTableScanExec with its attrs intact. A
+        // param can instead be swallowed whole — most commonly by the
+        // shared CacheManager swapping a canonically-equal subtree for an
+        // InMemoryRelation holding the BUILD batch's materialized rows
+        // (e.g. the engine caches ΔV; a later action embeds the same
+        // subtree) — or reshaped by a fold that bakes build data into the
+        // leaf. Executing such a "template" would silently replay build
+        // rows, so the key is tombstoned and this structure always
+        // executes fresh.
+        val physPidLeaves = phys.collect {
+          case l: LocalTableScanExec if pidOf(l.output).isDefined => l
+        }
+        val analyzedAttrs: Map[Long, Seq[String]] = analyzed.collect {
+          case l: LocalRelation if pidOf(l.output).isDefined =>
+            pidOf(l.output).get -> l.output.map(a => a.name + ":" + a.dataType.sql)
+        }.toMap
+        val sound =
+          physPidLeaves.flatMap(l => pidOf(l.output)).toSet == params.map(_._1).toSet &&
+          physPidLeaves.forall { l =>
+            analyzedAttrs.get(pidOf(l.output).get)
+              .contains(l.output.map(a => a.name + ":" + a.dataType.sql))
+          }
+        val t = if (sound) Template(phys, params.map(_._1))
+                else Template(null, Nil)
+        cache.put(key, t)
+        if (!sound) return exec(df.queryExecution.executedPlan)
+        t
+    }
+    val fresh = t("subst")(substituted(tpl, params))
+    lastPlanDump = fresh.toString
+    val out = t("exec")(tplSession.withActive { exec(fresh) })
+    if (sys.props.get("graft.planTemplates.verify").contains("true")) {
+      val ref = df.queryExecution.executedPlan.executeCollect()
+      val a = out.map(_.toString).sorted.toSeq
+      val b = ref.map(_.toString).sorted.toSeq
+      if (a != b) {
+        println(s"=== TEMPLATE MISMATCH (tpl ${a.length} rows, ref ${b.length}) ===")
+        println(s"--- tpl-only: ${a.diff(b).take(5)}")
+        println(s"--- ref-only: ${b.diff(a).take(5)}")
+        println(s"--- substituted plan:\n$fresh")
+        println(s"--- reference plan:\n${df.queryExecution.executedPlan}")
+        throw new IllegalStateException("graft template mismatch")
+      }
+    }
+    out
+  }
+
+  /** Last substituted physical plan (dev diagnostics only). */
+  @volatile var lastPlanDump: String = ""
+
+  /** Drop every cached template (tests; or after a base-table swap). */
+  def clear(): Unit = { cache.clear(); hits = 0; misses = 0 }
+}
