@@ -542,30 +542,29 @@ object Ivm {
       case _ => ()
     }
     val q = stripRead(q0) // TopK decorates reads; maintenance is the child's
-    // State commits run AFTER the whole delta plan is built (then in
-    // parallel with each other). They must NOT launch eagerly as ZDelta
-    // queues them: delta construction reads PRE-batch state snapshots
-    // lazily — a join's second term resolves the first side's aggregate
-    // state AFTER that state's update was queued, and the outer-join rules
-    // read the match-count state they just updated — so a commit landing
-    // mid-construction (MemStore replaces the entry; ParquetStore's open
-    // transaction serves staged flips to same-txn reads) silently feeds
-    // POST-batch state into the remaining delta terms. With commits now
-    // driver-direct (~10 ms for small states) the lost planning/IO overlap
-    // is noise; correctness is not.
+    // State commits launch EAGERLY as ZDelta queues them — a state's merge
+    // I/O overlaps the planning of its siblings. This is sound ONLY
+    // because every state read below goes through a FROZEN store snapshot
+    // captured before delta construction: the construction resolves
+    // pre-batch states lazily (a join's second term reads the first
+    // side's aggregate state AFTER that state's update was queued, and
+    // the outer-join rules read the match-count state they just updated),
+    // so reads through the LIVE store would observe commits that land
+    // mid-construction — MemStore replaces its entry, ParquetStore's open
+    // transaction serves staged flips to same-txn reads — and feed
+    // POST-batch state into the remaining delta terms.
+    val snap = store.readSnapshot()
     val pending = new java.util.concurrent.ConcurrentLinkedQueue[
       scala.concurrent.Future[Unit]]()
-    val ctx = ZDelta.Ctx(base, deltas, p => store(stateName(view, p)),
+    val ctx = ZDelta.Ctx(base, deltas, p => snap(stateName(view, p)),
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
-        timed(s"slice $p")(store.slice(stateName(view, p), kdf, ks)),
-      stateOpt = p => store.get(stateName(view, p)),
+        timed(s"slice $p")(snap.slice(stateName(view, p), kdf, ks)),
+      stateOpt = p => snap.get(stateName(view, p)),
       schemaMemo = schemaMemoFor(store, view),
       needTopDelta = needDelta,
-      localCap = pinCap(deltas, q.tables))
-    /** Submit every queued state commit (parallel; statePool). */
-    def submitCommits(): Unit = ctx.updates.foreach(u =>
-      pending.add(scala.concurrent.Future(
+      localCap = pinCap(deltas, q.tables),
+      onUpdate = u => pending.add(scala.concurrent.Future(
         timed(s"merge ${u.path}")(
           commitUpdate(store, stateName(view, u.path), u)))(statePool)))
     // A batch that touches none of the view's base tables is a no-op —
@@ -594,17 +593,17 @@ object Ivm {
         // batch's join terms read current sides from them.
         ZDelta.queueAccUpdates(q, ctx, declared)
         // Pin ΔV before the top merge reads it — the pinned frame survives
-        // the pins-unpersist below. The ΔV pin executes BEFORE commits
-        // launch: its plan reads the same pre-batch state snapshots.
+        // the pins-unpersist below. Its plan reads only snapshot-frozen
+        // state, so the in-flight commits cannot leak into it.
         val dv = if (needDelta) {
           val c = dv0.cache(); c.count(); c
         } else dv0
-        submitCommits()
         drain()
-        // SPJ views: fold ΔV into the stored multiset.
+        // SPJ views: fold ΔV into the stored multiset (reads pre-batch
+        // top state through the snapshot; writes through the live store).
         q match {
           case _: Aggregate => ()
-          case _            => mergeTop(store, stateName(view, TOP), dv)
+          case _            => mergeTop(store, snap, stateName(view, TOP), dv)
         }
         dv
       } finally drain() // failure path: no commit may outlive the open txn
@@ -628,15 +627,18 @@ object Ivm {
     }
 
   /** Fold ΔV into an SPJ view's stored multiset — per-key count
-    * adjustments over touched rows only (never a full-state groupBy). */
-  private def mergeTop(store: IvmStore, topName: String, dv: DataFrame): Unit = {
-    val st = store(topName) // schema only
+    * adjustments over touched rows only (never a full-state groupBy).
+    * Reads resolve through `snap` (the refresh's frozen pre-batch view);
+    * the merge writes through the live `store`. */
+  private def mergeTop(store: IvmStore, snap: IvmStore, topName: String,
+      dv: DataFrame): Unit = {
+    val st = snap(topName) // schema only
     val cols = st.columns.filterNot(_ == HCOUNT).toSeq
     val adjCol = "__ivm_adj"
     val dvAgg = dv.groupBy(cols.map(col): _*)
       .agg(sum(WEIGHT).as(adjCol)).cache()
     try {
-      val oldTouched = store.slice(topName, dvAgg, cols)
+      val oldTouched = snap.slice(topName, dvAgg, cols)
       val updatedTop = ZDelta.leftOuterByKeys(dvAgg, oldTouched, cols,
         hint = broadcast)
         .select((cols.map(col) :+
@@ -687,10 +689,11 @@ object Ivm {
       store: IvmStore): Unit = {
     val deltas = new BatchDeltas(deltas0, localBatchRows)
     val allTables = views.values.toSeq.flatMap(_.tables).distinct
-    val ctx = ZDelta.Ctx(base, deltas, p => store(p),
-      sliceFn = (p, kdf, ks) => store.slice(p, kdf, ks),
+    val snap = store.readSnapshot()
+    val ctx = ZDelta.Ctx(base, deltas, p => snap(p),
+      sliceFn = (p, kdf, ks) => snap.slice(p, kdf, ks),
       namer = sharedNamer,
-      stateOpt = p => store.get(p),
+      stateOpt = p => snap.get(p),
       schemaMemo = schemaMemoFor(store, "__shared__"),
       // Aggregate tops in a shared group discard their ΔV (SPJ tops are
       // unaffected: their top node is not an Aggregate)
@@ -715,7 +718,7 @@ object Ivm {
         commitUpdate(store, u.path, u)
       }
       spjTops.foreach { case (q, dv) =>
-        mergeTop(store, sharedPath(q) + "/top", dv)
+        mergeTop(store, snap, sharedPath(q) + "/top", dv)
       }
     }
     ctx.pins.foreach(_.unpersist())

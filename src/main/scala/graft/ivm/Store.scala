@@ -85,6 +85,18 @@ trait IvmStore {
     * in-memory store whose lifetime is the process anyway. */
   def transaction[A](body: => A): A = body
 
+  /** Read-only FROZEN view of the store's state at this call (including
+    * entries staged by an open transaction): reads through the snapshot
+    * resolve the same content no matter what is committed afterwards.
+    * The refresh loop reads every pre-batch state through a snapshot so
+    * state commits can launch concurrently with the remaining delta-plan
+    * construction — without it, a commit landing mid-construction would
+    * feed POST-batch state into later delta terms (the join rules read a
+    * side's state after that side's update is queued). Implementations
+    * whose writes become visible to later reads MUST override; the
+    * default is only sound for fully immutable stores. */
+  def readSnapshot(): IvmStore = this
+
   /** Small durable key→value metadata (e.g. the last applied streaming
     * batch id). In [[ParquetStore]] tags ride the same manifest as state
     * pointers, so a tag set inside [[transaction]] commits atomically with
@@ -153,6 +165,20 @@ final class MemStore extends IvmStore {
     val p = s"$view/"
     m.keys.filter(k => k == view || k.startsWith(p)).foreach(m.remove)
     tags.keys.filter(k => k == view || k.startsWith(p)).foreach(tags.remove)
+  }
+  override def readSnapshot(): IvmStore = {
+    // O(1) TrieMap snapshot; the checkpointed frames themselves are
+    // immutable, so freezing the name → frame map is the whole job
+    val fm = m.readOnlySnapshot()
+    val ft = tags.readOnlySnapshot()
+    new IvmStore {
+      override def get(name: String): Option[DataFrame] = fm.get(name)
+      override def getTag(key: String): Option[String] = ft.get(key)
+      override def put(name: String, df: DataFrame): Unit =
+        throw new UnsupportedOperationException("snapshots are read-only")
+      override def setTag(key: String, value: String): Unit =
+        throw new UnsupportedOperationException("snapshots are read-only")
+    }
   }
 }
 
@@ -417,6 +443,11 @@ final class ParquetStore(
       name: String, keyDf: DataFrame, sliceKeys: Seq[String]): DataFrame = {
     val e = lookup(name).getOrElse(throw new IllegalStateException(
       s"IVM state '$name' not found — was Ivm.create run for this view?"))
+    sliceEntry(e, keyDf, sliceKeys)
+  }
+
+  private def sliceEntry(
+      e: Entry, keyDf: DataFrame, sliceKeys: Seq[String]): DataFrame = {
     def resolvedSemi(paths: Seq[String], layered: Boolean): DataFrame = {
       val semiFirst = !layered || sliceKeys.forall(e.mergeKeys.contains)
       if (semiFirst)
@@ -817,6 +848,39 @@ final class ParquetStore(
     * any retained version resolves fully — the same mechanics that give
     * in-flight refreshes snapshot isolation give readers history. Writes
     * (and tags) through a snapshot are rejected. */
+  override def readSnapshot(): IvmStore = {
+    // freeze the IN-MEMORY entry/tag maps (manifest content plus anything
+    // an open transaction has staged — nested refreshes must see earlier
+    // same-transaction commits). Segments are immutable, so resolving
+    // from the frozen maps pins every read to the capture point; slices
+    // keep their bucket pruning through the shared entry-level helper.
+    val frozenE: Map[String, Entry] = {
+      val st = txnEntries
+      if (txnDepth > 0 && st != null) entries ++ st else entries
+    }
+    val frozenT: Map[String, String] = {
+      val st = txnTags
+      if (txnDepth > 0 && st != null) tagMap ++ st else tagMap
+    }
+    new IvmStore {
+      override def get(name: String): Option[DataFrame] =
+        frozenE.get(name).map(e =>
+          ParquetStore.this.readEntry(e, e.allPaths, e.layered)())
+      override def slice(name: String, keyDf: DataFrame,
+          sliceKeys: Seq[String]): DataFrame =
+        frozenE.get(name) match {
+          case Some(e) => ParquetStore.this.sliceEntry(e, keyDf, sliceKeys)
+          case None => throw new IllegalStateException(
+            s"IVM state '$name' not found — was Ivm.create run for this view?")
+        }
+      override def getTag(key: String): Option[String] = frozenT.get(key)
+      override def put(name: String, df: DataFrame): Unit =
+        throw new UnsupportedOperationException("snapshots are read-only")
+      override def setTag(key: String, value: String): Unit =
+        throw new UnsupportedOperationException("snapshots are read-only")
+    }
+  }
+
   def asOf(v: Long): IvmStore = {
     require(Files.exists(manifestPath(v)),
       s"manifest _v$v is outside the retention window " +
