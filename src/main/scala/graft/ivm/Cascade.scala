@@ -90,9 +90,25 @@ final class Cascade(
           if (consumed(name)) {
             val dv = Ivm.refresh(name, q, resolver(seen.toSet), myDeltas, store)
             pinned += dv // refresh hands the caller the pinned ΔV
-            val d = Ivm.changelogAsDelta(dv).cache()
-            pinned += d
-            val n = d.count()
+            val d0 = Ivm.changelogAsDelta(dv)
+            // small changelogs (the common case after aggregation) collect
+            // to a driver LocalRelation: the row count is free and the
+            // downstream level's delta resolver gets a template-friendly
+            // param instead of a cached plan
+            val (d, n) = Ivm.collectLocal(d0, 1 << 16) match {
+              case Some(local) =>
+                val rows = local.queryExecution.logical match {
+                  case org.apache.spark.sql.catalyst.plans.logical
+                      .Repartition(1, false,
+                        l: org.apache.spark.sql.catalyst.plans.logical
+                          .LocalRelation) => l.data.length.toLong
+                  case _ => local.count()
+                }
+                (local, rows)
+              case None =>
+                val c = d0.cache(); pinned += c
+                (c, c.count())
+            }
             fedRows(name) = n
             if (n > 0) fed(name) = d // empty ΔV → no delta downstream
           } else {

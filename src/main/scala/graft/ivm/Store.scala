@@ -152,12 +152,29 @@ private[ivm] object StoreOps {
 final class MemStore extends IvmStore {
   private val m = TrieMap.empty[String, DataFrame]
   private val tags = TrieMap.empty[String, String]
+  /** Row cap under which a state is held as a driver-side LocalRelation
+    * instead of checkpointed executor blocks (same smallness assumption as
+    * `graft.localBatchRows`). */
+  private val localRows = 1 << 16
   override def get(name: String): Option[DataFrame] = m.get(name)
   override def put(name: String, df: DataFrame): Unit = {
+    // Small states are collected into TAGGED LocalRelations: downstream
+    // refresh plans over them fold driver-side / hit the plan-template
+    // cache (an RDD-backed leaf would force a fresh Catalyst pass per
+    // action), and the collect replaces the localCheckpoint job outright.
+    // Large states keep the checkpoint (its one extra partial execution
+    // from the failed size probe is the price of not knowing sizes
+    // upfront — rare: interior aggregate states are small by design).
     // NOTE: previous versions are intentionally never unpersisted — pending
     // lazy plans may still read them (snapshot isolation); session-lifetime
     // leak is the documented trade-off of the in-memory store.
-    m.put(name, df.localCheckpoint(true))
+    m.put(name, org.apache.spark.sql.GraftTemplates
+      .collectCapped(df, localRows) match {
+        case Some(rows) => org.apache.spark.sql.GraftTemplates.taggedLocal(
+          df.sparkSession, org.apache.spark.sql.GraftLocalIO.nullable(df.schema),
+          rows.toSeq).coalesce(1)
+        case None => df.localCheckpoint(true)
+      })
   }
   override def setTag(key: String, value: String): Unit = tags.put(key, value)
   override def getTag(key: String): Option[String] = tags.get(key)
@@ -901,20 +918,22 @@ final class ParquetStore(
   // --------------------------------------------------------------- pruning
 
   /** Delete manifests older than the keepVersions window and segments no
-    * retained manifest references. Called under `synchronized`. */
+    * retained manifest references. The window counts manifests that EXIST
+    * (not version numbers — segment writes consume version numbers without
+    * writing a manifest, so number arithmetic would retain fewer real
+    * manifests than promised and delete segments a live [[readSnapshot]]
+    * still resolves). Called under `synchronized`. */
   private def prune(): Unit = {
-    val keepFrom = version - keepVersions + 1
-    val kept = (keepFrom to version).filter(v => Files.exists(manifestPath(v)))
+    val all = listDir(Paths.get(root)).map(_.getFileName.toString)
+      .filter(n => n.length > 2 && n.startsWith("_v") && n.drop(2).forall(_.isDigit))
+      .map(_.drop(2).toLong).sorted
+    val kept = all.takeRight(keepVersions)
     val referenced: Set[String] = kept.flatMap { v =>
       val es = if (v == version) entries else readManifest(v)._1
       es.values.flatMap(_.allPaths).map(segRoot)
     }.toSet
-    // drop old manifest files
-    listDir(Paths.get(root)).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("_v") && n.drop(2).forall(_.isDigit) && n.drop(2).toLong < keepFrom)
-        Files.deleteIfExists(p)
-    }
+    // drop manifest files outside the kept window
+    all.dropRight(keepVersions).foreach(v => Files.deleteIfExists(manifestPath(v)))
     // drop unreferenced segment dirs (state names may nest: "view/r.aux.x")
     def walk(dir: Path, rel: String): Unit =
       listDir(dir).filter(Files.isDirectory(_)).foreach { child =>

@@ -122,9 +122,15 @@ object GraftTemplates {
       }
       case l: LocalRelation if pidOf(l.output).isEmpty =>
         // untagged literal table: rows are part of the structure
-        "lit:" + l.output.map(_.dataType.sql).mkString(",") + ":" +
+        "lit:" + l.output.map(a => a.dataType.sql +
+          (if (a.nullable) "?" else "!")).mkString(",") + ":" +
           l.data.map(_.hashCode()).hashCode()
-      case l: LocalRelation => "param:" + l.output.map(_.dataType.sql).mkString(",")
+      case l: LocalRelation =>
+        // nullability is in the key: nullability-driven rewrites (outer-join
+        // elimination, null-predicate simplification) are baked into the
+        // template, so plans differing only there must not share one
+        "param:" + l.output.map(a => a.dataType.sql +
+          (if (a.nullable) "?" else "!")).mkString(",")
       case o => "leaf:" + o.nodeName
     }.mkString("|")
     stripped.canonicalized.toString + "\n##" + leaves
@@ -136,11 +142,21 @@ object GraftTemplates {
       val s = spark.asInstanceOf[classic.SparkSession].cloneSession()
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      // PruneFilters/OptimizeLimitZero are NOT data-dependent, but they
+      // replace a statically-false filter (or limit 0) over a param with an
+      // EMPTY LocalRelation whose attrs still carry the pid -- substitution
+      // would then inject raw rows into a leaf whose filter folded away
+      // (observed: isnull(col) over a non-nullable col in a NOT IN delta
+      // plan computed wrong adjustments). The trivial filter executes per
+      // batch instead -- noise on local-sized inputs.
       s.conf.set("spark.sql.optimizer.excludedRules", Seq(
         "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation",
         "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation",
         "org.apache.spark.sql.catalyst.optimizer.OptimizeOneRowPlan",
-        "org.apache.spark.sql.catalyst.optimizer.EliminateLimits").mkString(","))
+        "org.apache.spark.sql.catalyst.optimizer.EliminateLimits",
+        "org.apache.spark.sql.catalyst.optimizer.PruneFilters",
+        "org.apache.spark.sql.catalyst.optimizer.OptimizeLimitZero")
+        .mkString(","))
       // small-batch actions aggregate O(touched) rows — one reducer beats
       // 32 near-empty shuffle partitions (AQE is off in this session)
       s.conf.set("spark.sql.shuffle.partitions", "1")
@@ -160,7 +176,7 @@ object GraftTemplates {
       // reference (not a child) to another exchange instance, which
       // substitution cannot rewrite — it would replay the build batch's
       // rows. Plans must contain only real exchanges.
-      s.conf.set("spark.sql.exchangeReuseEnabled", "false")
+      s.conf.set("spark.sql.exchange.reuse", "false")
       s.conf.set("spark.sql.execution.reuseSubquery", "false")
       // SELF-CHECK: the soundness of every template rests on the optimizer
       // NOT baking param data into the plan. If a Spark version makes
@@ -187,8 +203,21 @@ object GraftTemplates {
             .queryExecution.analyzed)
           .queryExecution.optimizedPlan
       }
+      // a statically-false predicate (isnull of a non-nullable col) must
+      // stay a Filter, not fold to an empty LocalRelation keeping the pid
+      val nnSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val pruneProbe = s.withActive {
+        classic.Dataset.ofRows(s,
+          taggedLocal(s, nnSchema, twoRows)
+            .where(functions.isnull(functions.col("a")))
+            .queryExecution.analyzed)
+          .queryExecution.optimizedPlan
+      }
       if (foldProbe.isInstanceOf[LocalRelation] ||
-          emptyProbe.isInstanceOf[LocalRelation]) {
+          emptyProbe.isInstanceOf[LocalRelation] ||
+          pruneProbe.isInstanceOf[LocalRelation]) {
         selfCheckFailed = true
         System.err.println("graft: plan-template rule exclusions ineffective " +
           "on this Spark version — templates disabled (fresh plans per batch)")
@@ -280,19 +309,54 @@ object GraftTemplates {
           case l: LocalRelation if pidOf(l.output).isDefined =>
             pidOf(l.output).get -> l.output.map(a => a.name + ":" + a.dataType.sql)
         }.toMap
-        val sound =
+        // belt-and-braces for the exchange.reuse conf: a Reused* node holds
+        // a field reference to another exchange/subquery instance that
+        // substitution cannot rewrite — it would replay build-batch rows.
+        // (This DID happen once: the conf key was misspelled and Spark
+        // accepted the unknown key silently.)
+        val noReuse = phys.collectWithSubqueries {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+          case r: org.apache.spark.sql.execution.ReusedSubqueryExec => r
+        }.isEmpty
+        // per-pid build rows (duplicate pids are the same local referenced
+        // at several plan positions, so their data is identical by
+        // construction; tombstone if that ever stops holding)
+        val paramRows: Map[Long, Seq[InternalRow]] = params.toMap
+        val dupsConsistent = params.forall { case (pid, rows) =>
+          val r = paramRows(pid); (r eq rows) || r == rows
+        }
+        val sound = noReuse && dupsConsistent &&
           physPidLeaves.flatMap(l => pidOf(l.output)).toSet == params.map(_._1).toSet &&
           physPidLeaves.forall { l =>
             analyzedAttrs.get(pidOf(l.output).get)
-              .contains(l.output.map(a => a.name + ":" + a.dataType.sql))
+              .contains(l.output.map(a => a.name + ":" + a.dataType.sql)) &&
+            // the leaf must still hold the param's VERBATIM build rows — a
+            // leaf whose rows diverged (e.g. an empty relation left by a
+            // fold that kept the pid attrs) is not a substitution point,
+            // and substituting into it would skip the folded computation
+            { val pr = paramRows(pidOf(l.output).get)
+              (l.rows eq pr) || l.rows == pr }
           }
+        if (sys.props.get("graft.planTemplates.verify").contains("true")) {
+          val raw = tplSession.withActive { phys.executeCollect() }
+          val ref0 = df.queryExecution.executedPlan.executeCollect()
+          val a0 = raw.map(_.toString).sorted.toSeq
+          val b0 = ref0.map(_.toString).sorted.toSeq
+          if (a0 != b0)
+            println(s"=== BUILD-TIME MISMATCH (no substitution): tpl ${a0.length} " +
+              s"ref ${b0.length}; tpl-only ${a0.diff(b0).take(3)} " +
+              s"ref-only ${b0.diff(a0).take(3)} ===")
+        }
         val t = if (sound) Template(phys, params.map(_._1))
                 else Template(null, Nil)
         cache.put(key, t)
         if (!sound) return exec(df.queryExecution.executedPlan)
         t
     }
-    val fresh = t("subst")(substituted(tpl, params))
+    // copies made during substitution capture the ACTIVE session at node
+    // construction; without one (e.g. a store commit on a non-query thread)
+    // the fresh nodes would carry session = null and NPE at execute
+    val fresh = t("subst")(tplSession.withActive { substituted(tpl, params) })
     lastPlanDump = fresh.toString
     val out = t("exec")(tplSession.withActive { exec(fresh) })
     if (sys.props.get("graft.planTemplates.verify").contains("true")) {
@@ -303,6 +367,13 @@ object GraftTemplates {
         println(s"=== TEMPLATE MISMATCH (tpl ${a.length} rows, ref ${b.length}) ===")
         println(s"--- tpl-only: ${a.diff(b).take(5)}")
         println(s"--- ref-only: ${b.diff(a).take(5)}")
+        println(s"--- build paramIds: ${tpl.paramIds.mkString(",")}")
+        println(s"--- current params: ${params.map(p => s"${p._1}(${p._2.length}#${p._2.map(_.hashCode()).hashCode()})").mkString(",")}")
+        println(s"--- was hit: ${tpl.paramIds != params.map(_._1)}")
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/tpl_raw.txt"),
+          tpl.plan.toString.getBytes)
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/tpl_subst.txt"),
+          fresh.toString.getBytes)
         println(s"--- substituted plan:\n$fresh")
         println(s"--- reference plan:\n${df.queryExecution.executedPlan}")
         throw new IllegalStateException("graft template mismatch")
