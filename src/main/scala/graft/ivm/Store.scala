@@ -156,25 +156,34 @@ final class MemStore extends IvmStore {
     * instead of checkpointed executor blocks (same smallness assumption as
     * `graft.localBatchRows`). */
   private val localRows = 1 << 16
+  /** States whose last probe exceeded the cap: skip the probe on their
+    * next put — executeTake(cap+1) over an aggregate state materializes
+    * the whole plan, so probing a KNOWN-big state before checkpointing it
+    * would execute the merge twice per batch. A state that shrinks back
+    * under the cap re-enters the local path on its first successful probe
+    * after the entry clears (never: big states stay big — acceptable). */
+  private val knownBig = TrieMap.empty[String, Unit]
   override def get(name: String): Option[DataFrame] = m.get(name)
   override def put(name: String, df: DataFrame): Unit = {
     // Small states are collected into TAGGED LocalRelations: downstream
     // refresh plans over them fold driver-side / hit the plan-template
     // cache (an RDD-backed leaf would force a fresh Catalyst pass per
     // action), and the collect replaces the localCheckpoint job outright.
-    // Large states keep the checkpoint (its one extra partial execution
-    // from the failed size probe is the price of not knowing sizes
-    // upfront — rare: interior aggregate states are small by design).
+    // Large states keep the checkpoint.
     // NOTE: previous versions are intentionally never unpersisted — pending
     // lazy plans may still read them (snapshot isolation); session-lifetime
     // leak is the documented trade-off of the in-memory store.
-    m.put(name, org.apache.spark.sql.GraftTemplates
-      .collectCapped(df, localRows) match {
-        case Some(rows) => org.apache.spark.sql.GraftTemplates.taggedLocal(
-          df.sparkSession, org.apache.spark.sql.GraftLocalIO.nullable(df.schema),
-          rows.toSeq).coalesce(1)
-        case None => df.localCheckpoint(true)
-      })
+    val probed =
+      if (knownBig.contains(name)) None
+      else org.apache.spark.sql.GraftTemplates.collectCapped(df, localRows)
+    m.put(name, probed match {
+      case Some(rows) => org.apache.spark.sql.GraftTemplates.taggedLocal(
+        df.sparkSession, org.apache.spark.sql.GraftLocalIO.nullable(df.schema),
+        rows.toSeq).coalesce(1)
+      case None =>
+        knownBig.put(name, ())
+        df.localCheckpoint(true)
+    })
   }
   override def setTag(key: String, value: String): Unit = tags.put(key, value)
   override def getTag(key: String): Option[String] = tags.get(key)

@@ -64,6 +64,11 @@ object GraftTemplates {
   private val nextId = new AtomicLong()
   private final case class Template(plan: SparkPlan, paramIds: Seq[Long])
   private val cache = TrieMap.empty[String, Template]
+  // structures seen once: compilation happens on the SECOND occurrence
+  // (standard JIT heuristic) — one-shot plans (create flows, gate queries)
+  // never pay the clone-session optimize + plan + soundness-gate cost,
+  // which roughly doubles planning for a plan that is never reused.
+  private val seenOnce = TrieMap.empty[String, Unit]
   // one conf-pinned clone per session, for template compilation
   private val tplSessions = TrieMap.empty[SparkSession, classic.SparkSession]
   @volatile var hits: Long = 0L
@@ -287,6 +292,15 @@ object GraftTemplates {
       case Some(t) if t.paramIds.length == params.length =>
         hits += 1; t
       case _ =>
+        // first sight of this structure: record it and execute plainly —
+        // compile only when it recurs (maintenance loops recur per batch;
+        // one-shot plans never come back). Stored as a digest: full keys
+        // are whole canonical plan dumps.
+        if (seenOnce.size > 65536) seenOnce.clear() // backstop
+        val keyDigest = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (seenOnce.putIfAbsent(keyDigest, ()).isEmpty)
+          return exec(df.queryExecution.executedPlan)
         misses += 1
         val phys = tplSession.withActive {
           classic.Dataset.ofRows(tplSession, analyzed)
@@ -386,5 +400,5 @@ object GraftTemplates {
   @volatile var lastPlanDump: String = ""
 
   /** Drop every cached template (tests; or after a base-table swap). */
-  def clear(): Unit = { cache.clear(); hits = 0; misses = 0 }
+  def clear(): Unit = { cache.clear(); seenOnce.clear(); hits = 0; misses = 0 }
 }

@@ -38,11 +38,13 @@ class TemplateSpec extends AnyFunSuite with SparkTestBase {
       out.map(r =>
         Row(if (r.isNullAt(0)) null else r.getLong(0))).toSeq
     }
+    // 1st sight records, 2nd compiles the template, 3rd substitutes into it
     val b1 = run(rowsOf(Seq(Seq(1, 10), Seq(2, 20))))
-    // second batch hits the cached template with different rows
     val b2 = run(rowsOf(Seq(Seq(3, 30), Seq(4, 40), Seq(5, 50))))
-    assert(b1 == Seq(Row(null)), s"build batch leaked rows: $b1")
-    assert(b2 == Seq(Row(null)), s"substituted batch leaked rows: $b2")
+    val b3 = run(rowsOf(Seq(Seq(6, 60))))
+    assert(b1 == Seq(Row(null)), s"first batch leaked rows: $b1")
+    assert(b2 == Seq(Row(null)), s"build batch leaked rows: $b2")
+    assert(b3 == Seq(Row(null)), s"substituted batch leaked rows: $b3")
   }
 
   test("template substitution returns per-batch results, not build rows") {
@@ -57,5 +59,6 @@ class TemplateSpec extends AnyFunSuite with SparkTestBase {
     assert(total(rowsOf(Seq(Seq(1, 5), Seq(1, 7), Seq(2, 1)))) == 13L)
     assert(total(rowsOf(Seq(Seq(9, 100)))) == 100L)
     assert(total(rowsOf(Seq(Seq(1, 1), Seq(2, 2), Seq(3, 3)))) == 6L)
+    assert(total(rowsOf(Seq(Seq(7, 70), Seq(8, -70)))) == 0L)
   }
 }
