@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local mode: broadcast/shuffle bytes never cross a network, so
+      // compressing them only burns CPU on the small-action hot path
+      // (task-binary gzip showed up in refresh-floor stack samples)
+      .config("spark.broadcast.compress", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -50,9 +56,10 @@ object Bench {
     // parquet store (the at-scale backend, write costs included). The
     // delta batch is MATERIALIZED once (a real batch arrives as data, not
     // as a predicate to re-scan the base with); both sides read it.
-    // Steady-state cost = mean of 3 refreshes after 2 warm-ups (the first
-    // iterations pay plan compilation/codegen, which a maintenance loop
-    // amortizes away); recompute measured identically.
+    // Steady-state cost = mean of 3 refreshes after 4 warm-ups (the first
+    // iterations pay plan compilation/codegen and the trace-record
+    // batches, all of which a maintenance loop amortizes away); recompute
+    // warmed and measured identically.
     val ivmJson = try {
       import graft.ivm._
       import graft.ivm.AggSpec._
@@ -78,10 +85,10 @@ object Bench {
       def recomputeOnce(tag: String) = store.put(s"bench_full$tag",
         Ivm.recompute(view, Fixtures.base(spark, sfDir), deltas))
       val tRefresh1 = time(refreshOnce())
-      time(refreshOnce()) // second warm-up
+      (1 to 3).foreach(_ => refreshOnce()) // warm-ups (trace records+stabilizes)
       val tRefresh = (1 to 3).map(_ => time(refreshOnce())).sum / 3
       val tRecompute1 = time(recomputeOnce("w1"))
-      time(recomputeOnce("w2"))
+      (1 to 3).foreach(i => recomputeOnce(s"w${i + 1}"))
       val tRecompute = (1 to 3).map(i => time(recomputeOnce(s"s$i"))).sum / 3
 
       // High-cardinality view (~150k groups at sf0.1): the shape where
@@ -94,9 +101,9 @@ object Bench {
         Fixtures.base(spark, sfDir), deltas, store)
       def hiRecompute(tag: String) = store.put(s"bench_hifull$tag",
         Ivm.recompute(hiView, Fixtures.base(spark, sfDir), deltas))
-      hiRefresh(); hiRefresh() // warm-ups
+      (1 to 4).foreach(_ => hiRefresh()) // warm-ups
       val tHiRefresh = (1 to 3).map(_ => time(hiRefresh())).sum / 3
-      hiRecompute("w1"); hiRecompute("w2")
+      (1 to 4).foreach(i => hiRecompute(s"w$i"))
       val tHiRecompute = (1 to 3).map(i => time(hiRecompute(s"s$i"))).sum / 3
 
       // Poster Q13 (LEFT OUTER join + two-level aggregation) maintained
@@ -118,9 +125,9 @@ object Bench {
         Fixtures.base(spark, sfDir), oDeltas, store)
       def q13Recompute(tag: String) = store.put(s"bench_q13full$tag",
         Ivm.recompute(q13, Fixtures.base(spark, sfDir), oDeltas))
-      q13Refresh(); q13Refresh() // warm-ups
+      (1 to 4).foreach(_ => q13Refresh()) // warm-ups
       val tQ13Refresh = (1 to 3).map(_ => time(q13Refresh())).sum / 3
-      q13Recompute("w1"); q13Recompute("w2")
+      (1 to 4).foreach(i => q13Recompute(s"w$i"))
       val tQ13Recompute = (1 to 3).map(i => time(q13Recompute(s"s$i"))).sum / 3
       // The FIXED per-batch floor of the q13 join view: refresh against a
       // 1-row delta. q13_refresh_sec ≈ floor + O(‖Δ‖) marginal work, so
@@ -138,7 +145,7 @@ object Bench {
       }
       def q13Floor() = Ivm.refreshState("bench_q13", q13,
         Fixtures.base(spark, sfDir), oneDelta, store)
-      q13Floor(); q13Floor() // warm-ups
+      (1 to 4).foreach(_ => q13Floor()) // warm-ups
       val tQ13Floor = (1 to 3).map(_ => time(q13Floor())).sum / 3
 
       f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f,"q13_floor_sec":$tQ13Floor%.3f}"""
@@ -170,9 +177,9 @@ object Bench {
             Fixtures.base(spark, d), deltas, store)
           def recompute(tag: String) = store.put(s"scale_full$tag",
             Ivm.recompute(q13, Fixtures.base(spark, d), deltas))
-          refresh(); refresh() // warm-ups
+          (1 to 3).foreach(_ => refresh()) // warm-ups
           val tR = (1 to 2).map(_ => time(refresh())).sum / 2
-          recompute("w")
+          (1 to 3).foreach(i => recompute(s"w$i"))
           val tC = (1 to 2).map(i => time(recompute(s"s$i"))).sum / 2
           val sf = d.split("/").last
           f""""$sf":{"q13_refresh_sec":$tR%.3f,"q13_recompute_sec":$tC%.3f}"""
@@ -361,9 +368,9 @@ object Bench {
       }
       val dRows = spark.read.parquet(dDir).count()
       val upRows = refreshOnce().getOrElse("casc_up", 0L) // warm-up 1
-      refreshOnce() // warm-up 2
+      (1 to 3).foreach(_ => refreshOnce()) // more warm-ups (trace stabilizes)
       val tR = (1 to 3).map(_ => time(refreshOnce())).sum / 3
-      recomputeOnce("w")
+      (1 to 4).foreach(i => recomputeOnce(s"w$i"))
       val tC = (1 to 3).map(i => time(recomputeOnce(s"s$i"))).sum / 3
       // delta_rows vs up_changelog_rows is the composability signal: the
       // downstream level processes the POST-AGGREGATION changelog, not the

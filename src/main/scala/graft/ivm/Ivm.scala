@@ -429,7 +429,8 @@ object Ivm {
     * distributed path). The size probe is a separate count() — a
     * limit-guarded collect looks cheaper but pays CollectLimit's
     * incremental partition scale-up (several jobs) on every call. */
-  private[ivm] def collectLocal(df: DataFrame, cap: Int): Option[DataFrame] = {
+  private[ivm] def collectLocal(df: DataFrame, cap: Int,
+      role: String = ""): Option[DataFrame] = {
     import org.apache.spark.sql.GraftTemplates
     df.queryExecution.optimizedPlan match {
       // already local (e.g. a cascade changelog feed): re-tag so the frame
@@ -437,7 +438,7 @@ object Ivm {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         Some(GraftTemplates.taggedLocal(df.sparkSession,
           org.apache.spark.sql.catalyst.types.DataTypeUtils
-            .fromAttributes(l.output), l.data).coalesce(1))
+            .fromAttributes(l.output), l.data, role).coalesce(1))
       case _ =>
         // single-pass size probe + collect: executeTake(cap+1) is one job
         // for the common case (a small delta file); an over-cap batch pays
@@ -445,7 +446,7 @@ object Ivm {
         val rows = df.queryExecution.executedPlan.executeTake(cap + 1)
         if (rows.length > cap) None
         else Some(GraftTemplates.taggedLocal(
-          df.sparkSession, df.schema, rows).coalesce(1))
+          df.sparkSession, df.schema, rows, role).coalesce(1))
     }
   }
 
@@ -457,7 +458,7 @@ object Ivm {
     * a 32-partition micro-shuffle — measured ~5× per action on a 15k-row
     * frame. Joins against big relations still broadcast the local side,
     * so nothing downstream collapses onto one task. */
-  private[ivm] def toLocal(df: DataFrame): DataFrame = {
+  private[ivm] def toLocal(df: DataFrame, role: String = ""): DataFrame = {
     import org.apache.spark.sql.GraftTemplates
     df.queryExecution.optimizedPlan match {
       // pure projection over an earlier local pin — the fold already ran
@@ -465,12 +466,12 @@ object Ivm {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         GraftTemplates.taggedLocal(df.sparkSession,
           org.apache.spark.sql.catalyst.types.DataTypeUtils
-            .fromAttributes(l.output), l.data).coalesce(1)
+            .fromAttributes(l.output), l.data, role).coalesce(1)
       case _ =>
         // template-cached execution: the pin's plan structure repeats every
         // batch with fresh leaf data, so after batch 1 this skips Catalyst
         GraftTemplates.taggedLocal(df.sparkSession, df.schema,
-          GraftTemplates.collect(df).toSeq).coalesce(1)
+          GraftTemplates.collect(df).toSeq, role).coalesce(1)
     }
   }
 
@@ -483,7 +484,7 @@ object Ivm {
     private val memo = TrieMap.empty[String, Option[DataFrame]]
     override def apply(t: String): Option[DataFrame] = raw(t).map { d =>
       memo.getOrElseUpdate(t,
-        if (cap > 0) collectLocal(d, cap) else None).getOrElse(d)
+        if (cap > 0) collectLocal(d, cap, s"delta:$t") else None).getOrElse(d)
     }
     /** Every present delta among `tables` fit the local cap. */
     def allLocal(tables: Seq[String]): Boolean =
@@ -556,17 +557,43 @@ object Ivm {
     val snap = store.readSnapshot()
     val pending = new java.util.concurrent.ConcurrentLinkedQueue[
       scala.concurrent.Future[Unit]]()
-    val ctx = ZDelta.Ctx(base, deltas, p => snap(stateName(view, p)),
+    val commit: ZDelta.StateUpdate => Unit =
+      u => pending.add(scala.concurrent.Future(
+        timed(s"merge ${u.path}")(
+          commitUpdate(store, stateName(view, u.path), u)))(statePool))
+    val localCapV = pinCap(deltas, q.tables)
+    // Trace replay (see [[Trace]]): the small-batch local path records the
+    // refresh walk once and replays it with fresh leaf rows on later
+    // batches — the walk's Dataset-composition cost is paid once per view,
+    // not once per batch. Any guard failure falls back to a fresh
+    // (re-recording) walk; partially replayed state commits are idempotent
+    // because every update derives from the same frozen snapshot.
+    val traceOk = Trace.enabled && localCapV > 0 &&
+      sys.props.getOrElse("graft.pinMode", "lazy") == "lazy" &&
+      Trace.traceable(q)
+    val recorder = if (traceOk) new Trace.Recorder else null
+    def checked(df: DataFrame): DataFrame = {
+      if (recorder != null) recorder.checkStateRead(df)
+      df
+    }
+    val ctx = ZDelta.Ctx(base, deltas,
+      p => checked(snap(stateName(view, p))),
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
-        timed(s"slice $p")(snap.slice(stateName(view, p), kdf, ks)),
-      stateOpt = p => snap.get(stateName(view, p)),
+        timed(s"slice $p")(checked(snap.slice(stateName(view, p), kdf, ks))),
+      stateOpt = p => {
+        val r = snap.get(stateName(view, p))
+        if (recorder != null) {
+          recorder.probes.getOrElseUpdate(p, r.isDefined)
+          r.foreach(recorder.checkStateRead)
+        }
+        r
+      },
       schemaMemo = schemaMemoFor(store, view),
       needTopDelta = needDelta,
-      localCap = pinCap(deltas, q.tables),
-      onUpdate = u => pending.add(scala.concurrent.Future(
-        timed(s"merge ${u.path}")(
-          commitUpdate(store, stateName(view, u.path), u)))(statePool)))
+      localCap = localCapV,
+      onUpdate = commit,
+      recorder = recorder)
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))
@@ -576,6 +603,11 @@ object Ivm {
       throw new IllegalStateException(
         s"IVM: view '$view' received a delta for undeclared table '$t' — " +
           s"declare it in Ivm.create(deltaTables=...) (declared: $declared)")
+    val sigStr =
+      if (!traceOk) ""
+      else Trace.sig(view, q,
+        q.tables.distinct.filter(t => deltas(t).isDefined),
+        needDelta, broadcastDeltas)
     /** Await every eagerly-submitted commit; first failure wins. Must run
       * before the transaction closes (staged flips publish together) AND
       * on any failure path (a commit may not outlive the open txn). */
@@ -588,10 +620,25 @@ object Ivm {
     }
     val dv = store.transaction {
       try {
-        val dv0 = timed("plan-delta")(ZDelta.delta(q, ctx))
-        // Per-table delta accumulators (join-side tables only): the NEXT
-        // batch's join terms read current sides from them.
-        ZDelta.queueAccUpdates(q, ctx, declared)
+        val replayed: Option[DataFrame] =
+          if (!traceOk) None
+          else Trace.tapeFor(store, view).flatMap(tape =>
+            timed("replay")(Trace.replay(
+              base(q.tables.head).sparkSession, tape, sigStr,
+              t => deltas(t),
+              n => snap.get(n),
+              p => snap.get(stateName(view, p)).isDefined,
+              commit)))
+        val dv0 = replayed.getOrElse {
+          val d = timed("plan-delta")(ZDelta.delta(q, ctx))
+          // Per-table delta accumulators (join-side tables only): the NEXT
+          // batch's join terms read current sides from them.
+          ZDelta.queueAccUpdates(q, ctx, declared)
+          if (recorder != null)
+            Trace.finish(store, view, sigStr, recorder,
+              d.queryExecution.analyzed, n => snap.get(n))
+          d
+        }
         // Pin ΔV before the top merge reads it — the pinned frame survives
         // the pins-unpersist below. Its plan reads only snapshot-frozen
         // state, so the in-flight commits cannot leak into it.

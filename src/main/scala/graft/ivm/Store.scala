@@ -179,7 +179,7 @@ final class MemStore extends IvmStore {
     m.put(name, probed match {
       case Some(rows) => org.apache.spark.sql.GraftTemplates.taggedLocal(
         df.sparkSession, org.apache.spark.sql.GraftLocalIO.nullable(df.schema),
-        rows.toSeq).coalesce(1)
+        rows.toSeq, s"state:$name").coalesce(1)
       case None =>
         knownBig.put(name, ())
         df.localCheckpoint(true)
@@ -622,8 +622,8 @@ final class ParquetStore(
     // substitution point; SinglePartition → joins over it plan
     // exchange-free.
     readMemo(List(rel)) = org.apache.spark.sql.GraftTemplates.taggedLocal(
-      spark, org.apache.spark.sql.types.StructType.fromDDL(ddl), rows)
-      .coalesce(1)
+      spark, org.apache.spark.sql.types.StructType.fromDDL(ddl), rows,
+      s"state:$name").coalesce(1)
   }
 
   /** Rows of a state whose current segment is driver-resident (written by

@@ -106,9 +106,13 @@ object ZDelta {
         * waiting for the whole delta plan. Callers owning the hook must
         * drain their commits before the store transaction closes. null =
         * no hook (callers commit from [[updates]] at the end). */
-      onUpdate: StateUpdate => Unit = null) {
+      onUpdate: StateUpdate => Unit = null,
+      /** Non-null while a fresh walk is being trace-recorded ([[Trace]]):
+        * pins and queued updates capture their analyzed plans for replay. */
+      recorder: Trace.Recorder = null) {
     /** Queue a state update and fire [[onUpdate]]. */
     def queue(u: StateUpdate): Unit = {
+      if (recorder != null) recorder.recordUpdate(u)
       updates += u
       if (onUpdate != null) onUpdate(u)
     }
@@ -159,7 +163,8 @@ object ZDelta {
             // small-batch path: one plain collect to a LocalRelation (the
             // batch gate already bounds O(touched) frames). Driver-resident,
             // so it needs no executor durability — reliable mode keeps it.
-            Ivm.toLocal(df)
+            if (recorder != null) recorder.recordPin(tag, df)
+            Ivm.toLocal(df, s"pin:$tag")
           case "reliable" =>
             require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
               "graft.pinMode=reliable needs sparkContext.setCheckpointDir " +
@@ -1043,7 +1048,7 @@ object ZDelta {
   private def rebuiltExt(n: String) = s"__ivm_rb_$n"
   /** Sketch-state aggregates (insert-optimized; deletions trigger a
     * touched-group rebuild instead of folding into the sketch). */
-  private def isSketch(a: AggSpec): Boolean = a match {
+  private[ivm] def isSketch(a: AggSpec): Boolean = a match {
     case _: AggSpec.ApproxCountDistinct | _: AggSpec.ApproxPercentile |
          _: AggSpec.ApproxTopK => true
     case _ => false

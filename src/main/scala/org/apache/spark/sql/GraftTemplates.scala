@@ -81,18 +81,45 @@ object GraftTemplates {
   private def enabled: Boolean =
     !selfCheckFailed && !sys.props.get("graft.planTemplates").contains("false")
 
+  /** Attribute-metadata key naming a local's refresh-loop ROLE (e.g.
+    * "pin:r.0.touched", "state:v/r", "delta:orders") — the trace-replay
+    * layer resolves next-batch rows for a recorded plan's leaves by it. */
+  val ROLE = "graft.role"
+
   /** LocalRelation-backed frame whose attributes carry a fresh param id —
     * the substitution point marker. All engine-created locals (delta
-    * collects, pins, small-state segments) are built through this. */
+    * collects, pins, small-state segments) are built through this.
+    * `role`, when non-empty, names the leaf for trace replay. */
   def taggedLocal(spark: SparkSession, schema: StructType,
-      rows: Seq[InternalRow]): DataFrame = {
+      rows: Seq[InternalRow], role: String = ""): DataFrame = {
     val pid = nextId.incrementAndGet()
     val attrs = DataTypeUtils.toAttributes(schema).map { a =>
-      a.withMetadata(new MetadataBuilder().withMetadata(a.metadata)
-        .putLong(PID, pid).build()).asInstanceOf[AttributeReference]
+      val mb = new MetadataBuilder().withMetadata(a.metadata).putLong(PID, pid)
+      if (role.nonEmpty) mb.putString(ROLE, role)
+      a.withMetadata(mb.build()).asInstanceOf[AttributeReference]
     }
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
       LocalRelation(attrs, rows))
+  }
+
+  /** DataFrame over an (already analyzed) logical plan — plan-level
+    * construction for callers outside the sql package (trace replay). */
+  def ofPlan(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Role of a tagged local's attrs, if any. */
+  def roleOf(attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[String] =
+    attrs.headOption.filter(_.metadata.contains(ROLE)).map(_.metadata.getString(ROLE))
+
+  /** Execute an (already analyzed) logical plan through the template
+    * cache — the trace-replay layer hands swapped-leaf plans straight in,
+    * skipping Dataset construction. */
+  def collectLogical(spark: SparkSession, plan: LogicalPlan): Array[InternalRow] = {
+    lazy val df = classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+    runCore(spark, plan,
+      () => df.queryExecution.executedPlan.executeCollect(),
+      p => p.executeCollect(), () => df)
   }
 
   /** Re-tag an existing local-backed frame (dev/spike helper). */
@@ -141,10 +168,49 @@ object GraftTemplates {
     stripped.canonicalized.toString + "\n##" + leaves
   }
 
+  /** Plans a join whose BOTH sides are driver-local subtrees as a
+    * single-partition [[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]]
+    * instead of a broadcast join. Every BroadcastExchange schedules its own
+    * Spark job per execution (template plans are fresh copies each batch —
+    * exchange reuse is off by design), which at ~10-20 ms each IS the
+    * refresh floor once everything else is amortized. Both children are
+    * SinglePartition (locals are coalesced to 1), which satisfies SHJ's
+    * clustered distribution — EnsureRequirements inserts nothing and the
+    * join runs inside the same single task. Joins touching any file source
+    * fall through to the built-in strategies (the local side must
+    * broadcast against a big scan, never the reverse). Null-aware anti
+    * joins never match (their condition is not plain equi-keys). */
+  private object LocalShuffledJoin extends org.apache.spark.sql.execution.SparkStrategy {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.catalyst.planning.ExtractEquiJoinKeys
+    import org.apache.spark.sql.catalyst.plans._
+    private def localOnly(p: LogicalPlan): Boolean = {
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall(_.isInstanceOf[LocalRelation])
+    }
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case ExtractEquiJoinKeys(joinType, leftKeys, rightKeys, nonEquiCond,
+          _, left, right, _) if localOnly(left) && localOnly(right) =>
+        val buildSide = joinType match {
+          case Inner | Cross | LeftOuter | LeftSemi | LeftAnti |
+              _: ExistenceJoin | FullOuter => Some(BuildRight)
+          case RightOuter                  => Some(BuildLeft)
+          case _                           => None
+        }
+        buildSide.toSeq.map(bs =>
+          org.apache.spark.sql.execution.joins.ShuffledHashJoinExec(
+            leftKeys, rightKeys, joinType, bs, nonEquiCond,
+            planLater(left), planLater(right)))
+      case _ => Nil
+    }
+  }
+
   /** The conf-pinned session templates compile under. */
   private def sessionFor(spark: SparkSession): classic.SparkSession =
     tplSessions.getOrElseUpdate(spark, {
       val s = spark.asInstanceOf[classic.SparkSession].cloneSession()
+      s.experimental.extraStrategies =
+        LocalShuffledJoin +: s.experimental.extraStrategies
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
       // PruneFilters/OptimizeLimitZero are NOT data-dependent, but they
@@ -272,23 +338,31 @@ object GraftTemplates {
     }
 
   private def run(df: DataFrame,
-      exec: SparkPlan => Array[InternalRow]): Array[InternalRow] = {
-    if (!enabled) return exec(df.queryExecution.executedPlan)
-    val spark = df.sparkSession
-    val analyzed = t("analyze")(df.queryExecution.analyzed)
+      exec: SparkPlan => Array[InternalRow]): Array[InternalRow] =
+    runCore(df.sparkSession, t("analyze")(df.queryExecution.analyzed),
+      () => exec(df.queryExecution.executedPlan), exec, () => df)
+
+  /** Core of [[run]] over an ALREADY-ANALYZED plan. `fallback` executes a
+    * fresh plan outside the template machinery (built lazily: the hot path
+    * never constructs a Dataset or re-runs the analyzer). */
+  private def runCore(spark: SparkSession, analyzed: LogicalPlan,
+      fallback: () => Array[InternalRow],
+      exec: SparkPlan => Array[InternalRow],
+      mkDf: () => DataFrame): Array[InternalRow] = {
+    if (!enabled) return fallback()
     // RDD-backed leaves (localCheckpoint pins on the distributed path) have
     // per-batch identities — a template could never be reused, and caching
     // one per batch would just grow the cache. Execute plainly.
     if (analyzed.collectLeaves().exists(
         _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
-      return exec(df.queryExecution.executedPlan)
+      return fallback()
     if (cache.size > 2048) clear() // runaway-key backstop; templates rebuild
     val params = paramsOf(analyzed)
     val key = t("key")(cacheKey(analyzed))
     val tplSession = sessionFor(spark)
     val tpl = cache.get(key) match {
       case Some(t) if t.plan == null => // untemplatable structure
-        return exec(df.queryExecution.executedPlan)
+        return fallback()
       case Some(t) if t.paramIds.length == params.length =>
         hits += 1; t
       case _ =>
@@ -300,7 +374,7 @@ object GraftTemplates {
         val keyDigest = java.security.MessageDigest.getInstance("MD5")
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
         if (seenOnce.putIfAbsent(keyDigest, ()).isEmpty)
-          return exec(df.queryExecution.executedPlan)
+          return fallback()
         misses += 1
         val phys = tplSession.withActive {
           classic.Dataset.ofRows(tplSession, analyzed)
@@ -353,7 +427,7 @@ object GraftTemplates {
           }
         if (sys.props.get("graft.planTemplates.verify").contains("true")) {
           val raw = tplSession.withActive { phys.executeCollect() }
-          val ref0 = df.queryExecution.executedPlan.executeCollect()
+          val ref0 = mkDf().queryExecution.executedPlan.executeCollect()
           val a0 = raw.map(_.toString).sorted.toSeq
           val b0 = ref0.map(_.toString).sorted.toSeq
           if (a0 != b0)
@@ -364,7 +438,7 @@ object GraftTemplates {
         val t = if (sound) Template(phys, params.map(_._1))
                 else Template(null, Nil)
         cache.put(key, t)
-        if (!sound) return exec(df.queryExecution.executedPlan)
+        if (!sound) return fallback()
         t
     }
     // copies made during substitution capture the ACTIVE session at node
@@ -374,7 +448,7 @@ object GraftTemplates {
     lastPlanDump = fresh.toString
     val out = t("exec")(tplSession.withActive { exec(fresh) })
     if (sys.props.get("graft.planTemplates.verify").contains("true")) {
-      val ref = df.queryExecution.executedPlan.executeCollect()
+      val ref = mkDf().queryExecution.executedPlan.executeCollect()
       val a = out.map(_.toString).sorted.toSeq
       val b = ref.map(_.toString).sorted.toSeq
       if (a != b) {
@@ -389,7 +463,7 @@ object GraftTemplates {
         java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/tpl_subst.txt"),
           fresh.toString.getBytes)
         println(s"--- substituted plan:\n$fresh")
-        println(s"--- reference plan:\n${df.queryExecution.executedPlan}")
+        println(s"--- reference plan:\n${mkDf().queryExecution.executedPlan}")
         throw new IllegalStateException("graft template mismatch")
       }
     }
