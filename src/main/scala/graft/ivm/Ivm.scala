@@ -737,6 +737,15 @@ object Ivm {
     val deltas = new BatchDeltas(deltas0, localBatchRows)
     val allTables = views.values.toSeq.flatMap(_.tables).distinct
     val snap = store.readSnapshot()
+    val parts = views.values.toSeq.map(stripRead).distinctBy(_.toString)
+      .flatMap(sharedParts).distinctBy(_.toString)
+    val sharedPending = new java.util.concurrent.ConcurrentLinkedQueue[
+      scala.concurrent.Future[Unit]]()
+    // Aggregate tops that are ONLY tops this batch (no view consumes them
+    // as an interior) have no ΔV consumer — ZDelta skips their state-join
+    // pin and never builds their retract/assert plan.
+    val topOnlyNames = parts.collect { case a: Aggregate => sharedPath(a) }.toSet --
+      parts.flatMap(interiorAggs).map(sharedPath).toSet
     val ctx = ZDelta.Ctx(base, deltas, p => snap(p),
       sliceFn = (p, kdf, ks) => snap.slice(p, kdf, ks),
       namer = sharedNamer,
@@ -745,28 +754,45 @@ object Ivm {
       // Aggregate tops in a shared group discard their ΔV (SPJ tops are
       // unaffected: their top node is not an Aggregate)
       needTopDelta = false,
-      localCap = pinCap(deltas, allTables))
+      localCap = pinCap(deltas, allTables),
+      topOnly = topOnlyNames,
+      // commits launch as updates are queued (all reads go through the
+      // frozen snap, so a commit landing mid-walk cannot leak into later
+      // delta terms) — a state's merge I/O overlaps its siblings' planning,
+      // exactly as the per-view refresh does. First queue per path wins
+      // (shared subtrees memo-dedupe; the set is the belt).
+      onUpdate = {
+        val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+        u => if (committed.add(u.path))
+          sharedPending.add(scala.concurrent.Future(
+            commitUpdate(store, u.path, u))(statePool))
+      })
     val spjTops = scala.collection.mutable.Buffer.empty[(IvmQuery, DataFrame)]
+    def drainShared(): Unit = {
+      var f = sharedPending.poll()
+      while (f != null) {
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        f = sharedPending.poll()
+      }
+    }
     store.transaction {
-      for (q0 <- views.values.toSeq.map(stripRead).distinctBy(_.toString);
-           q <- sharedParts(q0).distinctBy(_.toString)
-             if ZDelta.hasDelta(q, ctx)) { // untouched views are no-ops
-        q match {
-          case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
-          case _ =>
-            val c = ZDelta.delta(q, ctx).cache()
-            c.count() // pin ΔV before any commit
-            spjTops += ((q, c))
+      try {
+        for (q <- parts if ZDelta.hasDelta(q, ctx)) { // untouched views are no-ops
+          q match {
+            case _: Aggregate => ZDelta.delta(q, ctx) // queue updates only
+            case _ =>
+              val c = ZDelta.delta(q, ctx).cache()
+              c.count() // pin ΔV before any commit
+              spjTops += ((q, c))
+          }
+          // shared accumulators dedupe by path (content-addressed per table)
+          ZDelta.queueAccUpdates(q, ctx, q.tables.toSet)
         }
-        // shared accumulators dedupe by path (content-addressed per table)
-        ZDelta.queueAccUpdates(q, ctx, q.tables.toSet)
-      }
-      inParallel(ctx.updates.toSeq.distinctBy(_.path)) { u =>
-        commitUpdate(store, u.path, u)
-      }
-      spjTops.foreach { case (q, dv) =>
-        mergeTop(store, snap, sharedPath(q) + "/top", dv)
-      }
+        drainShared()
+        spjTops.foreach { case (q, dv) =>
+          mergeTop(store, snap, sharedPath(q) + "/top", dv)
+        }
+      } finally drainShared() // no commit may outlive the open txn
     }
     ctx.pins.foreach(_.unpersist())
     spjTops.foreach(_._2.unpersist())
@@ -778,6 +804,32 @@ object Ivm {
   private def sharedParts(q: IvmQuery): Seq[IvmQuery] = q match {
     case ScalarDeco(c, subs, _) => subs :+ c
     case other                  => Seq(other)
+  }
+
+  /** Every Aggregate STRICTLY below `q`'s root — the nodes whose ΔV some
+    * parent consumes, hence which may never take the discarded-top
+    * shortcut in a shared-group refresh. */
+  private def interiorAggs(q: IvmQuery): Seq[Aggregate] = {
+    def kids(n: IvmQuery): Seq[IvmQuery] = n match {
+      case Aggregate(c, _, _)     => Seq(c)
+      case Filter(c, _)           => Seq(c)
+      case Project(c, _)          => Seq(c)
+      case Union(l, r)            => Seq(l, r)
+      case Join(l, r, _)          => Seq(l, r)
+      case LeftJoin(l, r, _)      => Seq(l, r)
+      case RightJoin(l, r, _)     => Seq(l, r)
+      case FullJoin(l, r, _)      => Seq(l, r)
+      case TopK(c, _, _)          => Seq(c)
+      case WindowDeco(c, _)       => Seq(c)
+      case ExpandCount(c, _)      => Seq(c)
+      case ScalarDeco(c, subs, _) => c +: subs
+      case Scan(_)                => Seq.empty
+    }
+    def below(n: IvmQuery): Seq[Aggregate] = {
+      val self = n match { case a: Aggregate => Seq(a); case _ => Seq.empty }
+      self ++ kids(n).flatMap(below)
+    }
+    kids(q).flatMap(below)
   }
 
   /** Current contents of a shared-state view. */

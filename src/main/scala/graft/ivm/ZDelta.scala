@@ -109,7 +109,14 @@ object ZDelta {
       onUpdate: StateUpdate => Unit = null,
       /** Non-null while a fresh walk is being trace-recorded ([[Trace]]):
         * pins and queued updates capture their analyzed plans for replay. */
-      recorder: Trace.Recorder = null) {
+      recorder: Trace.Recorder = null,
+      /** Resolved state names of aggregates that are ONLY view tops this
+        * batch (never an interior of any refreshed view) — with
+        * [[needTopDelta]] false their ΔV has no consumer, so the state
+        * join stays unpinned and the retract/assert plan is never built.
+        * The positional-path case detects its top as `path == "r"`;
+        * content-addressed shared groups must pass names explicitly. */
+      topOnly: Set[String] = Set.empty) {
     /** Queue a state update and fire [[onUpdate]]. */
     def queue(u: StateUpdate): Unit = {
       if (recorder != null) recorder.recordUpdate(u)
@@ -951,7 +958,8 @@ object ZDelta {
     }
     // With the top ΔV discarded the state update is the ONLY consumer —
     // no pin, no output plan (see Ctx.needTopDelta).
-    val topUnused = !ctx.needTopDelta && path == "r"
+    val topUnused = !ctx.needTopDelta &&
+      (path == "r" || ctx.topOnly.contains(path))
     // Three consumers (state update, retractions, assertions) would each
     // recompute the state join; pin it once. O(touched groups) rows.
     // Released by Ivm.refresh after commit.
