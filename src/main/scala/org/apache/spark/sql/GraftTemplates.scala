@@ -61,6 +61,97 @@ object GraftTemplates {
   /** Attribute-metadata key carrying a param id on engine-created locals. */
   val PID = "graft.pid"
 
+  // ---- driver-inline execution ------------------------------------------
+  //
+  // A substituted template plan on the small-batch path is typically ONE
+  // partition whose lineage is all-narrow: LocalTableScans (delta collects,
+  // pins, driver-resident states) under codegen'd project/filter/agg/join
+  // stages, no exchanges (the template session plans local⋈local as
+  // single-partition SHJ and aggregates with shuffle.partitions=1 — and a
+  // SinglePartition child satisfies the agg's distribution outright, so
+  // EnsureRequirements inserts nothing). Running such a plan as a Spark job
+  // pays scheduler latency, task-binary serialization (which EMBEDS the
+  // LocalTableScan rows — MB-scale for big pins), task launch and result
+  // transfer: ~15–90 ms per action, which IS the remaining refresh floor.
+  // Computing the RDD's single partition on the driver thread instead costs
+  // none of that — the iterator chain reads the driver-resident rows in
+  // place. A real TaskContext (with a TaskMemoryManager over the driver's
+  // MemoryManager) backs Tungsten operators (hash maps, sorters, spills);
+  // completion listeners run in the finally so operator memory is freed
+  // exactly as at task end.
+  //
+  // Guarded: one root partition, no ShuffleDependency anywhere, no cached
+  // RDD in the lineage (driver-side iterator() would populate the driver's
+  // BlockManager). Anything else — and any compute failure — falls back to
+  // the normal job path. 100 TB note: this serves ONLY small-batch actions;
+  // plans that scan real data have multi-partition scans and never qualify.
+  private val nextInlineTid = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private val inlineFailLogged = TrieMap.empty[String, Unit]
+  @volatile var inlineRuns: Long = 0L
+
+  private def inlineEnabled: Boolean =
+    !sys.props.get("graft.driverExec").contains("false")
+
+  private def allNarrowUncached(r: org.apache.spark.rdd.RDD[_]): Boolean =
+    r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      r.dependencies.forall {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => false
+        case d => allNarrowUncached(d.rdd)
+      }
+
+  /** Driver-inline collect of `plan` (up to `cap`+1 rows when `cap` >= 0);
+    * None when the plan shape doesn't qualify or compute fails. */
+  private def driverCollect(plan: SparkPlan,
+      cap: Int): Option[Array[InternalRow]] = {
+    if (!inlineEnabled) return None
+    val rdd =
+      try plan.execute() // may schedule subquery/broadcast jobs via prepare()
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val parts = rdd.partitions
+    if (parts.length != 1 || !allNarrowUncached(rdd)) return None
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) return None
+    val tid = nextInlineTid.getAndDecrement()
+    val tmm = new org.apache.spark.memory.TaskMemoryManager(
+      env.memoryManager, tid)
+    val tc = new org.apache.spark.TaskContextImpl(
+      stageId = 0, stageAttemptNumber = 0, partitionId = 0,
+      taskAttemptId = tid, attemptNumber = 0, numPartitions = 1,
+      taskMemoryManager = tmm, localProperties = new java.util.Properties,
+      metricsSystem = env.metricsSystem,
+      taskMetrics = org.apache.spark.executor.TaskMetrics.empty,
+      cpus = 1, resources = Map.empty)
+    org.apache.spark.TaskContext.setTaskContext(tc)
+    try {
+      val it = rdd.compute(parts(0), tc)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      while (it.hasNext && (cap < 0 || buf.length <= cap))
+        buf += it.next().copy()
+      inlineRuns += 1
+      Some(buf.toArray)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // unexpected (the guard should exclude non-driver-runnable shapes):
+        // log once per failure class, fall back to the job path
+        if (inlineFailLogged.putIfAbsent(e.getClass.getName, ()).isEmpty)
+          System.err.println(
+            s"graft: driver-inline exec failed (${e.getClass.getName}: " +
+              s"${e.getMessage}) — falling back to job execution")
+        None
+    } finally {
+      tc.markTaskCompleted(None)
+      org.apache.spark.TaskContext.unsetTaskContext()
+      tmm.cleanUpAllAllocatedMemory()
+    }
+  }
+
+  /** Execute a physical plan: driver-inline when it qualifies, else as a
+    * normal job action. `cap` < 0 collects fully; otherwise returns at most
+    * `cap`+1 rows (executeTake semantics for the capped probe). */
+  private def execPlan(plan: SparkPlan, cap: Int): Array[InternalRow] =
+    driverCollect(plan, cap).getOrElse(
+      if (cap < 0) plan.executeCollect() else plan.executeTake(cap + 1))
+
   private val nextId = new AtomicLong()
   private final case class Template(plan: SparkPlan, paramIds: Seq[Long])
   private val cache = TrieMap.empty[String, Template]
