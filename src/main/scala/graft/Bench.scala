@@ -148,7 +148,12 @@ object Bench {
       (1 to 4).foreach(_ => q13Floor()) // warm-ups
       val tQ13Floor = (1 to 3).map(_ => time(q13Floor())).sum / 3
 
-      f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f,"q13_floor_sec":$tQ13Floor%.3f}"""
+      // path-engagement proof: the floor work (templates, trace replay,
+      // driver-inline exec) only counts if these advance during the run
+      val inl = org.apache.spark.sql.GraftTemplates.inlineRuns.get()
+      val tplHits = org.apache.spark.sql.GraftTemplates.hits
+      val replays = graft.ivm.Ivm.traceReplays
+      f"""{"create_sec":$tCreate%.3f,"refresh_first_sec":$tRefresh1%.3f,"refresh_sec":$tRefresh%.3f,"recompute_first_sec":$tRecompute1%.3f,"recompute_sec":$tRecompute%.3f,"speedup":${tRecompute / tRefresh}%.2f,"hicard_refresh_sec":$tHiRefresh%.3f,"hicard_recompute_sec":$tHiRecompute%.3f,"speedup_hicard":${tHiRecompute / tHiRefresh}%.2f,"q13_refresh_sec":$tQ13Refresh%.3f,"q13_recompute_sec":$tQ13Recompute%.3f,"speedup_q13":${tQ13Recompute / tQ13Refresh}%.2f,"q13_floor_sec":$tQ13Floor%.3f,"inline_runs":$inl,"template_hits":$tplHits,"trace_replays":$replays}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
     // Scaling evidence for the Q13 join-view floor claim: refresh cost is

@@ -2066,6 +2066,38 @@ object SparkEntry {
         col("exact_users"), col("n"))
     }),
 
+    // STREAMING END-TO-END: the delta batch arrives through Structured
+    // Streaming (real file source, one file per micro-batch, durable
+    // transactional store + checkpoint) and IvmStream.maintain folds each
+    // micro-batch into the view; the final store contents must hash-match
+    // the oracle's one-shot batch application. This gates the deployment
+    // mode the engine is built for — continuous maintenance — not just
+    // its batch twin.
+    "q122_ivm_stream_e2e" -> ((s, dir) => {
+      val store = new ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("q122-store").toString)
+      val v = Aggregate(Scan("events"), Seq("event_type"),
+        Seq(Sum(col("value").cast("decimal(18,2)"), "sum_value"),
+          Sum(col("user_id"), "sum_uid"), CountStar("n")))
+      Ivm.create("q122", v, base(s, dir), store)
+      val d = Fixtures.deltaEvents(s, dir)
+      val feed = java.nio.file.Files.createTempDirectory("q122-in").toString
+      (0 until 3).foreach { i => // 3 micro-batches, deterministic split
+        d.where(col("event_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(feed)
+      }
+      val sq = graft.streaming.IvmStream.maintain("q122", v, "events",
+        base(s, dir), store,
+        s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed),
+        java.nio.file.Files.createTempDirectory("q122-ck").toString)
+      sq.processAllAvailable()
+      sq.stop()
+      Ivm.read("q122", v, store).select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("sum_uid"), col("n"))
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3187,6 +3219,19 @@ object SparkEntry {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
                  CAST(COUNT(*) AS BIGINT) AS n
           FROM applied GROUP BY 1""",
+
+    // Streaming fold of the whole delta == one-shot batch application.
+    "q122_ivm_stream_e2e" ->
+      s"""SELECT event_type,
+            CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE) AS sum_value,
+            CAST(SUM(user_id * w) AS BIGINT) AS sum_uid,
+            CAST(SUM(w) AS BIGINT) AS n
+          FROM (
+            SELECT event_type, value, user_id, 1 AS w FROM events
+            UNION ALL
+            SELECT event_type, value, user_id,
+                   CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DE)
+          ) GROUP BY event_type HAVING SUM(w) > 0""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->

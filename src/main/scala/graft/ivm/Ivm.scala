@@ -89,10 +89,30 @@ object Ivm {
     * `delta_<view>` (the reference materializes a table,
     * ivm_extension.cpp:100-104; in Spark a temp view keeps the pipeline
     * write-free — callers persist where they choose). Returns delta_V. */
-  def upsert(spark: SparkSession, view: String): DataFrame = {
+  def upsert(spark: SparkSession, view: String): DataFrame =
+    upsert(spark, view, persist = false)
+
+  /** [[upsert]] with full reference parity: `persist = true` writes
+    * `delta_<view>` as a REAL catalog table (the reference's PRAGMA
+    * creates one via `CREATE TABLE delta_<view> AS`,
+    * ivm_extension.cpp:100-103), readable back with
+    * `spark.table("delta_<view>")` across sessions sharing the
+    * warehouse. The default stays a temp view — on a 100 TB pipeline the
+    * delta is an intermediate the maintenance loop consumes immediately;
+    * persisting every batch would double the write volume for no reader. */
+  def upsert(spark: SparkSession, view: String, persist: Boolean): DataFrame = {
     val dv = delta(spark, view)
-    dv.createOrReplaceTempView(deltaTableName(view))
-    dv
+    if (persist) {
+      val name = deltaTableName(view)
+      // a temp view with the same name would shadow the catalog table on
+      // read-back — drop it so spark.table(name) serves the persisted rows
+      spark.catalog.dropTempView(name)
+      dv.write.mode("overwrite").saveAsTable(name)
+      spark.table(name)
+    } else {
+      dv.createOrReplaceTempView(deltaTableName(view))
+      dv
+    }
   }
 
   // ----------------------------------------- materialize + refresh (ours)
@@ -440,13 +460,26 @@ object Ivm {
           org.apache.spark.sql.catalyst.types.DataTypeUtils
             .fromAttributes(l.output), l.data, role).coalesce(1))
       case _ =>
-        // single-pass size probe + collect: executeTake(cap+1) is one job
-        // for the common case (a small delta file); an over-cap batch pays
-        // a few scale-up jobs before falling back to the distributed path
-        val rows = df.queryExecution.executedPlan.executeTake(cap + 1)
-        if (rows.length > cap) None
-        else Some(GraftTemplates.taggedLocal(
-          df.sparkSession, df.schema, rows, role).coalesce(1))
+        // An ALL-LOCAL-LEAF frame (cascade changelog over a replayed ΔV,
+        // derived batch frames) routes through the template cache: a
+        // repeated probe shape reuses its physical plan, and a
+        // single-partition local plan executes inline on the driver with
+        // NO job at all (GraftTemplates driverCollect). File-backed frames
+        // must NOT take this route — a cached physical plan pins the file
+        // scan's first-execution listing — and read real bytes anyway, so
+        // a plain one-job executeTake(cap+1) is their floor. (A separate
+        // count() probe looks cheaper but pays CollectLimit's incremental
+        // partition scale-up — several jobs — on every call.)
+        val allLocal = df.queryExecution.analyzed.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        val rows =
+          if (allLocal) GraftTemplates.collectCapped(df, cap)
+          else {
+            val r = df.queryExecution.executedPlan.executeTake(cap + 1)
+            if (r.length > cap) None else Some(r)
+          }
+        rows.map(r => GraftTemplates.taggedLocal(
+          df.sparkSession, df.schema, r.toIndexedSeq, role).coalesce(1))
     }
   }
 
@@ -495,6 +528,10 @@ object Ivm {
     * [[localBatchRows]], pins get 4× headroom for join fan-out. */
   private def pinCap(bd: BatchDeltas, tables: Seq[String]): Int =
     if (localBatchRows > 0 && bd.allLocal(tables)) 4 * localBatchRows else 0
+
+  /** Trace-replay engagement counter (bench evidence: the amortizer only
+    * counts if it provably fires during the measured loop). */
+  def traceReplays: Long = Trace.replays
 
   // temporary instrumentation (enable with -Dgraft.timing=true)
   private[ivm] def timed[A](tag: String)(f: => A): A =
@@ -641,9 +678,14 @@ object Ivm {
         }
         // Pin ΔV before the top merge reads it — the pinned frame survives
         // the pins-unpersist below. Its plan reads only snapshot-frozen
-        // state, so the in-flight commits cannot leak into it.
+        // state, so the in-flight commits cannot leak into it. On the
+        // small-batch local path the pin is a driver-local collect (an
+        // all-local replayed plan runs inline, zero jobs; downstream
+        // consumers like the cascade changelog then also fold for free);
+        // an over-cap or distributed ΔV keeps the cache()+count() pin.
         val dv = if (needDelta) {
-          val c = dv0.cache(); c.count(); c
+          val local = if (localCapV > 0) collectLocal(dv0, localCapV) else None
+          local.getOrElse { val c = dv0.cache(); c.count(); c }
         } else dv0
         drain()
         // SPJ views: fold ΔV into the stored multiset (reads pre-batch

@@ -85,9 +85,16 @@ object GraftTemplates {
   // BlockManager). Anything else — and any compute failure — falls back to
   // the normal job path. 100 TB note: this serves ONLY small-batch actions;
   // plans that scan real data have multi-partition scans and never qualify.
-  private val nextInlineTid = new java.util.concurrent.atomic.AtomicLong(-1L)
+  // Synthetic taskAttemptIds must never collide with BlockInfo's sentinel
+  // ids (NO_WRITER = -1, NON_TASK_WRITER = -1024): registerTask/
+  // releaseAllLocksForTask on a sentinel would clobber the driver
+  // BlockInfoManager's own registration and NPE every later non-task
+  // broadcast write. Real task ids are non-negative, so anything at or
+  // below -1_000_000 is permanently collision-free.
+  private val nextInlineTid =
+    new java.util.concurrent.atomic.AtomicLong(-1000000L)
   private val inlineFailLogged = TrieMap.empty[String, Unit]
-  @volatile var inlineRuns: Long = 0L
+  val inlineRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def inlineEnabled: Boolean =
     !sys.props.get("graft.driverExec").contains("false")
@@ -104,6 +111,15 @@ object GraftTemplates {
   private def driverCollect(plan: SparkPlan,
       cap: Int): Option[Array[InternalRow]] = {
     if (!inlineEnabled) return None
+    // Only plans whose every leaf is a driver-resident LocalTableScan
+    // qualify: file scans (even single-partition ones over a small state
+    // segment) take executor-only paths — parquet reader block locks need
+    // a task registered with the BlockInfoManager, and failing there spams
+    // FAILED_READ_FILE errors before the fallback. An AQE root is not a
+    // LocalTableScanExec leaf and is rejected the same way.
+    val leavesLocal = plan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    if (!leavesLocal) return None
     val rdd =
       try plan.execute() // may schedule subquery/broadcast jobs via prepare()
       catch { case scala.util.control.NonFatal(_) => return None }
@@ -121,26 +137,44 @@ object GraftTemplates {
       metricsSystem = env.metricsSystem,
       taskMetrics = org.apache.spark.executor.TaskMetrics.empty,
       cpus = 1, resources = Map.empty)
+    // register the synthetic task with the driver's BlockInfoManager:
+    // a broadcast read inside the plan (BroadcastHashJoin build side)
+    // acquires per-task block read locks keyed by taskAttemptId
+    env.blockManager.registerTask(tid)
     org.apache.spark.TaskContext.setTaskContext(tc)
+    var failure: Option[Throwable] = None
     try {
       val it = rdd.compute(parts(0), tc)
       val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       while (it.hasNext && (cap < 0 || buf.length <= cap))
         buf += it.next().copy()
-      inlineRuns += 1
+      inlineRuns.incrementAndGet()
       Some(buf.toArray)
     } catch {
       case scala.util.control.NonFatal(e) =>
         // unexpected (the guard should exclude non-driver-runnable shapes):
         // log once per failure class, fall back to the job path
+        failure = Some(e)
         if (inlineFailLogged.putIfAbsent(e.getClass.getName, ()).isEmpty)
           System.err.println(
             s"graft: driver-inline exec failed (${e.getClass.getName}: " +
               s"${e.getMessage}) — falling back to job execution")
         None
     } finally {
-      tc.markTaskCompleted(None)
-      org.apache.spark.TaskContext.unsetTaskContext()
+      // a throwing TaskCompletionListener must not escape past the NonFatal
+      // catch above, and unset/cleanUp must run regardless — otherwise the
+      // ThreadLocal context and task memory leak on the driver thread
+      try tc.markTaskCompleted(failure)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (inlineFailLogged.putIfAbsent(e.getClass.getName, ()).isEmpty)
+            System.err.println(
+              s"graft: driver-inline completion listener failed " +
+                s"(${e.getClass.getName}: ${e.getMessage})")
+      }
+      org.apache.spark.TaskContext.unset()
+      try env.blockManager.releaseAllLocksForTask(tid)
+      catch { case scala.util.control.NonFatal(_) => () }
       tmm.cleanUpAllAllocatedMemory()
     }
   }
@@ -209,8 +243,8 @@ object GraftTemplates {
     lazy val df = classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
     runCore(spark, plan,
-      () => df.queryExecution.executedPlan.executeCollect(),
-      p => p.executeCollect(), () => df)
+      () => execPlan(df.queryExecution.executedPlan, -1),
+      p => execPlan(p, -1), () => df)
   }
 
   /** Re-tag an existing local-backed frame (dev/spike helper). */
@@ -410,11 +444,11 @@ object GraftTemplates {
   /** Execute `df` through the template cache; falls back to a plain
     * executeCollect when disabled. Returns InternalRows (safe copies). */
   def collect(df: DataFrame): Array[InternalRow] =
-    run(df, p => p.executeCollect())
+    run(df, p => execPlan(p, -1))
 
   /** Template-cached executeTake: rows if at most `cap`, else None. */
   def collectCapped(df: DataFrame, cap: Int): Option[Array[InternalRow]] = {
-    val rows = run(df, p => p.executeTake(cap + 1))
+    val rows = run(df, p => execPlan(p, cap))
     if (rows.length > cap) None else Some(rows)
   }
 

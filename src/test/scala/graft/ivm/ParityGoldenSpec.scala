@@ -35,6 +35,22 @@ class ParityGoldenSpec extends AnyFunSuite with SparkTestBase {
       Seq(2, "k", "Hannes", false)))
   }
 
+  test("upsert(persist=true) creates a real delta_<view> catalog table " +
+      "(reference ivm_extension.cpp:100-103)") {
+    ivmTestFixtures(extraDelta = false)
+    Ivm.createView("t1p", Scan("hello"))
+    val want = Set(
+      Seq[Any](1, "k", "Mark", true),
+      Seq[Any](2, "k", "Hannes", false))
+    assertRows(Ivm.upsert(spark, "t1p", persist = true), want)
+    // read-back goes through the CATALOG (not a temp view): the table must
+    // exist as a persisted managed table, like the reference's PRAGMA
+    assert(spark.catalog.tableExists("delta_t1p"))
+    assert(!spark.catalog.getTable("delta_t1p").isTemporary)
+    assertRows(spark.table("delta_t1p"), want)
+    spark.sql("DROP TABLE delta_t1p")
+  }
+
   test("ivm.test: filtered agg (tests/ivm.test:47-52)") {
     ivmTestFixtures(extraDelta = true)
     Ivm.createView("t2", Project(
