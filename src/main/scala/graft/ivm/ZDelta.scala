@@ -733,6 +733,7 @@ object ZDelta {
           sketchSpecs.map(a => AggSpec.expr(a).get.isNotNull).reduce(_ || _)
         if (d.where(negCond).head(1).isEmpty) None
         else {
+          sketchRebuilds.incrementAndGet()
           val cur = currentW(child, ctx, path + ".0")
           val rowCols = cur.columns.filterNot(_ == WEIGHT).toSeq
           val all = cur.unionByName(d.select(cur.columns.map(col): _*))
@@ -1054,6 +1055,12 @@ object ZDelta {
   private def hllNegGuard(n: String) = s"__ivm_hllneg_$n"
   /** Rebuilt-from-post-batch sketch column of a retraction-hit group. */
   private def rebuiltExt(n: String) = s"__ivm_rb_$n"
+  /** Engagement counter for the sketch retraction-rebuild fallback —
+    * the path is data-dependent control flow, so specs assert it
+    * PROVABLY fired (or provably did not, for null-only deletes). */
+  private[ivm] val sketchRebuilds =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Sketch-state aggregates (insert-optimized; deletions trigger a
     * touched-group rebuild instead of folding into the sketch). */
   private[ivm] def isSketch(a: AggSpec): Boolean = a match {

@@ -74,6 +74,31 @@ class SketchRetractSpec extends AnyFunSuite with SparkTestBase {
         Seq(Row("b", 3, false))))
   }
 
+  test("rebuild provably fires on sketch-hitting deletes, and provably " +
+      "does NOT fire on inserts or null-only deletes") {
+    val store = new MemStore
+    val base: String => DataFrame = { case "t" =>
+      mkT(Seq(Row("a", 1), Row("a", null), Row("b", 5)), withMult = false) }
+    Ivm.create("prov", sketchView, base, store)
+    def batch(rows: Row*): Unit = Ivm.refreshState("prov", sketchView, base,
+      nm => if (nm == "t") Some(mkT(rows, withMult = true)) else None, store)
+    val c0 = ZDelta.sketchRebuilds.get()
+    batch(Row("a", 7, true), Row("b", 8, true)) // pure inserts
+    assert(ZDelta.sketchRebuilds.get() == c0,
+      "insert-only batch must not trigger a sketch rebuild")
+    batch(Row("a", null, false)) // null-input delete: counts adjust only
+    assert(ZDelta.sketchRebuilds.get() == c0,
+      "null-only delete must not trigger a sketch rebuild")
+    batch(Row("a", 1, false)) // a real sketch-input retraction
+    assert(ZDelta.sketchRebuilds.get() == c0 + 1,
+      "sketch-hitting delete must take the rebuild path")
+    val want = Ivm.recompute(sketchView, base, nm =>
+      if (nm == "t") Some(mkT(Seq(Row("a", 7, true), Row("b", 8, true),
+        Row("a", null, false), Row("a", 1, false)), withMult = true))
+      else None)
+    assertSameRows(Ivm.read("prov", sketchView, store), want)
+  }
+
   test("NULL sketch inputs retract without touching the sketch") {
     // deleting a NULL-v row adjusts counts but must NOT trigger a rebuild
     // (the guard only counts non-null sketch inputs) — and a mixed batch
