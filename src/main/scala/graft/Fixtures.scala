@@ -61,16 +61,23 @@ object Fixtures {
       .where(col("doc_id") % 13 === 0)
       .withColumn(IvmCore.MULT, col("doc_id") % 2 === 0)
 
+  /** SQL mirror: WHERE vec_id % 17 = 0, mult = (vec_id % 2 = 0). */
+  def deltaEmbeddings(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .where(col("vec_id") % 17 === 0)
+      .withColumn(IvmCore.MULT, col("vec_id") % 2 === 0)
+
   /** Base resolver over the sf dir. */
   def base(s: SparkSession, dir: String): String => DataFrame =
     name => tbl(s, dir, name)
 
   /** Delta resolver: only the tables above have deltas. */
   def deltas(s: SparkSession, dir: String): String => Option[DataFrame] = {
-    case "lineitem"  => Some(deltaLineitem(s, dir))
-    case "orders"    => Some(deltaOrders(s, dir))
-    case "events"    => Some(deltaEvents(s, dir))
-    case "documents" => Some(deltaDocuments(s, dir))
-    case _           => None
+    case "lineitem"   => Some(deltaLineitem(s, dir))
+    case "orders"     => Some(deltaOrders(s, dir))
+    case "events"     => Some(deltaEvents(s, dir))
+    case "documents"  => Some(deltaDocuments(s, dir))
+    case "embeddings" => Some(deltaEmbeddings(s, dir))
+    case _            => None
   }
 }

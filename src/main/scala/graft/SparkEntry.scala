@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ivm._
@@ -72,6 +72,83 @@ object SparkEntry {
     Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
       Seq(Sum(dec("l_extendedprice"), "sum_price"),
         Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
+
+  /** Maintained MinHash-LSH dedup, level 1 (q123): the per-document k=8
+    * signature as ONE array-expression Project — shingling, md5 slicing
+    * and the per-seed MIN all happen inside `transform`/`array_min`, no
+    * explode — so the signature relation is a plain SPJ view the delta
+    * rules maintain in O(‖Δdocuments‖): a batch re-hashes only its own
+    * documents, never the corpus. Expressions mirror
+    * [[ops.Dedup.minhashSignatures]] and the q22 DuckDB oracle exactly
+    * (hex-slice minhash; min over distinct = min over all, so the
+    * DISTINCT-shingle step is dropped for free). */
+  private lazy val dedupSigView: IvmQuery = {
+    val toks = split(col("text"), " ")
+    def shingleAt(i: Column): Column = // get() is 0-based, null past the end
+      concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))
+    // same index range + 3-token re-split guard as the oracle's sh CTE
+    val kept = org.apache.spark.sql.functions.filter(
+      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => shingleAt(i)),
+      sh => size(split(sh, " ")) === 3)
+    def mh(sd: Int): Column = array_min(transform(kept, sh =>
+      substring(md5(concat(lit((sd / 4).toString), lit("|"), sh)),
+        1 + 8 * (sd % 4), 8))).as(s"mh$sd")
+    Filter( // docs with no 3-shingle (under 3 tokens) have no signature
+      Project(Scan("documents"),
+        col("doc_id").cast("long").as("did") +: (0 until 8).map(mh)),
+      col("mh0").isNotNull)
+  }
+
+  /** Maintained dedup, level 2 (q123): candidate near-duplicate pairs as
+    * four band self-joins over the SIGNATURE VIEW (cascade level 1) with
+    * a DISTINCT top (group liveness retracts a pair when either doc
+    * dies). Banding via a Union of per-band joins instead of posexplode
+    * keeps every node inside the delta algebra; each join shuffles on its
+    * band key exactly like the exploded form would. */
+  private lazy val dedupPairsView: IvmQuery = {
+    def bk(b: Int): Column =
+      md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    def bandPairs(b: Int): IvmQuery = Project(
+      Filter(
+        Join(
+          Project(Scan("sig123"), Seq(col("did").as("a_id"), bk(b).as("bk"))),
+          Project(Scan("sig123"), Seq(col("did").as("b_id"), bk(b).as("bk"))),
+          Seq("bk")),
+        col("a_id") < col("b_id")),
+      Seq(col("a_id"), col("b_id")))
+    IvmQuery.distinct(
+      (1 until 4).map(bandPairs).foldLeft(bandPairs(0): IvmQuery)(Union(_, _)),
+      Seq("a_id", "b_id"))
+  }
+
+  /** Maintained embedding near-dup (q124): cosine pairs within a blocking
+    * key as a DISTINCT-topped view under embedding inserts AND deletes —
+    * the blocked self-join and the sequential-fold cosine
+    * ([[ops.Similarity.cosine]], plain `zip_with`/`aggregate` exprs) sit
+    * entirely inside the delta algebra, so a batch joins only its own
+    * vectors' blocks against the maintained side. The threshold filter
+    * runs on the UNROUNDED cosine (matching the batch q24 oracle); the
+    * stored key is rounded to 6 dp for cross-engine stability. */
+  private lazy val embNearDupView: IvmQuery = {
+    val cos = ops.Similarity.cosine(col("va"), col("vb"))
+    IvmQuery.distinct(
+      Project(
+        Filter(
+          Project(
+            Filter(
+              Join(
+                Project(Scan("embeddings"), Seq(col("label").as("blk"),
+                  col("vec_id").cast("long").as("a_id"), col("embedding").as("va"))),
+                Project(Scan("embeddings"), Seq(col("label").as("blk"),
+                  col("vec_id").cast("long").as("b_id"), col("embedding").as("vb"))),
+                Seq("blk")),
+              col("a_id") < col("b_id")),
+            Seq(col("a_id"), col("b_id"), cos.as("cosine"))),
+          col("cosine") >= 0.35),
+        Seq(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))),
+      Seq("a_id", "b_id", "cosine"))
+  }
 
   // -------------------------------------------------------------- queries
 
@@ -2098,6 +2175,34 @@ object SparkEntry {
         col("sum_uid"), col("n"))
     }),
 
+    // MAINTAINED DEDUP: MinHash-LSH candidate pairs as an incrementally
+    // maintained two-level cascade under document inserts AND deletes —
+    // level 1 maintains the signature multiset (a batch hashes only its
+    // own documents), level 2 maintains the pair set from level 1's
+    // changelog via band self-joins. At 100 TB this turns per-release
+    // full-corpus dedup into per-batch O(‖Δ‖) maintenance; the oracle
+    // recomputes the whole pipeline over the post-delta corpus in DuckDB.
+    "q123_ivm_dedup_minhash" -> ((s, dir) => {
+      val store = new MemStore
+      val c = new graft.ivm.Cascade(
+        Seq("sig123" -> dedupSigView, "pairs123" -> dedupPairsView),
+        base(s, dir), store)
+      c.create()
+      c.refresh(deltas(s, dir))
+      c.read("pairs123")
+    }),
+
+    // MAINTAINED EMBEDDING NEAR-DUP: the blocked-cosine pair set of q24
+    // as an incrementally maintained view under embedding inserts and
+    // deletes — a deleted vector retracts its pairs, a new one joins only
+    // its block. Per-batch work is O(‖Δ‖ × block), not O(corpus²).
+    "q124_ivm_dedup_embedding" -> ((s, dir) => {
+      val store = new MemStore
+      Ivm.create("q124", embNearDupView, base(s, dir), store)
+      Ivm.refreshState("q124", embNearDupView, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q124", embNearDupView, store)
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3233,6 +3338,42 @@ object SparkEntry {
                    CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DE)
           ) GROUP BY event_type HAVING SUM(w) > 0""",
 
+    // Maintained dedup == the full MinHash pipeline over post-delta docs.
+    "q123_ivm_dedup_minhash" ->
+      s"""WITH applied AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text, 1 AS w FROM documents
+              UNION ALL
+              SELECT doc_id, text, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DD)
+            ) GROUP BY doc_id, text HAVING SUM(w) > 0
+          ),
+          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM applied),
+          sh0 AS (SELECT doc_id AS id, toks,
+            unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM t),
+          sh AS (SELECT DISTINCT id,
+            concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle FROM sh0
+            WHERE len(string_split(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]), ' ')) = 3),
+          $minhashTailCtes
+          SELECT a_id, b_id FROM pairs""",
+
+    // Maintained near-dup == blocked cosine pairs over post-delta vectors.
+    "q124_ivm_dedup_embedding" ->
+      s"""WITH applied AS (
+            SELECT vec_id, label, embedding FROM (
+              SELECT vec_id, label, embedding, 1 AS w FROM embeddings
+              UNION ALL
+              SELECT vec_id, label, embedding,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w
+              FROM (SELECT *, (vec_id % 2 = 0) AS $M FROM embeddings
+                    WHERE vec_id % 17 = 0)
+            ) GROUP BY vec_id, label, embedding HAVING SUM(w) > 0
+          ), p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            ${cosineSql("a.embedding", "b.embedding")} AS cosine
+          FROM applied a JOIN applied b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT DISTINCT a_id, b_id, round(cosine, 6) AS cosine FROM p
+          WHERE cosine >= 0.35""",
+
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
@@ -4208,20 +4349,26 @@ object SparkEntry {
     * concat_ws skips, exactly like Spark's element_at + concat_ws. */
   /** MinHash-LSH candidate pairs as a reusable CTE chain ending in
     * `pairs(a_id, b_id)` — mirror of ops.Dedup.minhashLshPairs. */
-  private lazy val minhashPairsCtes: String = {
-    val mhs = (0 until 8).map(s0 =>
-      s"MIN(substr(md5(concat('${s0 / 4}', '|', shingle)), ${1 + 8 * (s0 % 4)}, 8)) AS mh$s0")
-      .mkString(", ")
-    val bandKeys = (0 until 4).map(b =>
-      s"md5(concat_ws('|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")
-    s"""$ShingleCte,
-        sig AS (SELECT id, $mhs FROM sh GROUP BY id),
+  /** mh0..mh7 minhash select list / band-key list — shared between the
+    * batch (q22/q64) and maintained (q123) dedup oracles. */
+  private val MhSelect = (0 until 8).map(s0 =>
+    s"MIN(substr(md5(concat('${s0 / 4}', '|', shingle)), ${1 + 8 * (s0 % 4)}, 8)) AS mh$s0")
+    .mkString(", ")
+  private val BandKeySelect = (0 until 4).map(b =>
+    s"md5(concat_ws('|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")
+
+  /** sig/banded/pairs CTE chain over an existing `sh(id, shingle)` CTE. */
+  private def minhashTailCtes: String =
+    s"""sig AS (SELECT id, $MhSelect FROM sh GROUP BY id),
         banded AS (SELECT id, unnest([0,1,2,3]) AS band,
-          unnest([$bandKeys]) AS band_key FROM sig),
+          unnest([$BandKeySelect]) AS band_key FROM sig),
         pairs AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM banded a
           JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
             AND a.id < b.id)"""
-  }
+
+  private lazy val minhashPairsCtes: String =
+    s"""$ShingleCte,
+        $minhashTailCtes"""
 
   private val ShingleCte =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
