@@ -82,22 +82,49 @@ object SparkEntry {
     * [[ops.Dedup.minhashSignatures]] and the q22 DuckDB oracle exactly
     * (hex-slice minhash; min over distinct = min over all, so the
     * DISTINCT-shingle step is dropped for free). */
-  private lazy val dedupSigView: IvmQuery = {
-    val toks = split(col("text"), " ")
+  /** 3-token shingle ARRAY over an already-split token array — the
+    * oracle sh CTE (index range + 3-token re-split guard) without the
+    * row explosion, so shingle-consuming views stay SPJ. Takes the token
+    * ATTRIBUTE, not split(text): an expression inside a lambda re-executes
+    * per element access (no CSE in interpreted higher-order functions), so
+    * inlining split would re-split the document 3× per shingle. Callers
+    * stage `split(text, " ")` into its own Project first. */
+  private def shingleArrOf(toks: Column): Column = {
     def shingleAt(i: Column): Column = // get() is 0-based, null past the end
       concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))
-    // same index range + 3-token re-split guard as the oracle's sh CTE
-    val kept = org.apache.spark.sql.functions.filter(
+    org.apache.spark.sql.functions.filter(
       transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
         i => shingleAt(i)),
       sh => size(split(sh, " ")) === 3)
-    def mh(sd: Int): Column = array_min(transform(kept, sh =>
-      substring(md5(concat(lit((sd / 4).toString), lit("|"), sh)),
-        1 + 8 * (sd % 4), 8))).as(s"mh$sd")
-    Filter( // docs with no 3-shingle (under 3 tokens) have no signature
+  }
+
+  private[graft] lazy val dedupSigView: IvmQuery = {
+    // STAGED projects, not one: higher-order array functions run
+    // interpreted (no codegen) and Catalyst neither CSEs across columns
+    // nor collapses Projects whose references repeat non-cheap exprs — so
+    // stage 0 splits the text ONCE, stage 1 builds the shingle array once
+    // per row, stage 2 runs the md5 pass TWICE (one digest serves four
+    // 8-hex-char seeds) instead of once per mh column. The under-3-tokens
+    // filter sits on the cheap token count (provably equivalent to
+    // `mh0 IS NOT NULL`: concat_ws only drops parts past the array end,
+    // so the re-split guard rejects exactly the size<3 i=0 window) —
+    // predicate pushdown inlines one split() at the scan instead of the
+    // whole signature pipeline. Measured: 37 s → ~1 s for the sf0.1
+    // create.
+    val p0 = Filter(
       Project(Scan("documents"),
-        col("doc_id").cast("long").as("did") +: (0 until 8).map(mh)),
-      col("mh0").isNotNull)
+        Seq(col("doc_id").cast("long").as("did"),
+          split(col("text"), " ").as("toks"))),
+      size(col("toks")) >= 3)
+    val p1 = Project(p0,
+      Seq(col("did"), shingleArrOf(col("toks")).as("sh")))
+    val p2 = Project(p1, Seq(col("did"),
+      transform(col("sh"), sh => md5(concat(lit("0"), lit("|"), sh))).as("dg0"),
+      transform(col("sh"), sh => md5(concat(lit("1"), lit("|"), sh))).as("dg1")))
+    def mh(sd: Int): Column =
+      array_min(transform(if (sd < 4) col("dg0") else col("dg1"),
+        d => substring(d, 1 + 8 * (sd % 4), 8))).as(s"mh$sd")
+    Project(p2, col("did") +: (0 until 8).map(mh))
   }
 
   /** Maintained dedup, level 2 (q123): candidate near-duplicate pairs as
@@ -106,9 +133,14 @@ object SparkEntry {
     * dies). Banding via a Union of per-band joins instead of posexplode
     * keeps every node inside the delta algebra; each join shuffles on its
     * band key exactly like the exploded form would. */
-  private lazy val dedupPairsView: IvmQuery = {
+  private[graft] lazy val dedupPairsView: IvmQuery = {
     def bk(b: Int): Column =
       md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
+    // Four per-band self-joins unioned, not one join over a 4×-banded
+    // union: measured head-to-head at sf0.1 the banded-union form is
+    // SLOWER (1.63 s vs 1.44 s steady refresh) — trace replay already
+    // amortizes the extra terms' per-batch floor, while the union
+    // quadruples the rows every join side materializes per batch.
     def bandPairs(b: Int): IvmQuery = Project(
       Filter(
         Join(
@@ -148,6 +180,38 @@ object SparkEntry {
           col("cosine") >= 0.35),
         Seq(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))),
       Seq("a_id", "b_id", "cosine"))
+  }
+
+  /** Maintained decontamination (q125): corpus docs sharing ≥ 3 distinct
+    * word 3-grams with an eval-set doc, as a maintained view under
+    * document churn ON BOTH SIDES (eval-set docs live in the same table
+    * here, so one batch can move corpus and benchmark at once — the q88
+    * same-table-both-sides delta rules apply). The n-gram overlap is
+    * `size(array_intersect(...))` over per-doc shingle arrays; the
+    * eval side is tiny by construction, so the constant-key join
+    * broadcasts it — per batch the corpus side contributes only its
+    * delta. The batch q72 pipeline is the per-release equivalent. */
+  private lazy val decontamView: IvmQuery = {
+    // same staging rationale as [[dedupSigView]]: split once, shingle once
+    def side(pred: Column, idName: String, shName: String): IvmQuery =
+      Project(
+        Project(Filter(Scan("documents"), pred),
+          Seq(col("doc_id").cast("long").as(idName),
+            split(col("text"), " ").as("toks"))),
+        Seq(col(idName),
+          array_distinct(shingleArrOf(col("toks"))).as(shName),
+          lit(1).as("one")))
+    val bench = side(col("doc_id") < 20, "b_id", "b_sh")
+    val corpus = side(col("doc_id") >= 20, "c_id", "c_sh")
+    IvmQuery.distinct(
+      Project(
+        Filter(
+          Project(Join(corpus, bench, Seq("one")),
+            Seq(col("c_id"), col("b_id"),
+              size(array_intersect(col("c_sh"), col("b_sh"))).as("hits"))),
+          col("hits") >= 3),
+        Seq(col("c_id"), col("b_id"), col("hits"))),
+      Seq("c_id", "b_id", "hits"))
   }
 
   // -------------------------------------------------------------- queries
@@ -2203,6 +2267,16 @@ object SparkEntry {
       Ivm.read("q124", embNearDupView, store)
     }),
 
+    // MAINTAINED DECONTAMINATION: benchmark-overlap detection (q72's
+    // per-release job) as an always-current view — corpus/eval churn in
+    // one batch updates the contamination pair set incrementally.
+    "q125_ivm_decontaminate" -> ((s, dir) => {
+      val store = new MemStore
+      Ivm.create("q125", decontamView, base(s, dir), store)
+      Ivm.refreshState("q125", decontamView, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q125", decontamView, store)
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3373,6 +3447,30 @@ object SparkEntry {
             ON a.label = b.label AND a.vec_id < b.vec_id)
           SELECT DISTINCT a_id, b_id, round(cosine, 6) AS cosine FROM p
           WHERE cosine >= 0.35""",
+
+    // Maintained decontamination == distinct-shingle overlap counts over
+    // the post-delta corpus vs the post-delta eval split.
+    "q125_ivm_decontaminate" ->
+      s"""WITH applied AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text, 1 AS w FROM documents
+              UNION ALL
+              SELECT doc_id, text, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DD)
+            ) GROUP BY doc_id, text HAVING SUM(w) > 0
+          ),
+          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM applied),
+          sh0 AS (SELECT doc_id AS id, toks,
+            unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM t),
+          sh AS (SELECT DISTINCT id,
+            concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle FROM sh0
+            WHERE len(string_split(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]), ' ')) = 3),
+          hits AS (SELECT c.id AS c_id, b.id AS b_id,
+              count(DISTINCT c.shingle) AS hits
+            FROM sh c JOIN sh b ON c.shingle = b.shingle
+              AND c.id >= 20 AND b.id < 20
+            GROUP BY 1, 2)
+          SELECT c_id, b_id, CAST(hits AS INT) AS hits FROM hits
+          WHERE hits >= 3""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->
