@@ -143,8 +143,16 @@ object Bench {
         case "orders" => Some(spark.read.parquet(oneRowDir))
         case _        => None
       }
-      def q13Floor() = Ivm.refreshState("bench_q13", q13,
-        Fixtures.base(spark, sfDir), oneDelta, store)
+      // floor on a FRESH store: by this point "bench_q13" has absorbed
+      // ~14 batches of overlay segments, so measuring there conflates the
+      // per-batch floor with chain-read amplification (observed 0.5 s vs
+      // 1.0 s run-to-run swings). A fresh create isolates the floor.
+      val floorStore = new ParquetStore(spark,
+        java.nio.file.Files.createTempDirectory("ivm-bench-floor").toString)
+      Ivm.create("bench_q13f", q13, Fixtures.base(spark, sfDir), floorStore,
+        deltaTables = Set("orders"))
+      def q13Floor() = Ivm.refreshState("bench_q13f", q13,
+        Fixtures.base(spark, sfDir), oneDelta, floorStore)
       (1 to 4).foreach(_ => q13Floor()) // warm-ups
       val tQ13Floor = (1 to 3).map(_ => time(q13Floor())).sum / 3
 

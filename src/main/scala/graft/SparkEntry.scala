@@ -156,27 +156,30 @@ object SparkEntry {
 
   /** Maintained embedding near-dup (q124): cosine pairs within a blocking
     * key as a DISTINCT-topped view under embedding inserts AND deletes —
-    * the blocked self-join and the sequential-fold cosine
-    * ([[ops.Similarity.cosine]], plain `zip_with`/`aggregate` exprs) sit
-    * entirely inside the delta algebra, so a batch joins only its own
-    * vectors' blocks against the maintained side. The threshold filter
-    * runs on the UNROUNDED cosine (matching the batch q24 oracle); the
-    * stored key is rounded to 6 dp for cross-engine stability. */
-  private lazy val embNearDupView: IvmQuery = {
-    val cos = ops.Similarity.cosine(col("va"), col("vb"))
+    * a batch joins only its own vectors' blocks against the maintained
+    * side. The dot product is the CODEGEN'd [[functions.VecDot]]
+    * expression (the interpreted `zip_with`/`aggregate` fold measured
+    * ~15× slower over the sf0.1 pair count), and each side's norm is
+    * computed ONCE below the join instead of per pair — the same two
+    * choices the batch [[ops.Dedup.embeddingNearDup]] makes, and the
+    * same fold order, so the q24-proven DuckDB mirror applies verbatim.
+    * The threshold filter runs on the UNROUNDED cosine; the stored key
+    * is rounded to 6 dp for cross-engine stability. Takes the session:
+    * the codegen function must be registered before analysis. */
+  private def embNearDupView(s: SparkSession): IvmQuery = {
+    def dot(a: Column, b: Column) = graft.functions.VecDot.dot(s, a, b)
+    def side(idName: String, vName: String, nName: String): IvmQuery =
+      Project(Scan("embeddings"), Seq(col("label").as("blk"),
+        col("vec_id").cast("long").as(idName), col("embedding").as(vName),
+        sqrt(dot(col("embedding"), col("embedding"))).as(nName)))
     IvmQuery.distinct(
       Project(
         Filter(
           Project(
-            Filter(
-              Join(
-                Project(Scan("embeddings"), Seq(col("label").as("blk"),
-                  col("vec_id").cast("long").as("a_id"), col("embedding").as("va"))),
-                Project(Scan("embeddings"), Seq(col("label").as("blk"),
-                  col("vec_id").cast("long").as("b_id"), col("embedding").as("vb"))),
-                Seq("blk")),
-              col("a_id") < col("b_id")),
-            Seq(col("a_id"), col("b_id"), cos.as("cosine"))),
+            Filter(Join(side("a_id", "va", "na"), side("b_id", "vb", "nb"),
+              Seq("blk")), col("a_id") < col("b_id")),
+            Seq(col("a_id"), col("b_id"),
+              (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))),
           col("cosine") >= 0.35),
         Seq(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))),
       Seq("a_id", "b_id", "cosine"))
@@ -213,6 +216,49 @@ object SparkEntry {
         Seq(col("c_id"), col("b_id"), col("hits"))),
       Seq("c_id", "b_id", "hits"))
   }
+
+  /** Maintained curation pipeline (q126): q63's per-release job —
+    * hash-sample → quality/lang scoring → threshold → exact dedup
+    * (keep-min-id per content digest) → per-language corpus stats — as a
+    * TWO-LEVEL maintained cascade. Level 1 groups the sampled+scored
+    * docs by content digest and carries the kept doc's lang/tokens/
+    * quality through MIN_BY (doc_id is unique, so arg_min ties cannot
+    * differ cross-engine); level 2 aggregates per-language stats from
+    * level 1's changelog. Quality is rounded to 9 dp and summed as
+    * DECIMAL so the incrementally maintained average is EXACT (a
+    * floating sum would drift from the oracle's one-shot sum under
+    * delete-then-insert churn). */
+  private lazy val curationKeptView: IvmQuery = {
+    val t = col("text")
+    Aggregate(
+      Project(
+        Filter(
+          Project(Scan("documents"), Seq(col("doc_id"), t,
+            ops.TextOps.qualityScore(t).as("quality"),
+            ops.TextOps.langId(t).as("pred_lang"),
+            ops.TextOps.nTokens(t).as("n_tokens"))),
+          ops.TextOps.hashSplit(col("doc_id"), 100) < 80 &&
+            col("quality") > 0.5),
+        Seq(md5(col("text")).as("h"), col("doc_id"), col("pred_lang"),
+          col("n_tokens"),
+          round(col("quality"), 9).cast("decimal(18,9)").as("quality"))),
+      Seq("h"),
+      Seq(Min(col("doc_id"), "keep_id"),
+        MinBy(col("doc_id"), col("pred_lang"), "keep_lang"),
+        MinBy(col("doc_id"), col("n_tokens"), "keep_tokens"),
+        MinBy(col("doc_id"), col("quality"), "keep_quality"),
+        CountStar("n_copies")))
+  }
+
+  private lazy val curationStatsView: IvmQuery =
+    Project(
+      Aggregate(Scan("kept126"), Seq("keep_lang"),
+        Seq(CountStar("n_docs"),
+          Sum(col("keep_tokens").cast("long"), "n_tokens"),
+          Sum(col("keep_quality"), "sum_q"))),
+      Seq(col("keep_lang").as("pred_lang"), col("n_docs"), col("n_tokens"),
+        round(col("sum_q").cast("double") / col("n_docs"), 6)
+          .as("avg_quality")))
 
   // -------------------------------------------------------------- queries
 
@@ -2262,9 +2308,10 @@ object SparkEntry {
     // its block. Per-batch work is O(‖Δ‖ × block), not O(corpus²).
     "q124_ivm_dedup_embedding" -> ((s, dir) => {
       val store = new MemStore
-      Ivm.create("q124", embNearDupView, base(s, dir), store)
-      Ivm.refreshState("q124", embNearDupView, base(s, dir), deltas(s, dir), store)
-      Ivm.read("q124", embNearDupView, store)
+      val v = embNearDupView(s)
+      Ivm.create("q124", v, base(s, dir), store)
+      Ivm.refreshState("q124", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q124", v, store)
     }),
 
     // MAINTAINED DECONTAMINATION: benchmark-overlap detection (q72's
@@ -2275,6 +2322,20 @@ object SparkEntry {
       Ivm.create("q125", decontamView, base(s, dir), store)
       Ivm.refreshState("q125", decontamView, base(s, dir), deltas(s, dir), store)
       Ivm.read("q125", decontamView, store)
+    }),
+
+    // MAINTAINED CURATION PIPELINE: q63's sample → score → threshold →
+    // dedup → per-language stats as a two-level cascade — the corpus
+    // dashboard stays current under churn instead of being recomputed
+    // per release. Exercises MIN_BY flowing through a cascade changelog.
+    "q126_ivm_curation" -> ((s, dir) => {
+      val store = new MemStore
+      val c = new graft.ivm.Cascade(
+        Seq("kept126" -> curationKeptView, "stats126" -> curationStatsView),
+        base(s, dir), store)
+      c.create()
+      c.refresh(deltas(s, dir))
+      c.read("stats126")
     }),
 
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
@@ -3471,6 +3532,36 @@ object SparkEntry {
             GROUP BY 1, 2)
           SELECT c_id, b_id, CAST(hits AS INT) AS hits FROM hits
           WHERE hits >= 3""",
+
+    // Maintained curation == the full pipeline over the post-delta corpus.
+    "q126_ivm_curation" ->
+      s"""WITH applied AS (
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text, 1 AS w FROM documents
+              UNION ALL
+              SELECT doc_id, text, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DD)
+            ) GROUP BY doc_id, text HAVING SUM(w) > 0
+          ), sampled AS (
+            SELECT * FROM applied
+            WHERE (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < 80
+          ), scored0 AS (${textAnalyzeSql("sampled")}),
+          scored AS (
+            SELECT s.doc_id, s.text, a.pred_lang, a.n_tokens,
+                   CAST(round(a.quality, 9) AS DECIMAL(18,9)) AS quality
+            FROM sampled s JOIN scored0 a USING (doc_id)
+            WHERE a.quality > 0.5
+          ), kept AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+                   arg_min(pred_lang, doc_id) AS keep_lang,
+                   arg_min(n_tokens, doc_id) AS keep_tokens,
+                   arg_min(quality, doc_id) AS keep_quality
+            FROM scored GROUP BY 1
+          )
+          SELECT keep_lang AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(keep_tokens) AS BIGINT) AS n_tokens,
+                 round(CAST(SUM(keep_quality) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_quality
+          FROM kept GROUP BY 1""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->

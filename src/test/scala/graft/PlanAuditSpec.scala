@@ -138,6 +138,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"top-k read must plan as per-partition heap + k-row driver merge:\n$p")
   }
 
+  test("maintained dedup signature (q123 level 1): staging survives the optimizer") {
+    // The staged shingle pipeline (split once → shingle array once → TWO
+    // md5 passes serving 8 seeds) is a 20× eval win over the collapsed
+    // form — higher-order functions run interpreted with no CSE, so a
+    // future optimizer change inlining the stages would silently re-pay
+    // per-column re-evaluation. Pin the shape: exactly 2 md5 calls, and
+    // no signature computation re-inlined into a pushed-down filter.
+    val opt = graft.ivm.Eval.eval(graft.SparkEntry.dedupSigView,
+      Fixtures.base(spark, dir)).queryExecution.optimizedPlan.toString
+    val md5s = "md5".r.findAllIn(opt).length
+    assert(md5s == 2, s"expected exactly 2 md5 passes, found $md5s:\n$opt")
+    val filterLines = opt.split("\n").filter(_.trim.startsWith("+- Filter")) ++
+      opt.split("\n").filter(_.trim.startsWith("Filter"))
+    assert(!filterLines.exists(l => l.contains("array_min") || l.contains("md5")),
+      s"signature pipeline re-inlined into a filter:\n$opt")
+  }
+
   test("stratified sample (q55 filter): map-only membership, no shuffle, pruned scan") {
     import org.apache.spark.sql.functions._
     val rate = when(col("event_type") === "click", 60).otherwise(25)
