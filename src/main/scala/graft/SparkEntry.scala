@@ -2338,6 +2338,48 @@ object SparkEntry {
       c.read("stats126")
     }),
 
+    // MULTI-STREAM END-TO-END: TWO concurrent Structured Streaming
+    // queries (orders and lineitem file feeds, 2 micro-batches each)
+    // maintain ONE join view on one transactional store — concurrent
+    // whole-refresh transactions serialize, per-(view, table) replay
+    // markers stay independent, and the per-table delta accumulators
+    // make each stream's batches visible to the other's join terms. The
+    // final state is interleaving-independent (the delta algebra
+    // commutes), so the q73 batch oracle gates it exactly.
+    "q127_ivm_multistream_e2e" -> ((s, dir) => {
+      val store = new ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("q127-store").toString)
+      val v = Aggregate(
+        Join(
+          Project(Scan("orders"), Seq(col("o_orderkey").as("k"),
+            col("o_orderpriority"))),
+          Project(Scan("lineitem"), Seq(col("l_orderkey").as("k"),
+            col("l_quantity"))),
+          Seq("k")),
+        Seq("o_orderpriority"),
+        Seq(Sum(col("l_quantity"), "sum_qty"), CountStar("cnt")))
+      Ivm.create("q127", v, base(s, dir), store,
+        deltaTables = Set("orders", "lineitem"))
+      def feed(d: DataFrame, splitKey: Column): DataFrame = {
+        val in = java.nio.file.Files.createTempDirectory("q127-in").toString
+        (0 until 2).foreach { i =>
+          d.where(splitKey % 2 === i).coalesce(1)
+            .write.mode("append").parquet(in)
+        }
+        s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+      }
+      val qs = graft.streaming.IvmStream.maintainMulti("q127", v,
+        base(s, dir), store,
+        Map(
+          "orders" -> feed(deltaOrders(s, dir), col("o_orderkey") % 7),
+          "lineitem" -> feed(deltaLineitem(s, dir), col("l_partkey"))),
+        java.nio.file.Files.createTempDirectory("q127-ck").toString)
+      qs.values.foreach(_.processAllAvailable())
+      qs.values.foreach(_.stop())
+      Ivm.read("q127", v, store)
+    }),
+
     // TIME TRAVEL: create on the versioned store, commit a delta batch,
     // then read the PRE-DELTA snapshot via asOf — the oracle is the
     // delta-free base query, proving retained manifests serve history
@@ -3562,6 +3604,29 @@ object SparkEntry {
                  round(CAST(SUM(keep_quality) AS DOUBLE) / COUNT(*), 6)
                    AS avg_quality
           FROM kept GROUP BY 1""",
+
+    // Two concurrent streams folding == one-shot application of both
+    // deltas (q73's oracle — the final state is interleaving-independent).
+    "q127_ivm_multistream_e2e" ->
+      s"""WITH o2 AS (
+            SELECT o_orderkey, o_orderpriority, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT o_orderkey, o_orderpriority, 1 AS w FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DO_)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          ), l2 AS (
+            SELECT l_orderkey, l_quantity, CAST(SUM(w) AS BIGINT) AS m FROM (
+              SELECT l_orderkey, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_orderkey, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END FROM ($DL)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT o_orderpriority, SUM(l_quantity * o2.m * l2.m) AS sum_qty,
+                 CAST(SUM(o2.m * l2.m) AS BIGINT) AS cnt
+          FROM o2 JOIN l2 ON o_orderkey = l_orderkey
+          GROUP BY 1""",
 
     // Pre-delta snapshot == the plain base query (no delta applied).
     "q115_time_travel" ->
