@@ -409,7 +409,7 @@ object Bench {
         case _           => None
       }
       val c = new Cascade(
-        Seq("sig123" -> SparkEntry.dedupSigView,
+        Seq("sig123" -> SparkEntry.dedupSigView(spark),
           "pairs123" -> SparkEntry.dedupPairsView),
         Fixtures.base(spark, sfDir), store)
       val tCreate = time(c.create())

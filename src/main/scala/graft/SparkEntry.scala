@@ -98,34 +98,25 @@ object SparkEntry {
       sh => size(split(sh, " ")) === 3)
   }
 
-  private[graft] lazy val dedupSigView: IvmQuery = {
-    // STAGED projects, not one: higher-order array functions run
-    // interpreted (no codegen) and Catalyst neither CSEs across columns
-    // nor collapses Projects whose references repeat non-cheap exprs — so
-    // stage 0 splits the text ONCE, stage 1 builds the shingle array once
-    // per row, stage 2 runs the md5 pass TWICE (one digest serves four
-    // 8-hex-char seeds) instead of once per mh column. The under-3-tokens
-    // filter sits on the cheap token count (provably equivalent to
-    // `mh0 IS NOT NULL`: concat_ws only drops parts past the array end,
-    // so the re-split guard rejects exactly the size<3 i=0 window) —
-    // predicate pushdown inlines one split() at the scan instead of the
-    // whole signature pipeline. Measured: 37 s → ~1 s for the sf0.1
-    // create.
-    val p0 = Filter(
-      Project(Scan("documents"),
+  /** Level-1 signature view: the whole k=8 signature is ONE native
+    * expression ([[functions.MinhashSig]], single imperative pass) —
+    * the staged higher-order-function form it replaces (split once →
+    * shingle array → 2 md5 transforms → 8 array_min passes) was already
+    * 20× the naive single-project form but still all interpreted;
+    * `MinhashSigSpec` pins native ≡ staged on real documents. The
+    * under-3-tokens filter sits on the cheap token count (provably
+    * equivalent to a signature-null check: tokens cannot contain the
+    * separator, so every 3-token window re-splits to exactly 3) and
+    * pushes to the scan. Takes the session: the native function must be
+    * registered before analysis. */
+  private[graft] def dedupSigView(s: SparkSession): IvmQuery =
+    Project(
+      Project(
+        Filter(Scan("documents"), size(split(col("text"), " ")) >= 3),
         Seq(col("doc_id").cast("long").as("did"),
-          split(col("text"), " ").as("toks"))),
-      size(col("toks")) >= 3)
-    val p1 = Project(p0,
-      Seq(col("did"), shingleArrOf(col("toks")).as("sh")))
-    val p2 = Project(p1, Seq(col("did"),
-      transform(col("sh"), sh => md5(concat(lit("0"), lit("|"), sh))).as("dg0"),
-      transform(col("sh"), sh => md5(concat(lit("1"), lit("|"), sh))).as("dg1")))
-    def mh(sd: Int): Column =
-      array_min(transform(if (sd < 4) col("dg0") else col("dg1"),
-        d => substring(d, 1 + 8 * (sd % 4), 8))).as(s"mh$sd")
-    Project(p2, col("did") +: (0 until 8).map(mh))
-  }
+          graft.functions.MinhashSig.of(s, col("text")).as("mhs"))),
+      col("did") +: (0 until 8).map(i =>
+        element_at(col("mhs"), i + 1).as(s"mh$i")))
 
   /** Maintained dedup, level 2 (q123): candidate near-duplicate pairs as
     * four band self-joins over the SIGNATURE VIEW (cascade level 1) with
@@ -2295,7 +2286,7 @@ object SparkEntry {
     "q123_ivm_dedup_minhash" -> ((s, dir) => {
       val store = new MemStore
       val c = new graft.ivm.Cascade(
-        Seq("sig123" -> dedupSigView, "pairs123" -> dedupPairsView),
+        Seq("sig123" -> dedupSigView(s), "pairs123" -> dedupPairsView),
         base(s, dir), store)
       c.create()
       c.refresh(deltas(s, dir))

@@ -25,7 +25,7 @@ object DedupProbe {
     val base = graft.Fixtures.base(spark, sfDir)
     val store = new MemStore
     val c0 = new Cascade(
-      Seq("sig123" -> graft.SparkEntry.dedupSigView,
+      Seq("sig123" -> graft.SparkEntry.dedupSigView(spark),
         "pairs123" -> graft.SparkEntry.dedupPairsView), base, store)
     time("create")(c0.create())
     val deltas = graft.Fixtures.deltas(spark, sfDir)

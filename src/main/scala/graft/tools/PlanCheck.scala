@@ -6,7 +6,7 @@ object PlanCheck {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.ivm.Eval.eval(graft.SparkEntry.dedupSigView,
+    val df = graft.ivm.Eval.eval(graft.SparkEntry.dedupSigView(spark),
       graft.Fixtures.base(spark, args.headOption.getOrElse("/root/testdata/sf0.01")))
     val plan = df.queryExecution.optimizedPlan.toString
     println("=== md5 count in optimized plan: " +

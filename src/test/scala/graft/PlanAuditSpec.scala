@@ -138,21 +138,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"top-k read must plan as per-partition heap + k-row driver merge:\n$p")
   }
 
-  test("maintained dedup signature (q123 level 1): staging survives the optimizer") {
-    // The staged shingle pipeline (split once → shingle array once → TWO
-    // md5 passes serving 8 seeds) is a 20× eval win over the collapsed
-    // form — higher-order functions run interpreted with no CSE, so a
-    // future optimizer change inlining the stages would silently re-pay
-    // per-column re-evaluation. Pin the shape: exactly 2 md5 calls, and
-    // no signature computation re-inlined into a pushed-down filter.
-    val opt = graft.ivm.Eval.eval(graft.SparkEntry.dedupSigView,
+  test("maintained dedup signature (q123 level 1): one native pass survives the optimizer") {
+    // The whole k=8 signature is ONE MinhashSig expression, staged so the
+    // 8 mh columns extract from its attribute. CollapseProject inlining
+    // the alias (8 copies of the signature pass per row) or predicate
+    // pushdown re-inlining it into a filter would each multiply the
+    // dominant per-row cost — pin the shape: exactly one occurrence,
+    // never inside a Filter.
+    val opt = graft.ivm.Eval.eval(graft.SparkEntry.dedupSigView(spark),
       Fixtures.base(spark, dir)).queryExecution.optimizedPlan.toString
-    val md5s = "md5".r.findAllIn(opt).length
-    assert(md5s == 2, s"expected exactly 2 md5 passes, found $md5s:\n$opt")
-    val filterLines = opt.split("\n").filter(_.trim.startsWith("+- Filter")) ++
-      opt.split("\n").filter(_.trim.startsWith("Filter"))
-    assert(!filterLines.exists(l => l.contains("array_min") || l.contains("md5")),
-      s"signature pipeline re-inlined into a filter:\n$opt")
+    val sigs = "minhashsig|graft_minhash_sig".r
+      .findAllIn(opt.toLowerCase).length
+    assert(sigs == 1, s"expected exactly 1 MinhashSig pass, found $sigs:\n$opt")
+    val filterLines = opt.split("\n").filter(_.trim.contains("Filter"))
+    assert(!filterLines.exists(_.toLowerCase.contains("minhashsig")),
+      s"signature pass re-inlined into a filter:\n$opt")
   }
 
   test("stratified sample (q55 filter): map-only membership, no shuffle, pruned scan") {
