@@ -54,6 +54,10 @@ object Bench {
     // ratios by 2x across identical runs on GC/compaction outliers
     def med5(f: => Unit): Double =
       (1 to 5).map(_ => time(f)).sorted.apply(2)
+    // Recomputes that WRITE store each rep under its own key (s1..s5) so
+    // every rep measures the same write shape (a fresh materialization,
+    // like the warm-ups) — re-putting one key would fold overwrite/segment-
+    // delete and manifest-chain growth into reps 2–5.
 
     // IVM headline: incremental refresh vs full recompute of the same view
     // over the same delta batch (~1% of lineitem), state on the versioned
@@ -90,10 +94,17 @@ object Bench {
         Ivm.recompute(view, Fixtures.base(spark, sfDir), deltas))
       val tRefresh1 = time(refreshOnce())
       (1 to 3).foreach(_ => refreshOnce()) // warm-ups (trace records+stabilizes)
-      val tRefresh = med5(refreshOnce())
       val tRecompute1 = time(recomputeOnce("w1"))
       (1 to 3).foreach(i => recomputeOnce(s"w${i + 1}"))
-      val tRecompute = med5(recomputeOnce("s"))
+      // INTERLEAVED medians (see q13 block): measuring one side's whole
+      // window after the other's lets environmental drift (GC, page cache)
+      // bias the ratio — alternating pairs expose both sides to the same
+      // drift. Observed: non-interleaved windows flipped the hicard ratio
+      // 1.3× → 0.9× while isolated probes stayed at 1.3×.
+      val vPairs = (1 to 5).map(i =>
+        (time(refreshOnce()), time(recomputeOnce(s"s$i"))))
+      val tRefresh = vPairs.map(_._1).sorted.apply(2)
+      val tRecompute = vPairs.map(_._2).sorted.apply(2)
 
       // High-cardinality view (~150k groups at sf0.1): the shape where
       // maintained state actually pays — recompute reshuffles every group,
@@ -106,9 +117,11 @@ object Bench {
       def hiRecompute(tag: String) = store.put(s"bench_hifull$tag",
         Ivm.recompute(hiView, Fixtures.base(spark, sfDir), deltas))
       (1 to 4).foreach(_ => hiRefresh()) // warm-ups
-      val tHiRefresh = med5(hiRefresh())
       (1 to 4).foreach(i => hiRecompute(s"w$i"))
-      val tHiRecompute = med5(hiRecompute("s"))
+      val hiPairs = (1 to 5).map(i =>
+        (time(hiRefresh()), time(hiRecompute(s"s$i"))))
+      val tHiRefresh = hiPairs.map(_._1).sorted.apply(2)
+      val tHiRecompute = hiPairs.map(_._2).sorted.apply(2)
 
       // Poster Q13 (LEFT OUTER join + two-level aggregation) maintained
       // against the orders delta — the join-view refresh story, not just
@@ -135,8 +148,8 @@ object Bench {
       // crossover at sf0.1, so measuring one side's block after the
       // other's lets environmental drift (GC, page cache) bias the ratio
       // — alternating pairs expose both sides to the same drift
-      val q13Pairs = (1 to 5).map(_ =>
-        (time(q13Refresh()), time(q13Recompute("s"))))
+      val q13Pairs = (1 to 5).map(i =>
+        (time(q13Refresh()), time(q13Recompute(s"s$i"))))
       val tQ13Refresh = q13Pairs.map(_._1).sorted.apply(2)
       val tQ13Recompute = q13Pairs.map(_._2).sorted.apply(2)
       // The FIXED per-batch floor of the q13 join view: refresh against a
@@ -404,8 +417,8 @@ object Bench {
       (1 to 3).foreach(_ => refreshOnce()) // more warm-ups (trace stabilizes)
       (1 to 4).foreach(i => recomputeOnce(s"w$i"))
       // interleaved medians (see q13 block): this ratio sits near 1
-      val cPairs = (1 to 5).map(_ =>
-        (time(refreshOnce()), time(recomputeOnce("s"))))
+      val cPairs = (1 to 5).map(i =>
+        (time(refreshOnce()), time(recomputeOnce(s"s$i"))))
       val tR = cPairs.map(_._1).sorted.apply(2)
       val tC = cPairs.map(_._2).sorted.apply(2)
       // delta_rows vs up_changelog_rows is the composability signal: the
@@ -451,8 +464,8 @@ object Bench {
       (1 to 3).foreach(_ => refreshOnce())
       (1 to 4).foreach(i => recomputeOnce(s"w$i"))
       // interleaved medians (see q13 block): this ratio sits near 1
-      val dPairs = (1 to 5).map(_ =>
-        (time(refreshOnce()), time(recomputeOnce("s"))))
+      val dPairs = (1 to 5).map(i =>
+        (time(refreshOnce()), time(recomputeOnce(s"s$i"))))
       val tR = dPairs.map(_._1).sorted.apply(2)
       val tC = dPairs.map(_._2).sorted.apply(2)
       val dRows = spark.read.parquet(dDir).count()

@@ -258,9 +258,11 @@ object Ivm {
             () => Eval.evalState(a, base, hook))
           walk(c, path + ".0") ++
             Seq((name, keys, bump(2 * depth(a)), mk)) ++
-            a.aggs.filter(AggSpec.needsAux).map { spec =>
-              // aux value-multiset buckets by group keys (value-hash for a
-              // global aggregate), so group-sliced reads prune
+            AggSpec.auxGroups(a.aggs).map { case (spec, _) =>
+              // One multiset per DISTINCT tracked expression (the group
+              // owner names it) — MIN_BY + MAX_BY of one pair share state.
+              // Buckets by group keys (value-hash for a global aggregate),
+              // so group-sliced reads prune.
               val bKeys = if (keys.nonEmpty) keys else Seq(Eval.auxVal(spec.name))
               val (bumpX, mkX) = dedup(s"x:${spec.name}:$a",
                 s"$name.aux.${spec.name}",
@@ -472,6 +474,12 @@ object Ivm {
         // partition scale-up — several jobs — on every call.)
         val allLocal = df.queryExecution.analyzed.collectLeaves().forall(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        // Accepted double-execution corner: an all-local frame that turns
+        // out OVER the cap has its (driver-side, jobless) plan executed
+        // here and again by the caller's distributed fallback. Reaching it
+        // needs a driver-local batch that EXPANDS past 64k rows mid-plan —
+        // pathological for O(touched) pins; not worth threading a partial
+        // result through every caller.
         val rows =
           if (allLocal) GraftTemplates.collectCapped(df, cap)
           else {

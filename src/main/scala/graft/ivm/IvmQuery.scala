@@ -525,6 +525,33 @@ object AggSpec {
     case s: Percentile    => s.copy(name = n)
   }
 
+  /** Canonical identity of a spec's tracked aux value expression. Specs
+    * whose tracked values coincide — MIN + MAX + COUNT(DISTINCT) of one
+    * column, or MIN_BY + MAX_BY over the same (value, arg) pair — share
+    * ONE auxiliary multiset: the (group, value) counts are identical,
+    * only the read-out function differs. Unresolved Column toString is
+    * deterministic for a fixed view definition, which is all the create
+    * and refresh walks need to agree on. */
+  def auxExprKey(a: AggSpec): String =
+    // ColumnNode toString embeds construction-site Origins (stack-trace
+    // object hashes) and alias ExprIds — strip both so two structurally
+    // identical specs compare equal.
+    expr(a).get.node.toString
+      .replaceAll("Origin\\([^\\[\\]()]*(\\[[^\\]]*\\][^()]*)?\\)", "Origin")
+      .replaceAll("@[0-9a-f]+", "")
+      .replaceAll("#\\d+", "")
+
+  /** needsAux specs grouped by shared aux state: (owner, members). The
+    * owner (first member in agg order) names the state path and the aux
+    * value column; every member reads the owner's multiset. */
+  def auxGroups(aggs: Seq[AggSpec]): Seq[(AggSpec, Seq[AggSpec])] = {
+    val aux = aggs.filter(needsAux)
+    aux.map(auxExprKey).distinct.map { k =>
+      val members = aux.filter(auxExprKey(_) == k)
+      (members.head, members)
+    }
+  }
+
   /** Specs needing the auxiliary (group, value) count state. */
   def needsAux(a: AggSpec): Boolean = a match {
     case _: Min | _: Max | _: CountDistinct | _: SumDistinct => true

@@ -156,34 +156,48 @@ final class MemStore extends IvmStore {
     * instead of checkpointed executor blocks (same smallness assumption as
     * `graft.localBatchRows`). */
   private val localRows = 1 << 16
-  /** States whose last probe exceeded the cap: skip the probe on their
-    * next put — executeTake(cap+1) over an aggregate state materializes
-    * the whole plan, so probing a KNOWN-big state before checkpointing it
-    * would execute the merge twice per batch. A state that shrinks back
-    * under the cap re-enters the local path on its first successful probe
-    * after the entry clears (never: big states stay big — acceptable). */
+  /** Size memos: a KNOWN-big state skips the collect probe outright
+    * (executeTake(cap+1) over an aggregate state materializes the whole
+    * plan — probing it before checkpointing would execute the merge twice
+    * per batch); a KNOWN-small state keeps the single-job direct collect.
+    * A FIRST-SIGHT state checkpoints first and probes the materialized
+    * blocks, so either outcome costs exactly one plan execution — the
+    * over-cap probe-then-checkpoint double execution never happens. A
+    * state that flips small→big pays one last double execution as its
+    * memo corrects; big→small never re-enters the local path (big states
+    * stay big — acceptable). */
   private val knownBig = TrieMap.empty[String, Unit]
+  private val knownSmall = TrieMap.empty[String, Unit]
   override def get(name: String): Option[DataFrame] = m.get(name)
   override def put(name: String, df: DataFrame): Unit = {
     // Small states are collected into TAGGED LocalRelations: downstream
     // refresh plans over them fold driver-side / hit the plan-template
     // cache (an RDD-backed leaf would force a fresh Catalyst pass per
-    // action), and the collect replaces the localCheckpoint job outright.
-    // Large states keep the checkpoint.
+    // action), and for repeat-small states the collect replaces the
+    // localCheckpoint job outright. Large states keep the checkpoint.
     // NOTE: previous versions are intentionally never unpersisted — pending
     // lazy plans may still read them (snapshot isolation); session-lifetime
     // leak is the documented trade-off of the in-memory store.
-    val probed =
-      if (knownBig.contains(name)) None
-      else org.apache.spark.sql.GraftTemplates.collectCapped(df, localRows)
-    m.put(name, probed match {
-      case Some(rows) => org.apache.spark.sql.GraftTemplates.taggedLocal(
+    def local(rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
+      org.apache.spark.sql.GraftTemplates.taggedLocal(
         df.sparkSession, org.apache.spark.sql.GraftLocalIO.nullable(df.schema),
-        rows.toSeq, s"state:$name").coalesce(1)
-      case None =>
-        knownBig.put(name, ())
-        df.localCheckpoint(true)
-    })
+        rows, s"state:$name").coalesce(1)
+    m.put(name,
+      if (knownBig.contains(name)) df.localCheckpoint(true)
+      else if (knownSmall.contains(name))
+        org.apache.spark.sql.GraftTemplates.collectCapped(df, localRows) match {
+          case Some(rows) => local(rows.toSeq)
+          case None => // grew past the cap: correct the memo
+            knownSmall.remove(name); knownBig.put(name, ())
+            df.localCheckpoint(true)
+        }
+      else {
+        val ck = df.localCheckpoint(true)
+        org.apache.spark.sql.GraftTemplates.collectCapped(ck, localRows) match {
+          case Some(rows) => knownSmall.put(name, ()); local(rows.toSeq)
+          case None       => knownBig.put(name, ()); ck
+        }
+      })
   }
   override def setTag(key: String, value: String): Unit = tags.put(key, value)
   override def getTag(key: String): Option[String] = tags.get(key)
@@ -421,14 +435,20 @@ final class ParquetStore(
     * (parquet RLE makes it ~free) — deriving it from input_file_name()
     * instead would poison every downstream plan that joins a second file
     * source (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION). */
-  private def resolveChains(raw: DataFrame, mergeKeys: Seq[String]): DataFrame = {
+  private def resolveChains(raw: DataFrame, mergeKeys: Seq[String]): DataFrame =
+    foldSegments(raw, mergeKeys).where(col(DEAD) === 0)
+
+  /** Latest-segment-wins per merge key WITHOUT dropping tombstones — the
+    * shared core of chain resolution (which then filters DEAD) and minor
+    * compaction (which must KEEP tombstones: a folded overlay still masks
+    * keys in the base segment beneath it). Drops SEQ. */
+  private def foldSegments(raw: DataFrame, mergeKeys: Seq[String]): DataFrame = {
     val payload = raw.columns.filterNot(c => mergeKeys.contains(c) || c == SEQ).toSeq
     val top = "__ivm_top"
     raw.groupBy(mergeKeys.map(col): _*)
       .agg(max_by(struct(payload.map(col): _*), col(SEQ)).as(top))
       .select(raw.columns.filterNot(_ == SEQ).map(c =>
         if (mergeKeys.contains(c)) col(c) else col(s"$top.$c").as(c)): _*)
-      .where(col(DEAD) === 0)
   }
 
   /** Read a path set of `e`, resolving chains when any included bucket is
@@ -827,6 +847,47 @@ final class ParquetStore(
           }
           publish(name, Entry(chains, bKeys, mergeKeys,
             e.bytes + dirBytes(rel), e.schemaDDL))
+        } else if (maxChain > 1 && e.mergeKeys == mergeKeys && {
+          // Chains hit maxChain: fold. MINOR compaction — the steady state
+          // — folds ONLY the overlay tails + this delta into one fresh
+          // overlay per touched bucket, leaving each chain's BASE segment
+          // in place: O(overlay tail + ‖Δ‖) bytes written, read
+          // amplification resets to 2, and the (possibly huge) base is
+          // never rewritten — the leveled-LSM move that keeps write cost
+          // delta-bound at TB states. MAJOR compaction (fold whole chains,
+          // purge tombstones) runs when the folded tail has grown to rival
+          // its bases (re-folding it every cycle would out-write the
+          // one-time rewrite), when merge keys changed, or at maxChain=1.
+          val tailPaths =
+            sel.values.filter(_.lengthCompare(1) > 0).flatMap(_.init).toSeq
+          tailPaths.nonEmpty &&
+            tailPaths.map(dirBytes).sum * 2 < sel.values.map(l => dirBytes(l.last)).sum
+        }) {
+          val tailPaths =
+            sel.values.filter(_.lengthCompare(1) > 0).flatMap(_.init).toSeq
+          // tombstones KEPT: a folded overlay still masks keys in the base
+          // beneath it; delta rows override folded rows per merge key
+          val foldSrc = aligned(src)
+            .withColumn(DEAD, when(alive, lit(0)).otherwise(lit(1)))
+          val tail = Ivm.timed(s"m.minorread $name")(
+            foldSegments(readPaths(tailPaths, e), mergeKeys))
+          val newRows = StoreOps.antiByKeys(tail, src, mergeKeys)
+            .unionByName(foldSrc)
+          Ivm.timed(s"m.minorwrite $name")(newRows
+            .withColumn(SEQ, lit(segV))
+            .withColumn(B, bucketOf(bKeys))
+            .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
+          val written = discoverBuckets(rel)
+          // the folded overlay stacks directly on its bucket's base; a
+          // touched bucket that wrote nothing (keyHint superset) keeps its
+          // old chain
+          val merged = e.chains ++ touched.flatMap { b =>
+            written.get(b).map(p =>
+              b -> (p :: e.chains.getOrElse(b, Nil).lastOption.toList))
+          }
+          publish(name, Entry(merged, bKeys, mergeKeys,
+            merged.values.flatten.toSeq.distinct.map(dirBytes).sum,
+            e.schemaDDL))
         } else {
           val oldPaths = sel.values.flatten.toSeq
           val newRows = {

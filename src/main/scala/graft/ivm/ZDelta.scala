@@ -856,76 +856,196 @@ object ZDelta {
       else d.groupBy(keys.map(col): _*).agg(adjExprs.head, adjExprs.tail: _*),
       path + ".touched")
 
-    // ---- MIN/MAX auxiliary value-multiset maintenance (the reference
-    // poster's named future work). For each spec: adjust per-(group, value)
-    // counts with signed weights, queue the aux state replacement, and
-    // compute the group's NEW extremum over values still alive — so
-    // deleting the current extremum falls back to the runner-up without
-    // touching the base table. All frames here are O(touched) small and
-    // broadcast; the (possibly huge) aux state is only semi-filtered.
-    val newExtFrames: Seq[(AggSpec, DataFrame, String)] =
-      aggs.filter(AggSpec.needsAux).map { a =>
-        val n = a.name
-        val vCol = Eval.auxVal(n)
-        val auxPath = s"$path.aux.$n"
-        val auxKeys = keys :+ vCol
-        val e = AggSpec.expr(a).get
-        val dAux = ctx.pin(
-          d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
-            .where(col(vCol).isNotNull)
-            .groupBy(auxKeys.map(col): _*)
-            .agg(sum(w).as(adj(HCOUNT))), auxPath + ".d")
-        // group-bucketed layout (value-bucketed for a global aggregate) so
-        // BOTH slices below prune to touched buckets
-        val auxBucketKeys = if (keys.nonEmpty) keys else auxKeys
-        val oldAuxTouched = ctx.slice(auxPath, dAux, auxKeys)
-        val updatedAux = ctx.pin(
-          leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
-            .select((auxKeys.map(col) :+
-              (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
-                .as(HCOUNT)): _*))
-        ctx.queue(StateUpdate(auxPath, auxKeys, updatedAux, auxBucketKeys,
-          keyHint = if (keys.nonEmpty) touched else dAux))
+    // Old state rows of touched groups — consumed by the aux rescan
+    // decision below AND the main state join; plan the slice once.
+    val oldTouched: DataFrame =
+      if (keys.isEmpty) null else ctx.slice(path, touched, keys)
 
-        // alive values of touched groups after this batch =
-        //   (old aux rows of touched groups) minus touched pairs,
-        //   plus updated pairs still alive
-        val touchedGroups =
-          if (keys.isEmpty) ctx.state(auxPath) // global: all values feed the extremum
-          else ctx.slice(auxPath, touched, keys)
-        val merged = filterByKeys(touchedGroups, updatedAux, auxKeys,
+    // ---- MIN/MAX auxiliary value-multiset maintenance (the reference
+    // poster's named future work). Pair counts adjust from the batch alone
+    // (O(‖Δ‖)); the group-proportional "rescan all alive values" runs ONLY
+    // for groups whose CURRENT extremum value died this batch — a deletion
+    // can move an extremum only by killing it, and an insertion folds in
+    // as least/greatest(old, batch-alive extremum) without touching the
+    // multiset. DISTINCT aggregates never rescan: the values born and died
+    // are all visible in the batch's pair slice. ListAgg/exact-percentile
+    // members are multiset-valued, so their groups keep the full rescan.
+    // Global aggregates (no keys) also keep it: one group, and the
+    // rescan-or-not branch would need data-dependent plan choice.
+    def isExtremum(a: AggSpec) = a match {
+      case _: AggSpec.Min | _: AggSpec.Max |
+           _: AggSpec.MinBy | _: AggSpec.MaxBy => true
+      case _ => false
+    }
+    def isLowEnd(a: AggSpec) = a match {
+      case _: AggSpec.Min | _: AggSpec.MinBy => true
+      case _ => false
+    }
+    def isDistinctFam(a: AggSpec) = a match {
+      case _: AggSpec.CountDistinct | _: AggSpec.SumDistinct => true
+      case _ => false
+    }
+    /** Full-multiset readout of one member over the alive (group, value)
+      * counts — the rescan path's aggregate. */
+    def multisetFn(vCol: String)(a: AggSpec): Column = a match {
+      case _: AggSpec.Min           => min(col(vCol))
+      case _: AggSpec.Max           => max(col(vCol))
+      case _: AggSpec.MinBy         => min(col(vCol)) // lexicographic pair
+      case _: AggSpec.MaxBy         => max(col(vCol))
+      case _: AggSpec.CountDistinct => count(lit(1)) // alive values
+      case _: AggSpec.SumDistinct   => sum(col(vCol)) // sum of alive values
+      // rebuild the ordered concatenation from the alive multiset:
+      // each (value, count) repeats its multiplicity, ascending value
+      case AggSpec.ListAgg(_, sep, _) =>
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col(vCol).as("v"),
+              col(HCOUNT).cast("int").as("c")))),
+            p => array_repeat(p.getField("v").cast("string"),
+              p.getField("c")))),
+          sep)
+      // frequency-weighted exact percentile over the alive multiset —
+      // no row expansion, Spark interpolates across the counts
+      case AggSpec.Percentile(_, p, _) =>
+        call_function("percentile", col(vCol), lit(p),
+          col(HCOUNT).cast("bigint"))
+      case other => sys.error(s"no aux extremum for $other")
+    }
+    val auxJoinFrames = Seq.newBuilder[DataFrame]
+    val auxFormula = Map.newBuilder[String, Column]
+    AggSpec.auxGroups(aggs).foreach { case (owner, members) =>
+      val vCol = Eval.auxVal(owner.name)
+      val auxPath = s"$path.aux.${owner.name}"
+      val auxKeys = keys :+ vCol
+      val e = AggSpec.expr(owner).get
+      val oldC = s"__ivm_oldc_${owner.name}"
+      val dAux = ctx.pin(
+        d.select((keys.map(col) :+ e.as(vCol) :+ w): _*)
+          .where(col(vCol).isNotNull)
+          .groupBy(auxKeys.map(col): _*)
+          .agg(sum(w).as(adj(HCOUNT))), auxPath + ".d")
+      // group-bucketed layout (value-bucketed for a global aggregate) so
+      // BOTH slices below prune to touched buckets
+      val auxBucketKeys = if (keys.nonEmpty) keys else auxKeys
+      val oldAuxTouched = ctx.slice(auxPath, dAux, auxKeys)
+      // pair-level diff: old count, new count — everything below (state
+      // replacement, born/died values, batch-alive extrema, death probes)
+      // reads this one O(‖Δ‖) pin
+      val auxDiff = ctx.pin(
+        leftOuterByKeys(dAux, oldAuxTouched, auxKeys, hint = bcast)
+          .select((auxKeys.map(col) :+
+            coalesce(col(HCOUNT), lit(0)).as(oldC) :+
+            (coalesce(col(HCOUNT), lit(0)) + coalesce(col(adj(HCOUNT)), lit(0)))
+              .as(HCOUNT)): _*), auxPath + ".diff")
+      val updatedAux = auxDiff.select((auxKeys.map(col) :+ col(HCOUNT)): _*)
+      ctx.queue(StateUpdate(auxPath, auxKeys, updatedAux, auxBucketKeys,
+        keyHint = if (keys.nonEmpty) touched else dAux))
+
+      if (keys.isEmpty) {
+        // global: all values feed the extremum — full-multiset readout
+        val merged = filterByKeys(ctx.state(auxPath), updatedAux, auxKeys,
             anti = true, hint = bcast)
           .unionByName(updatedAux.where(col(HCOUNT) > 0))
-        val extFn = a match {
-          case _: AggSpec.Min           => min(col(vCol))
-          case _: AggSpec.Max           => max(col(vCol))
-          case _: AggSpec.MinBy         => min(col(vCol)) // lexicographic pair
-          case _: AggSpec.MaxBy         => max(col(vCol))
-          case _: AggSpec.CountDistinct => count(lit(1)) // alive values
-          case _: AggSpec.SumDistinct   => sum(col(vCol)) // sum of alive values
-          // rebuild the ordered concatenation from the alive multiset:
-          // each (value, count) repeats its multiplicity, ascending value
-          case AggSpec.ListAgg(_, sep, _) =>
-            array_join(
-              flatten(transform(
-                array_sort(collect_list(struct(col(vCol).as("v"),
-                  col(HCOUNT).cast("int").as("c")))),
-                p => array_repeat(p.getField("v").cast("string"),
-                  p.getField("c")))),
-              sep)
-          // frequency-weighted exact percentile over the alive multiset —
-          // no row expansion, Spark interpolates across the counts
-          case AggSpec.Percentile(_, p, _) =>
-            call_function("percentile", col(vCol), lit(p),
-              col(HCOUNT).cast("bigint"))
-          case other => sys.error(s"no aux extremum for $other")
+        val extFns = members.map(a =>
+          multisetFn(vCol)(a).as(s"__ivm_newext_${a.name}"))
+        auxJoinFrames += merged.agg(extFns.head, extFns.tail: _*)
+        members.foreach(a =>
+          auxFormula += a.name -> col(s"__ivm_newext_${a.name}"))
+      } else {
+        val rescanAlways =
+          members.exists(a => !isExtremum(a) && !isDistinctFam(a))
+        val extremums = members.filter(isExtremum)
+        val distincts = members.filter(isDistinctFam)
+        val born = col(oldC) <= 0 && col(HCOUNT) > 0
+        val died = col(oldC) > 0 && col(HCOUNT) <= 0
+        def fBAlive(n: String) = s"__ivm_balive_$n"
+        def fDied(n: String)   = s"__ivm_bdied_$n"
+        def fBorn(n: String)   = s"__ivm_vborn_$n"
+        def fDead(n: String)   = s"__ivm_vdead_$n"
+        val rflag = s"__ivm_rescan_${owner.name}"
+
+        // per-group O(‖Δ‖) stats over the pair diff
+        val statCols =
+          (if (rescanAlways) Nil else extremums).flatMap { a =>
+            val alive = when(col(HCOUNT) > 0, col(vCol))
+            val deadV = when(died, col(vCol))
+            if (isLowEnd(a))
+              Seq(min(alive).as(fBAlive(a.name)), min(deadV).as(fDied(a.name)))
+            else
+              Seq(max(alive).as(fBAlive(a.name)), max(deadV).as(fDied(a.name)))
+          } ++ distincts.flatMap {
+            case AggSpec.CountDistinct(_, n) =>
+              Seq(sum(when(born, lit(1L)).otherwise(lit(0L))).as(fBorn(n)),
+                  sum(when(died, lit(1L)).otherwise(lit(0L))).as(fDead(n)))
+            case AggSpec.SumDistinct(_, n) =>
+              Seq(sum(when(born, col(vCol))).as(fBorn(n)),
+                  sum(when(died, col(vCol))).as(fDead(n)))
+            case other => sys.error(s"not a distinct-family spec: $other")
+          }
+        val statsDf = if (statCols.isEmpty) None else Some(
+          auxDiff.groupBy(keys.map(col): _*).agg(statCols.head, statCols.tail: _*))
+        statsDf.foreach(auxJoinFrames += _)
+
+        // groups that MUST rescan their multiset: every touched group for
+        // multiset-valued members; extremum-death groups otherwise
+        val rescanKeys: Option[DataFrame] =
+          if (rescanAlways) Some(touched)
+          else if (extremums.isEmpty) None
+          else {
+            val probe = leftOuterByKeys(statsDf.get,
+              oldTouched.select((keys.map(col) ++
+                extremums.map(a => col(Eval.physExt(a.name)))): _*),
+              keys, hint = bcast)
+            val deathTest = extremums.map(a =>
+              col(fDied(a.name)) === col(Eval.physExt(a.name))).reduce(_ || _)
+            Some(ctx.pin(probe.where(deathTest).select(keys.map(col): _*),
+              auxPath + ".rescan"))
+          }
+        rescanKeys.foreach { rk =>
+          val rescanMembers = members.filterNot(isDistinctFam)
+          val rescanAux = ctx.slice(auxPath, rk, keys)
+          val updR = filterByKeys(updatedAux, rk, keys, hint = bcast)
+          val merged = filterByKeys(rescanAux, updatedAux, auxKeys,
+              anti = true, hint = bcast)
+            .unionByName(updR.where(col(HCOUNT) > 0))
+          val extFns = rescanMembers.map(a =>
+            multisetFn(vCol)(a).as(s"__ivm_newext_${a.name}"))
+          val newExt = merged.groupBy(keys.map(col): _*)
+            .agg(extFns.head, extFns.tail: _*)
+          // the rescanned flag comes from the KEY SET, not the aggregated
+          // rows: a rescan that leaves a group empty must still override
+          // the insert-fold (its stored extremum becomes NULL, exactly as
+          // a full recompute would store)
+          auxJoinFrames += leftOuterByKeys(
+            rk.select(keys.map(col): _*).withColumn(rflag, lit(true)),
+            newExt, keys, hint = bcast)
         }
-        val newName = s"__ivm_newext_$n"
-        val newExt =
-          if (keys.isEmpty) merged.agg(extFn.as(newName))
-          else merged.groupBy(keys.map(col): _*).agg(extFn.as(newName))
-        (a, newExt, newName)
+
+        members.foreach {
+          case a if isExtremum(a) =>
+            // extremum unchanged or improved by inserts → O(1) fold of the
+            // batch-alive extremum into the old one (least/greatest skip
+            // NULLs); extremum died → the rescan result, even when NULL
+            val fold =
+              if (rescanAlways) lit(null) // flag is always true
+              else if (isLowEnd(a))
+                least(col(Eval.physExt(a.name)), col(fBAlive(a.name)))
+              else greatest(col(Eval.physExt(a.name)), col(fBAlive(a.name)))
+            auxFormula += a.name -> when(col(rflag),
+              col(s"__ivm_newext_${a.name}")).otherwise(fold)
+          case AggSpec.CountDistinct(_, n) =>
+            auxFormula += n -> (coalesce(col(Eval.physExt(n)), lit(0L)) +
+              coalesce(col(fBorn(n)), lit(0L)) - coalesce(col(fDead(n)), lit(0L)))
+          case AggSpec.SumDistinct(_, n) =>
+            auxFormula += n -> (coalesce(col(Eval.physExt(n)), lit(0)) +
+              coalesce(col(fBorn(n)), lit(0)) - coalesce(col(fDead(n)), lit(0)))
+          case a => // ListAgg / exact percentile: group was rescanned
+            auxFormula += a.name -> col(s"__ivm_newext_${a.name}")
+        }
       }
+    }
+    val newExtFrames: Seq[DataFrame] = auxJoinFrames.result()
+    val auxFormulaMap: Map[String, Column] = auxFormula.result()
 
     // Touched groups are few (≤ |Δ|). Two broadcast-friendly steps — Spark
     // only supports BuildRight for LEFT outer/semi joins, so a plain
@@ -939,13 +1059,12 @@ object ZDelta {
       touched.crossJoin(ctx.state(path))
     } else {
       // bucket-pruned read: only the state buckets touched groups hash to
-      val oldTouched = ctx.slice(path, touched, keys)
       leftOuterByKeys(touched, oldTouched, keys, hint = bcast)
     }
     // Attach the recomputed extrema (one tiny frame per MIN/MAX spec).
     // A global newExt aggregate always yields exactly one row (possibly
     // null extremum), so crossJoin is safe.
-    val joinedExt = newExtFrames.foldLeft(joined1) { case (acc, (_, newExt, _)) =>
+    val joinedExt = newExtFrames.foldLeft(joined1) { case (acc, newExt) =>
       if (keys.isEmpty) acc.crossJoin(newExt)
       else leftOuterByKeys(acc, newExt, keys, hint = bcast)
     }
@@ -977,7 +1096,7 @@ object ZDelta {
       (coalesce(col(p), lit(0)) + coalesce(col(adj(p)), lit(0))).as(p)
     val newPhys: Seq[Column] = aggs.flatMap {
       case a if AggSpec.needsAux(a) =>
-        Seq(col(s"__ivm_newext_${a.name}").as(Eval.physExt(a.name)),
+        Seq(auxFormulaMap(a.name).as(Eval.physExt(a.name)),
           accumulate(Eval.physNn(a.name)))
       // HLL sketch: union registers (either side may be NULL — a group new
       // to the state, or a batch whose rows are all NULL / other groups).

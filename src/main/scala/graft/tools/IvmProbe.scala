@@ -69,13 +69,20 @@ object IvmProbe {
 
     val store = new ParquetStore(spark,
       java.nio.file.Files.createTempDirectory("ivm-probe").toString,
-      buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "16").toInt)
+      buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "16").toInt,
+      smallStateBytes =
+        sys.env.get("SPARK_GRAFT_SMALLBYTES").map(_.toLong).getOrElse(64L << 20))
     // SPARK_GRAFT_VIEW: "agg" (default, the bench headline view over the
-    // lineitem delta) or "q13" (poster Q13 over the orders delta).
+    // lineitem delta), "hi" (the 150k-group high-cardinality view), or
+    // "q13" (poster Q13 over the orders delta).
     val (view, deltaTable, deltaDf) =
       sys.env.getOrElse("SPARK_GRAFT_VIEW", "agg") match {
         case "q13" =>
           (graft.SparkEntry.q13RealView, "orders", Fixtures.deltaOrders(spark, sfDir))
+        case "hi" =>
+          (Aggregate(Scan("lineitem"), Seq("l_orderkey"),
+            Seq(Sum(col("l_quantity"), "sum_qty"), CountStar("cnt"))),
+            "lineitem", Fixtures.deltaLineitem(spark, sfDir))
         case _ =>
           (Aggregate(Scan("lineitem"), Seq("l_returnflag", "l_linestatus"),
             Seq(Sum(col("l_extendedprice").cast("decimal(18,2)"), "sum_price"),

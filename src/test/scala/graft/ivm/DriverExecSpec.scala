@@ -11,7 +11,15 @@ import graft.SparkTestBase
   * multi-batch refresh suite runs twice — once with `graft.driverExec`
   * default-on, once forced off — and every batch's view contents must be
   * identical. The on-mode run must also prove the path ENGAGES
-  * (`inlineRuns` advances), otherwise the parity assertion is vacuous. */
+  * (`inlineRuns` advances), otherwise the parity assertion is vacuous.
+  *
+  * SEQUENTIAL-EXECUTION ASSUMPTION: this test mutates the global
+  * `graft.driverExec` sys-prop and asserts on the shared
+  * `GraftTemplates.inlineRuns` counter — sound only because the build
+  * runs suites sequentially in one forked JVM (`Test / fork := true`,
+  * no `testForkedParallel`). A parallel runner would flip the execution
+  * path under concurrently running suites and make the counter deltas
+  * flaky; revisit the prop/counter handling before enabling one. */
 class DriverExecSpec extends AnyFunSuite with SparkTestBase {
 
   private val view: IvmQuery = Aggregate(

@@ -104,6 +104,48 @@ class MultiBatchSpec extends AnyFunSuite with SparkTestBase {
         runBatches(name, q, new MemStore, seed, Batches)
     }
 
+  // ---- deterministic traps of the DELTA-BOUND extremum maintenance
+  // (rescan only on extremum death; least/greatest fold on inserts;
+  // born/died arithmetic for the DISTINCT family):
+  //   b1: partial delete of a DUPLICATED min (one copy survives — the
+  //       value did not die, no rescan, min must not move)
+  //   b2: kill the min outright → rescan falls back to the runner-up
+  //   b3: empty group g entirely → its stored extremum must become NULL,
+  //       not a stale fold against the dead value
+  //   b4: re-insert into the emptied group → extrema restart from the
+  //       batch alone (the stale-fold regression this ordering catches)
+  test("extremum fold/rescan traps: dup-min delete, death, empty, re-insert") {
+    val store = new MemStore
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
+        CountDistinct(col("v"), "nd_v"), SumDistinct(col("v"), "sd_v"),
+        CountStar("n")))
+    val t0 = List(Row("g", 0, 5), Row("g", 1, 5), Row("g", 2, 9),
+      Row("h", 0, 1), Row("h", 1, 3))
+    val base: String => DataFrame = { case "t" => mkDf(t0, withMult = false) }
+    Ivm.create("trap", q, base, store)
+    val batches = List(
+      List(Row("g", 0, 5, false)),                     // b1: dup-min survives
+      List(Row("g", 1, 5, false), Row("g", 3, 2, true)), // b2: min dies AND a lower insert arrives
+      List(Row("g", 2, 9, false), Row("g", 3, 2, false)), // b3: g emptied
+      List(Row("g", 4, 7, true), Row("h", 2, 1, true)))   // b4: rebirth; h dup value
+    var applied = List.empty[Row]
+    val expected = List(
+      Set(("g", 5, 9, 2L, 14L, 2L), ("h", 1, 3, 2L, 4L, 2L)),
+      Set(("g", 2, 9, 2L, 11L, 2L), ("h", 1, 3, 2L, 4L, 2L)),
+      Set(("h", 1, 3, 2L, 4L, 2L)),
+      Set(("g", 7, 7, 1L, 7L, 1L), ("h", 1, 3, 2L, 4L, 3L)))
+    batches.zip(expected).zipWithIndex.foreach { case ((b, want), i) =>
+      applied = applied ++ b
+      Ivm.refreshState("trap", q, base,
+        nm => if (nm == "t") Some(mkDf(b, withMult = true)) else None, store)
+      val got = Ivm.read("trap", q, store).collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == want, s"after batch ${i + 1}: got $got")
+    }
+  }
+
   // ---- randomized ALTERNATING-table batches: odd batches delta t, even
   // batches delta u — every join shape must see the other table's earlier
   // batches (base ⊎ accumulator / state) when its own delta arrives.

@@ -302,6 +302,42 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getLong(2)).toSeq == Seq(9L))
   }
 
+  test("LSM: minor compaction folds overlays without rewriting the base") {
+    // base ≫ deltas, so when the chain hits maxChain the fold must take
+    // the MINOR path: overlay tails + delta merge into one new overlay,
+    // the base segments stay untouched on disk and under the manifest.
+    val (root, f) = mkStore(keep = 2, buckets = 2, smallBytes = 0, maxChain = 3)
+    val store = f(root)
+    val rows = (0 until 20000).map(i => Row(s"k$i", i.toLong))
+    store.putKeyed("st", df("g STRING, c BIGINT", rows), Seq("g"))
+    val baseSegs = segDirs(root, "st")
+    def mergeOne(rs: Seq[Row]): Unit =
+      store.merge("st", df("g STRING, c BIGINT", rs), Seq("g"), col("c") >= 0)
+    // two overlay appends fill the chain (kill k1; update k2)
+    mergeOne(Seq(Row("k1", -1L), Row("k2", 222L)))
+    mergeOne(Seq(Row("k3", 333L)))
+    // third merge hits maxChain=3 → minor fold (re-kill check: k1 must
+    // STAY dead, i.e. the folded overlay keeps its tombstone)
+    mergeOne(Seq(Row("k4", 444L)))
+    assert(baseSegs.forall(segDirs(root, "st").contains),
+      s"minor fold rewrote/pruned a base segment: base=$baseSegs now=${segDirs(root, "st")}")
+    val got = store("st").where(col("g").isin("k1", "k2", "k3", "k4"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("k2", 222L), ("k3", 333L), ("k4", 444L)))
+    assert(store("st").count() == 19999) // 20000 - killed k1
+    // keep cycling: overlays refill and fold again; a killed key revives
+    mergeOne(Seq(Row("k1", 111L)))
+    mergeOne(Seq(Row("k5", -5L)))
+    mergeOne(Seq(Row("k6", 666L))) // second minor fold
+    assert(baseSegs.forall(segDirs(root, "st").contains))
+    val got2 = store("st").where(col("g").isin("k1", "k5", "k6"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got2 == Set(("k1", 111L), ("k6", 666L)))
+    // a fresh instance recovers the layered chains from the manifest
+    val s2 = f(root)
+    assert(s2("st").count() == 19999) // +k1 revived, -k5 killed
+  }
+
   test("MIN/MAX view with aux state refreshes correctly on the bucketed store") {
     val (root, f) = mkStore(buckets = 4, smallBytes = 0)
     val store = f(root)
