@@ -2494,6 +2494,22 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     }),
+
+    // SHARED AUX MULTISET in one view: MIN+MAX+COUNT(DISTINCT)+SUM(DISTINCT)
+    // of ONE column maintain a single (group, value) count state — the four
+    // read-outs differ (fold / fold / born−died / born−died), but the
+    // multiset is stored and adjusted once. Gates the delta-bound refresh
+    // formulas composing inside one joined state update.
+    "q128_ivm_shared_aux_apply" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+        Seq(Min(col("l_quantity"), "min_qty"), Max(col("l_quantity"), "max_qty"),
+          CountDistinct(col("l_quantity"), "nd_qty"),
+          SumDistinct(col("l_quantity"), "sd_qty"), CountStar("cnt")))
+      Ivm.create("q128", v, base(s, dir), store)
+      Ivm.refreshState("q128", v, base(s, dir), deltas(s, dir), store)
+      Ivm.read("q128", v, store)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4585,6 +4601,22 @@ object SparkEntry {
           AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
          WHERE l.event_type = 'click'
          GROUP BY l.event_id""",
+
+    "q128_ivm_shared_aux_apply" ->
+      s"""WITH a AS (
+            SELECT l_returnflag, l_quantity, SUM(w) AS c FROM (
+              SELECT l_returnflag, l_quantity, 1 AS w FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, l_quantity,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w FROM ($DL)
+            ) GROUP BY 1, 2 HAVING SUM(w) > 0
+          )
+          SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+                 MAX(l_quantity) AS max_qty,
+                 CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
+                 CAST(SUM(DISTINCT l_quantity) AS DOUBLE) AS sd_qty,
+                 CAST(SUM(c) AS BIGINT) AS cnt
+          FROM a GROUP BY l_returnflag""",
   )
 
   // ---------------------------------------------- oracle SQL generators
