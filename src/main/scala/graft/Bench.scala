@@ -217,8 +217,35 @@ object Bench {
           val tR = (1 to 2).map(_ => time(refresh())).sum / 2
           (1 to 3).foreach(i => recompute(s"w$i"))
           val tC = (1 to 2).map(i => time(recompute(s"s$i"))).sum / 2
+          // Extremum-view scaling — evidence for the DELTA-BOUND aux
+          // refresh: pair counts adjust from the batch alone and the
+          // multiset rescan fires only on extremum death, so refresh
+          // should stay near-flat across a 100× base growth while
+          // recompute re-scans the base. Lineitem delta (a constant
+          // fraction), MIN_BY+MAX_BY sharing one aux multiset.
+          import org.apache.spark.sql.functions.col
+          val ld = java.nio.file.Files.createTempDirectory("ivm-scale-ld").toString
+          Fixtures.deltaLineitem(spark, d).write.mode("overwrite").parquet(ld)
+          val lDeltas: String => Option[DataFrame] = {
+            case "lineitem" => Some(spark.read.parquet(ld))
+            case _          => None
+          }
+          val mmView = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+            Seq(AggSpec.MinBy(col("l_quantity"), col("l_orderkey"), "cheapest"),
+              AggSpec.MaxBy(col("l_quantity"), col("l_orderkey"), "biggest"),
+              AggSpec.CountStar("cnt")))
+          Ivm.create("scale_mm", mmView, Fixtures.base(spark, d), store,
+            deltaTables = Set("lineitem"))
+          def mmRefresh() = Ivm.refreshState("scale_mm", mmView,
+            Fixtures.base(spark, d), lDeltas, store)
+          def mmRecompute(tag: String) = store.put(s"scale_mmfull$tag",
+            Ivm.recompute(mmView, Fixtures.base(spark, d), lDeltas))
+          (1 to 3).foreach(_ => mmRefresh()) // warm-ups
+          val tMmR = (1 to 2).map(_ => time(mmRefresh())).sum / 2
+          (1 to 3).foreach(i => mmRecompute(s"w$i"))
+          val tMmC = (1 to 2).map(i => time(mmRecompute(s"s$i"))).sum / 2
           val sf = d.split("/").last
-          f""""$sf":{"q13_refresh_sec":$tR%.3f,"q13_recompute_sec":$tC%.3f}"""
+          f""""$sf":{"q13_refresh_sec":$tR%.3f,"q13_recompute_sec":$tC%.3f,"minmax_refresh_sec":$tMmR%.3f,"minmax_recompute_sec":$tMmC%.3f}"""
         }
       pts.mkString("{", ",", "}")
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }

@@ -338,6 +338,42 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(s2("st").count() == 19999) // +k1 revived, -k5 killed
   }
 
+  test("aux sharing: same tracked expression → ONE multiset; different → own") {
+    // MIN+MAX+COUNT(DISTINCT) of v share the v-multiset (owner = first
+    // spec, min_v); MIN of h tracks a different expression and must get
+    // its OWN state — over-sharing would corrupt both read-outs.
+    val (root, f) = mkStore(smallBytes = 0)
+    val store = f(root)
+    val base: String => DataFrame = {
+      case "t" => df("g STRING, v INT, h INT",
+        Seq(Row("a", 1, 9), Row("a", 5, 2), Row("b", 3, 3)))
+    }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
+        CountDistinct(col("v"), "nd_v"), Min(col("h"), "min_h"),
+        CountStar("cnt")))
+    Ivm.create("shx", q, base, store)
+    def walk(f: java.io.File): Seq[String] =
+      if (!f.isDirectory) Seq.empty
+      else f.getName +: Option(f.listFiles).toSeq.flatten.flatMap(walk)
+    val auxDirs = walk(new java.io.File(root))
+      .filter(n => n.contains(".aux.") && !n.startsWith("seg"))
+      .distinct.sorted
+    assert(auxDirs.exists(_.endsWith(".aux.min_v")) &&
+      auxDirs.exists(_.endsWith(".aux.min_h")) && auxDirs.size == 2,
+      s"expected exactly the two owner aux states, got: $auxDirs")
+    // and the shared state serves all four read-outs through a delta
+    // that kills v's min AND h's min in group a
+    val d = df(s"g STRING, v INT, h INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("a", 1, 9, false), Row("a", 5, 2, false), Row("a", 7, 8, true)))
+    Ivm.refreshState("shx", q, base,
+      nm => if (nm == "t") Some(d) else None, store)
+    val got = Ivm.read("shx", q, store).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getLong(5))).toSet
+    assert(got == Set(("a", 7, 7, 1L, 8, 1L), ("b", 3, 3, 1L, 3, 1L)))
+  }
+
   test("MIN/MAX view with aux state refreshes correctly on the bucketed store") {
     val (root, f) = mkStore(buckets = 4, smallBytes = 0)
     val store = f(root)
