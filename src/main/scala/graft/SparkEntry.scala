@@ -2510,6 +2510,29 @@ object SparkEntry {
       Ivm.refreshState("q128", v, base(s, dir), deltas(s, dir), store)
       Ivm.read("q128", v, store)
     }),
+
+    // INSERT-ONLY extremum maintenance: the view declares its feed
+    // append-only, so MIN/MAX/MAX_BY keep NO auxiliary multiset — state is
+    // O(groups), each batch folds its inserted extrema into the stored
+    // value (a delete would fail loudly; the feed here is the insert half
+    // of the standard delta). The O(rows)-state-free mode an append-only
+    // training-data pipeline runs at 100 TB.
+    "q129_ivm_insert_only_minmax" -> ((s, dir) => {
+      val store = new MemStore
+      val v = Aggregate(Scan("lineitem"), Seq("l_returnflag"),
+        Seq(Min(col("l_quantity"), "min_qty"), Max(col("l_quantity"), "max_qty"),
+          MaxBy(col("l_quantity"), col("l_orderkey"), "biggest_order"),
+          CountStar("cnt")))
+      Ivm.create("q129", v, base(s, dir), store, deltaTables = null,
+        insertOnly = true)
+      val insertsOnly: String => Option[org.apache.spark.sql.DataFrame] = {
+        case "lineitem" =>
+          Some(deltaLineitem(s, dir).where(col(graft.ivm.IvmCore.MULT)))
+        case _ => None
+      }
+      Ivm.refreshState("q129", v, base(s, dir), insertsOnly, store)
+      Ivm.read("q129", v, store)
+    }),
   )
 
   // ------------------------------------------------------------- oracles
@@ -4616,6 +4639,19 @@ object SparkEntry {
                  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS nd_qty,
                  CAST(SUM(DISTINCT l_quantity) AS DOUBLE) AS sd_qty,
                  CAST(SUM(c) AS BIGINT) AS cnt
+          FROM a GROUP BY l_returnflag""",
+
+    "q129_ivm_insert_only_minmax" ->
+      s"""WITH a AS (
+            SELECT l_returnflag, l_quantity, l_orderkey FROM lineitem
+            UNION ALL
+            SELECT l_returnflag, l_quantity, l_orderkey FROM ($DL) WHERE $M
+          )
+          SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+            MAX(l_quantity) AS max_qty,
+            (list(l_orderkey ORDER BY l_quantity DESC, l_orderkey DESC))[1]
+              AS biggest_order,
+            CAST(COUNT(*) AS BIGINT) AS cnt
           FROM a GROUP BY l_returnflag""",
   )
 

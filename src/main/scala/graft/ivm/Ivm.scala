@@ -146,7 +146,14 @@ object Ivm {
       q: IvmQuery,
       base: String => DataFrame,
       store: IvmStore,
-      deltaTables: Set[String]): DataFrame = {
+      deltaTables: Set[String],
+      /** Declare the feed APPEND-ONLY: extremum aggregates (MIN/MAX/
+        * MIN_BY/MAX_BY) then keep NO auxiliary value multiset — total
+        * state drops from O(rows) to O(groups) — and fold each batch's
+        * inserted extrema into the stored value. A batch containing a
+        * deletion that touches an extremum spec FAILS the refresh loudly
+        * (the same contract as the insert-only sketch aggregates). */
+      insertOnly: Boolean = false): DataFrame = {
     store.transaction {
       stripRead(q) match {
         case ScalarDeco(c, subs, _) =>
@@ -156,14 +163,19 @@ object Ivm {
             createStates(s, base, store,
               (_, p) => stateName(subViewName(view, i), p),
               topName = stateName(subViewName(view, i), TOP),
-              skipExisting = false)
+              skipExisting = false, insertOnly = insertOnly)
+            if (insertOnly)
+              store.setTag(s"${subViewName(view, i)}/_insert_only", "true")
           }
           createStates(c, base, store, (_, p) => stateName(view, p),
-            topName = stateName(view, TOP), skipExisting = false)
+            topName = stateName(view, TOP), skipExisting = false,
+            insertOnly = insertOnly)
         case core =>
           createStates(core, base, store, (_, p) => stateName(view, p),
-            topName = stateName(view, TOP), skipExisting = false)
+            topName = stateName(view, TOP), skipExisting = false,
+            insertOnly = insertOnly)
       }
+      if (insertOnly) store.setTag(s"$view/_insert_only", "true")
       if (deltaTables != null) {
         val unknown = deltaTables -- q.tables.toSet
         require(unknown.isEmpty, s"declared delta tables not in view: $unknown")
@@ -196,7 +208,8 @@ object Ivm {
       store: IvmStore,
       nameOf: (IvmQuery, String) => String,
       topName: String,
-      skipExisting: Boolean): Unit = {
+      skipExisting: Boolean,
+      insertOnly: Boolean = false): Unit = {
     // Interior aggregate states are materialized DEEPEST-FIRST, and every
     // evaluation above them reads the state output instead of recomputing
     // the subtree from base — a shared/spliced interior (CTE referenced n
@@ -258,7 +271,8 @@ object Ivm {
             () => Eval.evalState(a, base, hook))
           walk(c, path + ".0") ++
             Seq((name, keys, bump(2 * depth(a)), mk)) ++
-            AggSpec.auxGroups(a.aggs).map { case (spec, _) =>
+            AggSpec.auxGroups(a.aggs.filterNot(s =>
+              insertOnly && AggSpec.isExtremum(s))).map { case (spec, _) =>
               // One multiset per DISTINCT tracked expression (the group
               // owner names it) — MIN_BY + MAX_BY of one pair share state.
               // Buckets by group keys (value-hash for a global aggregate),
@@ -638,7 +652,8 @@ object Ivm {
       needTopDelta = needDelta,
       localCap = localCapV,
       onUpdate = commit,
-      recorder = recorder)
+      recorder = recorder,
+      insertOnly = store.getTag(s"$view/_insert_only").contains("true"))
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))

@@ -493,8 +493,8 @@ object AggSpec {
   final case class MaxBy(value: Column, arg: Column, name: String) extends AggSpec
 
   /** Field names of the (value, arg) pair struct [[MinBy]]/[[MaxBy]] track. */
-  private[ivm] val PairV = "v"
-  private[ivm] val PairA = "a"
+  private[graft] val PairV = "v"
+  private[graft] val PairA = "a"
 
   /** Copy of a spec under a new output name (the scalar-subquery fold
     * renames the subview's single aggregate to a hidden column). */
@@ -550,6 +550,24 @@ object AggSpec {
       val members = aux.filter(auxExprKey(_) == k)
       (members.head, members)
     }
+  }
+
+  /** Extremum specs (MIN/MAX family): aux-multiset–backed under deletion,
+    * but pure-fold (no aux state at all) for an INSERT-ONLY view. */
+  def isExtremum(a: AggSpec): Boolean = a match {
+    case _: Min | _: Max | _: MinBy | _: MaxBy => true
+    case _                                     => false
+  }
+  /** Low-end extremum (MIN family) — folds with `least`, probes `min`. */
+  def isLowEnd(a: AggSpec): Boolean = a match {
+    case _: Min | _: MinBy => true
+    case _                 => false
+  }
+  /** DISTINCT-family specs: maintained from born/died values of the batch
+    * pair diff — never rescan the multiset. */
+  def isDistinctFam(a: AggSpec): Boolean = a match {
+    case _: CountDistinct | _: SumDistinct => true
+    case _                                 => false
   }
 
   /** Specs needing the auxiliary (group, value) count state. */

@@ -116,7 +116,13 @@ object ZDelta {
         * join stays unpinned and the retract/assert plan is never built.
         * The positional-path case detects its top as `path == "r"`;
         * content-addressed shared groups must pass names explicitly. */
-      topOnly: Set[String] = Set.empty) {
+      topOnly: Set[String] = Set.empty,
+      /** View created with `insertOnly = true`: extremum aggregates fold
+        * per-batch inserted extrema into the stored value with NO aux
+        * multiset (O(groups) total state instead of O(rows)); a deletion
+        * reaching one raises. The append-only contract of most
+        * training-data pipelines, matching the sketch family's. */
+      insertOnly: Boolean = false) {
     /** Queue a state update and fire [[onUpdate]]. */
     def queue(u: StateUpdate): Unit = {
       if (recorder != null) recorder.recordUpdate(u)
@@ -701,9 +707,14 @@ object ZDelta {
     val Aggregate(child, keys, aggs) = agg
     val d0 = delta(child, ctx, path + ".0")
     val sketchSpecs = aggs.filter(isSketch)
+    // Specs whose aux multiset actually exists this view: INSERT-ONLY
+    // views skip it for the extremum family (pure fold, no state).
+    val auxAggs =
+      aggs.filter(a => AggSpec.needsAux(a) &&
+        !(ctx.insertOnly && AggSpec.isExtremum(a)))
     // Child delta feeds the main adjustment plus one aux pipeline per
     // MIN/MAX spec (and the sketch retraction probe) — pin it once.
-    val d = if (aggs.exists(AggSpec.needsAux) || sketchSpecs.nonEmpty)
+    val d = if (auxAggs.nonEmpty || sketchSpecs.nonEmpty)
       ctx.pin(d0, path + ".d") else d0
     val w = col(WEIGHT)
     def bcast(df: DataFrame): DataFrame =
@@ -771,6 +782,18 @@ object ZDelta {
     // MIN/MAX contribute only their non-null count here — the extremum
     // itself is recomputed below from the auxiliary value multiset.
     val adjExprs: Seq[Column] = aggs.flatMap {
+      // INSERT-ONLY extremum: no aux multiset exists — the batch's own
+      // extremum of inserted values is the whole adjustment (folded into
+      // the stored one below); a deletion touching the spec trips the
+      // guard and the fold raises.
+      case a if ctx.insertOnly && AggSpec.isExtremum(a) =>
+        val e = AggSpec.expr(a).get
+        val ins = when(w > 0, e)
+        val extFn = if (AggSpec.isLowEnd(a)) min(ins) else max(ins)
+        Seq(extFn.as(adj(Eval.physExt(a.name))),
+            sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(a.name))),
+            sum(when(e.isNotNull && w < 0, lit(1)).otherwise(lit(0)))
+              .as(insGuard(a.name)))
       case AggSpec.Sum(e, n) =>
         Seq(sum(e * w).as(adj(Eval.physSum(n))),
             sum(when(e.isNotNull, w).otherwise(lit(0))).as(adj(Eval.physNn(n))))
@@ -872,19 +895,7 @@ object ZDelta {
     // members are multiset-valued, so their groups keep the full rescan.
     // Global aggregates (no keys) also keep it: one group, and the
     // rescan-or-not branch would need data-dependent plan choice.
-    def isExtremum(a: AggSpec) = a match {
-      case _: AggSpec.Min | _: AggSpec.Max |
-           _: AggSpec.MinBy | _: AggSpec.MaxBy => true
-      case _ => false
-    }
-    def isLowEnd(a: AggSpec) = a match {
-      case _: AggSpec.Min | _: AggSpec.MinBy => true
-      case _ => false
-    }
-    def isDistinctFam(a: AggSpec) = a match {
-      case _: AggSpec.CountDistinct | _: AggSpec.SumDistinct => true
-      case _ => false
-    }
+    import AggSpec.{isExtremum, isLowEnd, isDistinctFam}
     /** Full-multiset readout of one member over the alive (group, value)
       * counts — the rescan path's aggregate. */
     def multisetFn(vCol: String)(a: AggSpec): Column = a match {
@@ -913,7 +924,7 @@ object ZDelta {
     }
     val auxJoinFrames = Seq.newBuilder[DataFrame]
     val auxFormula = Map.newBuilder[String, Column]
-    AggSpec.auxGroups(aggs).foreach { case (owner, members) =>
+    AggSpec.auxGroups(auxAggs).foreach { case (owner, members) =>
       val vCol = Eval.auxVal(owner.name)
       val auxPath = s"$path.aux.${owner.name}"
       val auxKeys = keys :+ vCol
@@ -1095,6 +1106,22 @@ object ZDelta {
     def accumulate(p: String): Column =
       (coalesce(col(p), lit(0)) + coalesce(col(adj(p)), lit(0))).as(p)
     val newPhys: Seq[Column] = aggs.flatMap {
+      // INSERT-ONLY extremum: fold the batch extremum into the stored one
+      // (least/greatest skip NULLs — a new group starts from the batch);
+      // any deletion that touched the spec raises loudly instead of
+      // silently keeping a possibly-stale extremum. assert_true is NULL on
+      // pass, so the guard keeps the fold branch's type.
+      case a if ctx.insertOnly && AggSpec.isExtremum(a) =>
+        val ext = Eval.physExt(a.name)
+        val fold =
+          if (AggSpec.isLowEnd(a)) least(col(ext), col(adj(ext)))
+          else greatest(col(ext), col(adj(ext)))
+        val guarded = when(assert_true(col(insGuard(a.name)) <= 0,
+          lit(s"IVM: '${a.name}' is maintained INSERT-ONLY (Ivm.create " +
+            "insertOnly=true): a deletion cannot fold into an extremum " +
+            "without the value multiset — recreate the view without " +
+            "insertOnly to accept deletes")).isNull, fold)
+        Seq(guarded.as(ext), accumulate(Eval.physNn(a.name)))
       case a if AggSpec.needsAux(a) =>
         Seq(auxFormulaMap(a.name).as(Eval.physExt(a.name)),
           accumulate(Eval.physNn(a.name)))
@@ -1169,6 +1196,9 @@ object ZDelta {
   }
 
   private def adj(phys: String) = s"__ivm_d_$phys"
+  /** Count of delete rows hitting an INSERT-ONLY extremum spec — > 0
+    * fails the fold loudly (no aux multiset exists to fall back on). */
+  private def insGuard(n: String) = s"__ivm_insneg_$n"
   /** Count of negative-weight rows hitting a sketch state (HLL/KLL/freq) —
     * > 0 routes the group to its rebuilt sketch. */
   private def hllNegGuard(n: String) = s"__ivm_hllneg_$n"

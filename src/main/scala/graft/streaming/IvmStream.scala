@@ -153,13 +153,23 @@ object IvmStream {
       case AggSpec.ApproxTopK(e, k, m, n) =>
         graft.functions.Freq.topK(
           graft.functions.Freq.agg(insertOnly(e.cast("string")), m), k).as(n)
-      case AggSpec.Min(_, _) | AggSpec.Max(_, _) | AggSpec.CountDistinct(_, _) |
-          AggSpec.SumDistinct(_, _) | AggSpec.MinBy(_, _, _) |
-          AggSpec.MaxBy(_, _, _) =>
+      // INSERT-ONLY extremum: the running min/max IS the agg buffer — no
+      // multiset state, same append-only contract as the sketches above.
+      // A retraction row raises (extrema cannot un-see a value); feeds
+      // that retract use statefulMinMax or foreachBatch maintain().
+      case a if AggSpec.isExtremum(a) =>
+        val e = insertOnly(AggSpec.expr(a).get)
+        val ext = if (AggSpec.isLowEnd(a)) min(e) else max(e)
+        (a match {
+          case _: AggSpec.MinBy | _: AggSpec.MaxBy =>
+            ext.getField(AggSpec.PairA)
+          case _ => ext
+        }).as(a.name)
+      case AggSpec.CountDistinct(_, _) | AggSpec.SumDistinct(_, _) =>
         throw new UnsupportedOperationException(
-          "MIN/MAX under retraction need multiset state; use " +
-            "statefulMinMax (flatMapGroupsWithState) or the foreachBatch " +
-            "maintain() mode, both of which support them")
+          "DISTINCT aggregates need multiset state (and Spark disallows " +
+            "them in streaming aggregations); use the foreachBatch " +
+            "maintain() mode, which supports them under retraction too")
     }
     if (keys.isEmpty) deltaStream.agg(exprs.head, exprs.tail: _*)
     else deltaStream.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
