@@ -248,6 +248,34 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Seq(col("g"), col("v"))))
   }
 
+  // INSERT-ONLY extremum mode: same invariant over insert-only deltas
+  // (deletes stripped), view created with insertOnly=true — the fold-only
+  // path with no aux multiset must equal recompute for arbitrary
+  // insert streams, including NULL values and brand-new groups.
+  test("refresh == recompute: insert-only extremum fold (randomized)") {
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Min(col("v"), "min_v"), Max(col("v"), "max_v"),
+        MinBy(col("v"), col("h"), "am_v"), CountStar("n")))
+    for (seed0 <- 1 to Cases) {
+      val seed = seed0 + SeedBase
+      val tRows = sample(genTable, seed * 7919L)
+      val insRows = sample(genDelta(tRows), seed * 1299709L)
+        .filter(_.getBoolean(3)) // inserts only
+      val base: String => DataFrame = { case "t" => mkDf(tRows, withMult = false) }
+      val deltas: String => Option[DataFrame] = {
+        case "t" => Some(mkDf(insRows, withMult = true)); case _ => None
+      }
+      val store = new MemStore
+      Ivm.create("ins_prop", q, base, store, deltaTables = null,
+        insertOnly = true)
+      Ivm.refresh("ins_prop", q, base, deltas, store)
+      withClue(s"insert-only seed=$seed |T|=${tRows.size} |Δ|=${insRows.size}: ") {
+        assertSameRows(Ivm.read("ins_prop", q, store),
+          Ivm.recompute(q, base, deltas))
+      }
+    }
+  }
+
   for ((name, q) <- shapes)
     test(s"refresh == recompute: $name") {
       for (seed0 <- 1 to Cases) {
