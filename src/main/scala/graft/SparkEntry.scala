@@ -803,6 +803,16 @@ object SparkEntry {
         ops.Multimodal.syntheticImages(tbl(s, dir, "documents"), w = 16, h = 12))
         .where(col("bin_count") > 0)),
 
+    // REAL audio decode (javax.sound.sampled, PCM16-in-WAV — the JDK-native
+    // audio container, as PNG is for images): per-clip statistics over the
+    // DECODED samples; the clips are deterministic functions of doc_id, so
+    // DuckDB verifies the decoded arithmetic without touching bytes —
+    // proof a real codec ran end-to-end, closing the audio-stub gap the
+    // same way q121 closed the image one.
+    "q130_multimodal_audio" -> ((s, dir) =>
+      ops.Multimodal.audioStats(
+        ops.Multimodal.syntheticAudio(tbl(s, dir, "documents"), n = 256))),
+
     // Sessionization: 30-minute-gap sessions per user via window functions
     // (lag + running sum). ts stays integer nanos end-to-end; session
     // bounds exported as epoch micros BIGINT for cross-engine parity.
@@ -4548,6 +4558,15 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS bin_count
          FROM documents d, range(0, 16) x(x), range(0, 12) y(y)
          GROUP BY 1, 2""",
+
+    "q130_multimodal_audio" ->
+      """SELECT d.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MIN((d.doc_id * 31 + 17 * t.i) % 65536 - 32768) AS INT) AS min_s,
+           CAST(MAX((d.doc_id * 31 + 17 * t.i) % 65536 - 32768) AS INT) AS max_s,
+           CAST(SUM((d.doc_id * 31 + 17 * t.i) % 65536 - 32768) AS BIGINT) AS sum_s
+         FROM documents d, range(0, 256) t(i)
+         GROUP BY 1""",
 
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

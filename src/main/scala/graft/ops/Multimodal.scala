@@ -142,6 +142,54 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec via the JDK's `javax.sound.sampled` — the audio
+    * counterpart of [[ImageCodec]] (no external media libraries ship in
+    * this container; WAV/PCM is the JDK-native container, as PNG is for
+    * images). PCM16 is lossless, so a decode round-trips the exact sample
+    * values and the gated query's oracle can verify decoded-sample
+    * statistics arithmetically. */
+  object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Encode signed 16-bit little-endian mono PCM as a WAV container. */
+    def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val in = new AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload back to PCM16LE mono samples; None when the
+      * bytes are not a readable 16-bit mono little-endian WAV. */
+    def decodeWav(payload: Array[Byte]): Option[Array[Short]] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.isBigEndian) None
+        else {
+          val bytes = in.readAllBytes()
+          val out = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } catch { case _: Exception => None }
+  }
+
   // ------------------------------------------------------ synthetic media
 
   /** Deterministic fake media table derived from `documents` (the repo has
@@ -176,6 +224,57 @@ object Multimodal {
       .select(col("media_id"), col("payload"),
         struct(lit("png").as("format"), lit(w).as("width"),
           lit(h).as("height"), lit(1).as("n_frames")).as("meta"))
+  }
+
+  /** Deterministic real-WAV media table: one `n`-sample PCM16 mono clip
+    * per doc, sample i = ((doc_id·31 + 17i) mod 65536) − 32768. The
+    * samples are a pure arithmetic function and PCM16-in-WAV is lossless,
+    * so the oracle verifies DECODED sample statistics by recomputing the
+    * arithmetic — proving a real JDK codec ran end-to-end (the audio
+    * counterpart of [[syntheticImages]]/q121). */
+  def syntheticAudio(docs: DataFrame, n: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = Array.tabulate(n)(i =>
+          (((id * 31 + 17L * i) % 65536) - 32768).toShort)
+        (id, AudioCodec.encodeWav(s))
+      })
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("wav").as("format"), lit(n).as("n_samples"),
+          lit(8000).as("sample_rate"), lit(1).as("n_frames")).as("meta"))
+  }
+
+  /** Decoded-sample statistics per audio clip (REAL `javax.sound.sampled`
+    * decode; integer-exact outputs so both engines hash identically).
+    * Fails loudly on an undecodable payload — a silent skip would fake
+    * codec coverage. */
+  def audioStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          val s = AudioCodec.decodeWav(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"audioStats: media_id=$id payload is not a decodable " +
+                "PCM16 mono WAV"))
+          var min = Int.MaxValue; var max = Int.MinValue; var sum = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            if (v < min) min = v
+            if (v > max) max = v
+            sum += v
+            i += 1
+          }
+          (id, s.length.toLong, min, max, sum)
+        })
+      }
+      .toDF("media_id", "n_samples", "min_s", "max_s", "sum_s")
   }
 
   // -------------------------------------------------- batched operators

@@ -89,6 +89,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       assert((dec.getRGB(x, y) & 0xff) == 77, s"pixel ($x,$y) not preserved")
   }
 
+  test("AudioCodec: WAV round-trips PCM16 exactly; junk fails; stats match") {
+    // exact round-trip incl. both extremes of the 16-bit range
+    val s = Array[Short](Short.MinValue, -1, 0, 1, 12345, Short.MaxValue)
+    val wav = Multimodal.AudioCodec.encodeWav(s)
+    assert(Multimodal.AudioCodec.decodeWav(wav).get.toSeq == s.toSeq)
+    assert(Multimodal.AudioCodec.decodeWav("not a wav".getBytes).isEmpty)
+    // audioStats over synthetic clips equals the generating arithmetic
+    val stats = Multimodal.audioStats(
+      Multimodal.syntheticAudio(docs.limit(8), n = 64)).collect()
+    assert(stats.length == 8)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val want = (0 until 64).map(i => ((id * 31 + 17L * i) % 65536) - 32768)
+      assert(r.getLong(1) == 64 && r.getInt(2) == want.min.toInt &&
+        r.getInt(3) == want.max.toInt && r.getLong(4) == want.sum,
+        s"clip $id: ${r.toSeq} vs (min=${want.min}, max=${want.max}, sum=${want.sum})")
+    }
+    // an undecodable payload fails LOUDLY (coverage can't be faked)
+    val junk = spark.createDataFrame(Seq((1L, Array[Byte](1, 2, 3))))
+      .toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioStats(junk).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("extractFeatures uses decoded pixels for real images") {
     val imgs = Multimodal.syntheticImages(docs.limit(8), w = 16, h = 12)
     val f = Multimodal.extractFeatures(imgs).collect()
