@@ -813,6 +813,17 @@ object SparkEntry {
       ops.Multimodal.audioStats(
         ops.Multimodal.syntheticAudio(tbl(s, dir, "documents"), n = 256))),
 
+    // REAL multi-frame (video-shaped) decode: multi-page TIFF via the
+    // JDK's ImageIO plugin is a true lossless frame container — frame
+    // sampling decodes every 2nd PAGE through the real codec (unsampled
+    // pages never decode) and DuckDB verifies per-frame pixel sums
+    // arithmetically. Completes the image (q121) / audio (q130) / frames
+    // trio of real-codec gates.
+    "q131_multimodal_frames_real" -> ((s, dir) =>
+      ops.Multimodal.sampleFramesReal(
+        ops.Multimodal.syntheticVideos(tbl(s, dir, "documents"),
+          w = 8, h = 6, nFrames = 6), everyN = 2)),
+
     // Sessionization: 30-minute-gap sessions per user via window functions
     // (lag + running sum). ts stays integer nanos end-to-end; session
     // bounds exported as epoch micros BIGINT for cross-engine parity.
@@ -4567,6 +4578,14 @@ object SparkEntry {
            CAST(SUM((d.doc_id * 31 + 17 * t.i) % 65536 - 32768) AS BIGINT) AS sum_s
          FROM documents d, range(0, 256) t(i)
          GROUP BY 1""",
+
+    "q131_multimodal_frames_real" ->
+      """SELECT d.doc_id AS media_id, CAST(f.f AS INT) AS frame_idx,
+           CAST(SUM((d.doc_id * 31 + 7 * x.x + 13 * y.y + 97 * f.f) % 256)
+                AS BIGINT) AS pixel_sum
+         FROM documents d, (VALUES (0), (2), (4)) f(f),
+              range(0, 8) x(x), range(0, 6) y(y)
+         GROUP BY 1, 2""",
 
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

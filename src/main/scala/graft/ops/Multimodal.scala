@@ -377,4 +377,118 @@ object Multimodal {
         col("payload").substr(col("frame_idx") * col("flen") + 1, col("flen"))
           .as("frame_payload"))
   }
+
+  /** REAL multi-frame codec via the JDK's ImageIO TIFF plugin (JDK 9+):
+    * a multi-page TIFF is a true frame container with a LOSSLESS
+    * grayscale encoding — the video counterpart of [[ImageCodec]] /
+    * [[AudioCodec]] (no external media libraries ship in-container). */
+  object FrameCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO}
+
+    /** Encode frames as one multi-page TIFF. */
+    def encodeTiff(frames: Seq[BufferedImage]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Number of pages in a TIFF payload; None when not a readable TIFF. */
+    def frameCount(payload: Array[Byte]): Option[Int] =
+      withReader(payload)(r => r.getNumImages(true))
+
+    /** Decode page `i` of a TIFF payload. */
+    def decodeFrame(payload: Array[Byte], i: Int): Option[BufferedImage] =
+      withReader(payload)(r => r.read(i))
+
+    private def withReader[A](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => A): Option[A] =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        val it = ImageIO.getImageReaders(iis)
+        if (!it.hasNext) None
+        else {
+          val r = it.next()
+          try { r.setInput(iis); Some(f(r)) }
+          finally { r.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Deterministic multi-frame TIFF "videos": one `nFrames`-page clip per
+    * doc, frame f pixel (x, y) = (doc_id·31 + 7x + 13y + 97f) mod 256.
+    * Lossless grayscale pages, so decoded frame statistics are a pure
+    * arithmetic function the DuckDB oracle recomputes — the frame-sampling
+    * op runs a REAL container codec end-to-end. */
+  def syntheticVideos(docs: DataFrame, w: Int = 8, h: Int = 6,
+      nFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + 7 * x + 13 * y + 97 * f) % 256).toInt
+              img.getRaster.setSample(x, y, 0, v)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        (id, FrameCodec.encodeTiff(frames))
+      })
+      .toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("tiff").as("format"), lit(w).as("width"),
+          lit(h).as("height"), lit(nFrames).as("n_frames")).as("meta"))
+  }
+
+  /** REAL frame sampling: decode every `everyN`-th PAGE of each TIFF
+    * container (pages not sampled are never decoded) and emit the frame's
+    * integer pixel sum — per-frame evidence the real codec ran. Fails
+    * loudly on an undecodable container. */
+  def sampleFramesReal(media: DataFrame, everyN: Int = 2,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.flatMap { case (id, payload) =>
+          val n = FrameCodec.frameCount(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"sampleFramesReal: media_id=$id payload is not a readable " +
+                "multi-page TIFF"))
+          (0 until n by everyN).map { f =>
+            val img = FrameCodec.decodeFrame(payload, f).get
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRaster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, sum)
+          }
+        })
+      }
+      .toDF("media_id", "frame_idx", "pixel_sum")
+  }
 }

@@ -115,6 +115,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("FrameCodec: multi-page TIFF round-trips; sampled pages decode real") {
+    // 3-frame container: page count + per-page pixel round-trip
+    import java.awt.image.BufferedImage
+    val frames = (0 until 3).map { f =>
+      val img = new BufferedImage(4, 2, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 2; x <- 0 until 4)
+        img.getRaster.setSample(x, y, 0, (10 * f + x + y) % 256)
+      img
+    }
+    val tiff = Multimodal.FrameCodec.encodeTiff(frames)
+    assert(Multimodal.FrameCodec.frameCount(tiff).contains(3))
+    for (f <- 0 until 3) {
+      val img = Multimodal.FrameCodec.decodeFrame(tiff, f).get
+      for (y <- 0 until 2; x <- 0 until 4)
+        assert(img.getRaster.getSample(x, y, 0) == (10 * f + x + y) % 256)
+    }
+    // sampleFramesReal over synthetic clips equals the arithmetic, and
+    // only every-2nd page is emitted
+    val stats = Multimodal.sampleFramesReal(
+      Multimodal.syntheticVideos(docs.limit(6), w = 8, h = 6, nFrames = 6),
+      everyN = 2).collect()
+    assert(stats.length == 6 * 3) // frames 0, 2, 4
+    stats.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      assert(f % 2 == 0)
+      val want = (for (x <- 0 until 8; y <- 0 until 6)
+        yield (id * 31 + 7 * x + 13 * y + 97 * f) % 256).sum
+      assert(r.getLong(2) == want, s"clip $id frame $f: ${r.getLong(2)} vs $want")
+    }
+  }
+
   test("extractFeatures uses decoded pixels for real images") {
     val imgs = Multimodal.syntheticImages(docs.limit(8), w = 16, h = 12)
     val f = Multimodal.extractFeatures(imgs).collect()
