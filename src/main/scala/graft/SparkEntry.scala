@@ -824,6 +824,33 @@ object SparkEntry {
         ops.Multimodal.syntheticVideos(tbl(s, dir, "documents"),
           w = 8, h = 6, nFrames = 6), everyN = 2)),
 
+    // MAINTAINED ANN INDEX: the IVF cell assignment (frozen create-time
+    // centroids → a deterministic Catalyst expression) is just a Project,
+    // so the index IS an IVM view — new vectors enter their cells and
+    // deleted vectors leave under the normal delta machinery, and queries
+    // hit the always-current index without re-assigning the corpus.
+    // Gated with an exhaustive probe (≡ brute force, the q52 trick), so
+    // DuckDB verifies the maintained index against a brute-force top-k
+    // over the post-delta corpus. At 100 TB: the state is bucketed by
+    // cell-friendly keys, a batch touches O(‖Δ‖) index rows, and the
+    // centroids refresh on their own slower cadence (re-create).
+    "q132_ivm_ann_ivf" -> ((s, dir) => {
+      val store = new MemStore
+      val emb = tbl(s, dir, "embeddings")
+      val model = ops.Ivf.train(emb, k = 16, iters = 3)
+      val v = IvmQuery.distinct(
+        Project(Scan("embeddings"),
+          Seq(col("vec_id"), col("embedding"),
+            ops.Ivf.cellExpr(s, col("embedding"), model).as("ivf_cell"))),
+        Seq("vec_id", "embedding", "ivf_cell"))
+      Ivm.create("q132", v, base(s, dir), store)
+      Ivm.refreshState("q132", v, base(s, dir), deltas(s, dir), store)
+      val index = Ivm.read("q132", v, store)
+      ops.Ivf.topKAssigned(index,
+        index.where(col("vec_id") < 8).select("vec_id", "embedding"),
+        k = 5, model, nprobe = model.nCells)
+    }),
+
     // Sessionization: 30-minute-gap sessions per user via window functions
     // (lag + running sum). ts stays integer nanos end-to-end; session
     // bounds exported as epoch micros BIGINT for cross-engine parity.
@@ -4586,6 +4613,29 @@ object SparkEntry {
          FROM documents d, (VALUES (0), (2), (4)) f(f),
               range(0, 8) x(x), range(0, 6) y(y)
          GROUP BY 1, 2""",
+
+    // maintained IVF with exhaustive probe ≡ brute force over the
+    // POST-DELTA corpus (the q52 equivalence, composed with the applied
+    // multiset)
+    "q132_ivm_ann_ivf" ->
+      s"""WITH applied AS (
+            SELECT vec_id, embedding FROM (
+              SELECT vec_id, embedding, 1 AS w FROM embeddings
+              UNION ALL
+              SELECT vec_id, embedding,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w
+              FROM (SELECT *, (vec_id % 2 = 0) AS $M FROM embeddings
+                    WHERE vec_id % 17 = 0)
+            ) GROUP BY vec_id, embedding HAVING SUM(w) > 0
+          ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM applied c, applied q
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
 
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,

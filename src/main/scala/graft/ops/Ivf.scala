@@ -183,14 +183,24 @@ object Ivf {
     * bit-identical results to brute force. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int, model: Model,
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      salts: Int = 32): DataFrame =
+    topKAssigned(assign(corpus, model, vecCol), queries, k, model, nprobe,
+      idCol, vecCol, salts)
+
+  /** [[topK]] over an ALREADY-ASSIGNED index frame (`ivf_cell` column
+    * present) — the MAINTAINED-index path: the cell assignment lives in
+    * IVM state kept current by refresh, so a query pays scoring only,
+    * never re-assignment of the corpus. */
+  def topKAssigned(index: DataFrame, queries: DataFrame, k: Int, model: Model,
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       salts: Int = 32): DataFrame = {
-    val spark = corpus.sparkSession
-    val nDot = Similarity.fastDot(corpus)
+    val spark = index.sparkSession
+    val nDot = Similarity.fastDot(index)
     val q = broadcast(queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         sqrt(nDot(col(vecCol), col(vecCol))).as("q_norm"),
         explode(probeExpr(spark, col(vecCol), model, nprobe)).as("ivf_cell")))
-    val c = assign(corpus, model, vecCol)
+    val c = index
       .select(col(idCol).as("n_id"), col(vecCol).as("nv"),
         sqrt(nDot(col(vecCol), col(vecCol))).as("n_norm"), col("ivf_cell"))
     val scored = c.join(q, Seq("ivf_cell"))
