@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// LOCKED sequential test execution: DriverExecSpec flips the global
+// `graft.driverExec` sys-prop and asserts deltas on the shared
+// GraftTemplates.inlineRuns counter — sound only while suites run one
+// at a time in the forked JVM. Do not enable either of these without
+// reworking that spec's prop/counter handling.
+Test / testForkedParallel := false
+Test / parallelExecution := false
 run / fork := true
 // Forked run output goes straight through (no "[info] " prefix) so the
 // driver can parse Bench's one-line JSON from stdout.

@@ -71,6 +71,39 @@ object Fixtures {
   def base(s: SparkSession, dir: String): String => DataFrame =
     name => tbl(s, dir, name)
 
+  /** 10× replica of `dir`'s customer/orders/lineitem for SCALING
+    * MEASUREMENTS ONLY (not oracle-gated): each replica i offsets the
+    * join keys into a disjoint range (custkey += i·10⁶, orderkey +=
+    * i·10⁷), so joins and group cardinalities scale linearly instead of
+    * multiplying — the same data distribution at 10× the volume, the
+    * extra point that turns the "refresh flat, recompute grows" argument
+    * from extrapolation into measurement. Written once under target/
+    * (regenerable, never committed) and reused across runs. */
+  def ensureScaled10x(s: SparkSession, dir: String): String = {
+    val dirName = new java.io.File(dir).getName
+    val out = s"target/bench-10x-$dirName"
+    val done = java.nio.file.Paths.get(out, "_DONE")
+    if (java.nio.file.Files.exists(done)) return out
+    val reps = s.range(10).select(col("id").as("__rep"))
+    val keyGaps = Map(
+      "c_custkey" -> 1000000L, "o_custkey" -> 1000000L,
+      "o_orderkey" -> 10000000L, "l_orderkey" -> 10000000L)
+    for (t <- Seq("customer", "orders", "lineitem")) {
+      val src = tbl(s, dir, t)
+      val cols = src.schema.fields.map { f =>
+        keyGaps.get(f.name) match {
+          case Some(gap) => (col(f.name) + col("__rep") * gap)
+            .cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      src.crossJoin(broadcast(reps)).select(cols.toSeq: _*)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    java.nio.file.Files.createFile(done)
+    out
+  }
+
   /** Delta resolver: only the tables above have deltas. */
   def deltas(s: SparkSession, dir: String): String => Option[DataFrame] = {
     case "lineitem"   => Some(deltaLineitem(s, dir))

@@ -851,6 +851,36 @@ object SparkEntry {
         k = 5, model, nprobe = model.nCells)
     }),
 
+    // MAINTAINED PQ CODES: the q132 recipe applied to the OTHER index
+    // half — frozen codebooks make [[ops.Pq.codeExpr]] a deterministic
+    // Project, so the packed 8-byte code table is an IVM view: a batch
+    // encodes only its own vectors, deletes drop their codes, and the
+    // ADC scan always reads current codes without a per-release re-encode
+    // of the corpus (at 100 TB: ~3 TB of codes that used to be rebuilt
+    // nightly now absorb O(‖Δ‖) per batch). Gated exhaustively: a
+    // shortlist wider than the corpus makes ADC-shortlist + exact re-rank
+    // ≡ brute-force top-k over the post-delta corpus, which DuckDB
+    // computes analytically — the maintained codes and the re-rank join
+    // are both on the verified path.
+    "q134_ivm_pq_codes" -> ((s, dir) => {
+      val store = new MemStore
+      val emb = tbl(s, dir, "embeddings")
+      val model = ops.Pq.train(emb, m = 8, k = 16, iters = 3)
+      val v = IvmQuery.distinct(
+        Project(Scan("embeddings"),
+          Seq(col("vec_id"), col("embedding"),
+            ops.Pq.codeExpr(s, col("embedding"), model).as("pq_code"))),
+        Seq("vec_id", "embedding", "pq_code"))
+      Ivm.create("q134", v, base(s, dir), store)
+      Ivm.refreshState("q134", v, base(s, dir), deltas(s, dir), store)
+      val index = Ivm.read("q134", v, store)
+      ops.Pq.topKRerank(
+        index.select(col("vec_id").as("n_id"), col("pq_code")),
+        index.select("vec_id", "embedding"),
+        index.where(col("vec_id") < 8).select("vec_id", "embedding"),
+        k = 5, model, rerank = 1 << 16)
+    }),
+
     // Sessionization: 30-minute-gap sessions per user via window functions
     // (lag + running sum). ts stays integer nanos end-to-end; session
     // bounds exported as epoch micros BIGINT for cross-engine parity.
@@ -2341,6 +2371,40 @@ object SparkEntry {
       c.read("pairs123")
     }),
 
+    // STREAMING MAINTAINED DEDUP: the q123 MinHash cascade driven by a
+    // REAL Structured Streaming file source — 3 micro-batches of document
+    // churn fold through `Cascade.applyBatch` (both levels + the replay
+    // marker commit in one store transaction per batch) on the durable
+    // ParquetStore. The final pair set is interleaving-independent, so
+    // the q123 batch oracle gates it verbatim — closing the one gap
+    // between the streaming plumbing (q122, single view) and the
+    // maintained-dedup thesis (q123, batch-driven): the production shape
+    // is this, a dedup cascade fed by a stream.
+    "q133_ivm_stream_dedup_cascade" -> ((s, dir) => {
+      val store = new graft.ivm.ParquetStore(s,
+        java.nio.file.Files.createTempDirectory("q133-store").toString)
+      val c = new graft.ivm.Cascade(
+        Seq("sig123" -> dedupSigView(s), "pairs123" -> dedupPairsView),
+        base(s, dir), store)
+      c.create()
+      val d = Fixtures.deltaDocuments(s, dir)
+      val feed = java.nio.file.Files.createTempDirectory("q133-in").toString
+      (0 until 3).foreach { i => // 3 micro-batches, deterministic split
+        d.where(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(feed)
+      }
+      val sq = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+        .writeStream
+        .foreachBatch(c.applyBatch("documents") _)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("q133-ck").toString)
+        .start()
+      sq.processAllAvailable()
+      sq.stop()
+      c.read("pairs123")
+    }),
+
     // MAINTAINED EMBEDDING NEAR-DUP: the blocked-cosine pair set of q24
     // as an incrementally maintained view under embedding inserts and
     // deletes — a deleted vector retracts its pairs, a new one joins only
@@ -3594,22 +3658,12 @@ object SparkEntry {
           ) GROUP BY event_type HAVING SUM(w) > 0""",
 
     // Maintained dedup == the full MinHash pipeline over post-delta docs.
-    "q123_ivm_dedup_minhash" ->
-      s"""WITH applied AS (
-            SELECT doc_id, text FROM (
-              SELECT doc_id, text, 1 AS w FROM documents
-              UNION ALL
-              SELECT doc_id, text, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DD)
-            ) GROUP BY doc_id, text HAVING SUM(w) > 0
-          ),
-          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM applied),
-          sh0 AS (SELECT doc_id AS id, toks,
-            unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM t),
-          sh AS (SELECT DISTINCT id,
-            concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle FROM sh0
-            WHERE len(string_split(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]), ' ')) = 3),
-          $minhashTailCtes
-          SELECT a_id, b_id FROM pairs""",
+    "q123_ivm_dedup_minhash" -> maintainedMinhashOracle,
+
+    // Streaming cascade == the same post-delta pair set (the delta
+    // algebra commutes across micro-batch interleavings), so the q123
+    // batch oracle gates the stream-fed cascade verbatim.
+    "q133_ivm_stream_dedup_cascade" -> maintainedMinhashOracle,
 
     // Maintained near-dup == blocked cosine pairs over post-delta vectors.
     "q124_ivm_dedup_embedding" ->
@@ -4637,6 +4691,29 @@ object SparkEntry {
               PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
             FROM scored) WHERE rank <= 5""",
 
+    // Maintained PQ codes with an exhaustive (corpus-wide) shortlist:
+    // ADC-shortlist + exact re-rank degenerates to brute-force top-k over
+    // the post-delta corpus — same analytic oracle shape as q132.
+    "q134_ivm_pq_codes" ->
+      s"""WITH applied AS (
+            SELECT vec_id, embedding FROM (
+              SELECT vec_id, embedding, 1 AS w FROM embeddings
+              UNION ALL
+              SELECT vec_id, embedding,
+                     CASE WHEN $M THEN 1 ELSE -1 END AS w
+              FROM (SELECT *, (vec_id % 2 = 0) AS $M FROM embeddings
+                    WHERE vec_id % 17 = 0)
+            ) GROUP BY vec_id, embedding HAVING SUM(w) > 0
+          ), scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              round(${cosineSql("q.embedding", "c.embedding")}, 6) AS cosine
+            FROM applied c, applied q
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          SELECT q_id, n_id, cosine, rank FROM (
+            SELECT q_id, n_id, cosine, CAST(row_number() OVER (
+              PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+            FROM scored) WHERE rank <= 5""",
+
     "q32_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
@@ -4757,6 +4834,25 @@ object SparkEntry {
     .mkString(", ")
   private val BandKeySelect = (0 until 4).map(b =>
     s"md5(concat_ws('|', mh${2 * b}, mh${2 * b + 1}))").mkString(", ")
+
+  /** Post-delta MinHash pair set — the oracle for BOTH the batch-driven
+    * (q123) and stream-fed (q133) maintained dedup cascades. */
+  private lazy val maintainedMinhashOracle: String =
+    s"""WITH applied AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, 1 AS w FROM documents
+            UNION ALL
+            SELECT doc_id, text, CASE WHEN $M THEN 1 ELSE -1 END FROM ($DD)
+          ) GROUP BY doc_id, text HAVING SUM(w) > 0
+        ),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM applied),
+        sh0 AS (SELECT doc_id AS id, toks,
+          unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i FROM t),
+        sh AS (SELECT DISTINCT id,
+          concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]) AS shingle FROM sh0
+          WHERE len(string_split(concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]), ' ')) = 3),
+        $minhashTailCtes
+        SELECT a_id, b_id FROM pairs"""
 
   /** sig/banded/pairs CTE chain over an existing `sh(id, shingle)` CTE. */
   private def minhashTailCtes: String =

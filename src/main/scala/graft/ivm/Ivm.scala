@@ -465,8 +465,8 @@ object Ivm {
     * distributed path). The size probe is a separate count() — a
     * limit-guarded collect looks cheaper but pays CollectLimit's
     * incremental partition scale-up (several jobs) on every call. */
-  private[ivm] def collectLocal(df: DataFrame, cap: Int,
-      role: String = ""): Option[DataFrame] = {
+  private[ivm] def collectLocal(df: DataFrame, cap: Int, role: String = "",
+      overCapPin: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.GraftTemplates
     df.queryExecution.optimizedPlan match {
       // already local (e.g. a cascade changelog feed): re-tag so the frame
@@ -488,14 +488,27 @@ object Ivm {
         // partition scale-up — several jobs — on every call.)
         val allLocal = df.queryExecution.analyzed.collectLeaves().forall(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-        // Accepted double-execution corner: an all-local frame that turns
-        // out OVER the cap has its (driver-side, jobless) plan executed
-        // here and again by the caller's distributed fallback. Reaching it
-        // needs a driver-local batch that EXPANDS past 64k rows mid-plan —
-        // pathological for O(touched) pins; not worth threading a partial
-        // result through every caller.
         val rows =
-          if (allLocal) GraftTemplates.collectCapped(df, cap)
+          if (allLocal && overCapPin)
+            // `overCapPin` callers (the ΔV refresh pin) keep an over-cap
+            // result as a PLAIN LocalRelation pin — un-tagged (its rows
+            // are not a template substitution point at that size) and
+            // un-coalesced (LocalTableScanExec re-parallelizes it across
+            // defaultParallelism slices downstream), so the one execution
+            // here is the only one: no discarded probe, no cache()+count()
+            // re-run of a plan that had already materialized everything.
+            GraftTemplates.collectVerdict(df, cap) match {
+              case Right(r) => Some(r)
+              case Left(r) => return Some(org.apache.spark.sql.GraftLocalIO
+                .localDf(df.sparkSession, df.schema, r.toIndexedSeq))
+            }
+          else if (allLocal)
+            // remaining accepted corner for NON-pin callers (delta memos,
+            // cascade changelogs): an over-cap all-local frame executed
+            // here is discarded — reaching it needs a driver-local batch
+            // that EXPANDS past 64k rows mid-plan, pathological for
+            // O(touched) pins
+            GraftTemplates.collectCapped(df, cap)
           else {
             val r = df.queryExecution.executedPlan.executeTake(cap + 1)
             if (r.length > cap) None else Some(r)
@@ -707,7 +720,9 @@ object Ivm {
         // consumers like the cascade changelog then also fold for free);
         // an over-cap or distributed ΔV keeps the cache()+count() pin.
         val dv = if (needDelta) {
-          val local = if (localCapV > 0) collectLocal(dv0, localCapV) else None
+          val local =
+            if (localCapV > 0) collectLocal(dv0, localCapV, overCapPin = true)
+            else None
           local.getOrElse { val c = dv0.cache(); c.count(); c }
         } else dv0
         drain()

@@ -533,13 +533,16 @@ object AggSpec {
     * deterministic for a fixed view definition, which is all the create
     * and refresh walks need to agree on. */
   def auxExprKey(a: AggSpec): String =
-    // ColumnNode toString embeds construction-site Origins (stack-trace
-    // object hashes) and alias ExprIds — strip both so two structurally
-    // identical specs compare equal.
-    expr(a).get.node.toString
-      .replaceAll("Origin\\([^\\[\\]()]*(\\[[^\\]]*\\][^()]*)?\\)", "Origin")
-      .replaceAll("@[0-9a-f]+", "")
-      .replaceAll("#\\d+", "")
+    // Structural canonicalization: ColumnNode.normalized rewrites every
+    // node's construction-site Origin (whose captured stack-trace array
+    // is the source of @hash noise in toString) to NO_ORIGIN, recursing
+    // through arguments — so two structurally identical specs built at
+    // different call sites compare equal while user literal payloads
+    // (which a textual @hash/#id strip could mangle into collisions)
+    // survive verbatim. Columns wrapping resolved Catalyst attributes
+    // keep their ExprIds: distinct attributes stay distinct keys, which
+    // at worst forgoes aux-state sharing, never corrupts it.
+    expr(a).get.node.normalized.toString
 
   /** needsAux specs grouped by shared aux state: (owner, members). The
     * owner (first member in agg order) names the state path and the aux

@@ -194,8 +194,16 @@ final class MemStore extends IvmStore {
       else {
         val ck = df.localCheckpoint(true)
         org.apache.spark.sql.GraftTemplates.collectCapped(ck, localRows) match {
-          case Some(rows) => knownSmall.put(name, ()); local(rows.toSeq)
-          case None       => knownBig.put(name, ()); ck
+          case Some(rows) =>
+            knownSmall.put(name, ())
+            val l = local(rows.toSeq)
+            // the LocalRelation replaces the checkpoint created two lines
+            // up — no pending plan can reference it, so its blocks need
+            // not wait for RDD GC (keeps the documented never-unpersist
+            // leak limited to genuinely big states)
+            org.apache.spark.sql.GraftLocalIO.freeLocalCheckpoint(ck)
+            l
+          case None => knownBig.put(name, ()); ck
         }
       })
   }
@@ -833,6 +841,13 @@ final class ParquetStore(
           (!e.layered || e.mergeKeys == mergeKeys)
         val segV = nextSegVersion()
         val rel = segDir(name, segV)
+        // Minor-compaction inputs, shared by the fold trigger and the fold
+        // body (each dirBytes is a recursive fs walk — compute once). Lazy:
+        // the overlay fast path never touches them.
+        lazy val tailPaths =
+          sel.values.filter(_.lengthCompare(1) > 0).flatMap(_.init).toSeq
+        lazy val tailBytes = tailPaths.map(dirBytes).sum
+        lazy val baseBytes = sel.values.map(l => dirBytes(l.last)).sum
         if (canOverlay) {
           // O(‖Δ‖) append: updated rows only, dead keys as tombstones
           Ivm.timed(s"m.overlay $name")(aligned(src)
@@ -858,13 +873,8 @@ final class ParquetStore(
           // purge tombstones) runs when the folded tail has grown to rival
           // its bases (re-folding it every cycle would out-write the
           // one-time rewrite), when merge keys changed, or at maxChain=1.
-          val tailPaths =
-            sel.values.filter(_.lengthCompare(1) > 0).flatMap(_.init).toSeq
-          tailPaths.nonEmpty &&
-            tailPaths.map(dirBytes).sum * 2 < sel.values.map(l => dirBytes(l.last)).sum
+          tailPaths.nonEmpty && tailBytes * 2 < baseBytes
         }) {
-          val tailPaths =
-            sel.values.filter(_.lengthCompare(1) > 0).flatMap(_.init).toSeq
           // tombstones KEPT: a folded overlay still masks keys in the base
           // beneath it; delta rows override folded rows per merge key
           val foldSrc = aligned(src)

@@ -158,7 +158,11 @@ object IvmStream {
       // A retraction row raises (extrema cannot un-see a value); feeds
       // that retract use statefulMinMax or foreachBatch maintain().
       case a if AggSpec.isExtremum(a) =>
-        val e = insertOnly(AggSpec.expr(a).get)
+        val e = insertOnly(AggSpec.expr(a).get,
+          "streaming MIN/MAX/MIN_BY/MAX_BY are insert-only — an extremum " +
+            "cannot un-see a retracted value without multiset state; use " +
+            "statefulMinMax or the foreachBatch maintain() mode when the " +
+            "feed retracts")
         val ext = if (AggSpec.isLowEnd(a)) min(e) else max(e)
         (a match {
           case _: AggSpec.MinBy | _: AggSpec.MaxBy =>
@@ -175,15 +179,18 @@ object IvmStream {
     else deltaStream.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
-  /** `e` where the row is an insert; raises on a retraction row without
-    * needing to know `e`'s type (assert_true is NULL on pass, so the guard
-    * branch keeps the value branch's type). */
-  private def insertOnly(e: org.apache.spark.sql.Column) =
-    when(assert_true(col(MULT),
-      lit("streaming sketch aggregates are insert-only — a retraction " +
-        "cannot fold into HLL/KLL registers; use the foreachBatch " +
-        "maintain() mode with exact aggregates when the feed retracts"))
-      .isNull, e)
+  /** `e` where the row is an insert; raises `what` on a retraction row
+    * without needing to know `e`'s type (assert_true is NULL on pass, so
+    * the guard branch keeps the value branch's type). The message is
+    * per-aggregate-family so a MIN/MAX failure points at statefulMinMax,
+    * not at the sketches. */
+  private def insertOnly(
+      e: org.apache.spark.sql.Column,
+      what: String =
+        "streaming sketch aggregates are insert-only — a retraction " +
+          "cannot fold into HLL/KLL registers; use the foreachBatch " +
+          "maintain() mode with exact aggregates when the feed retracts") =
+    when(assert_true(col(MULT), lit(what)).isNull, e)
 
   /** Per-group output of [[statefulMinMax]]. */
   final case class MinMaxUpdate(

@@ -53,6 +53,29 @@ object GraftLocalIO {
     if (rows.length > cap) None else Some(rows)
   }
 
+  /** Release the block-manager storage behind a `localCheckpoint(eager)`
+    * frame whose rows the caller has ALREADY copied out (e.g. into a
+    * LocalRelation that replaces it). Without this the checkpoint's blocks
+    * live until RDD GC + ContextCleaner get around to them — a permanent
+    * footprint for a first-sight small state in a long session. No-op for
+    * non-checkpoint plans. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        // unpersisting a locally-checkpointed RDD logs an expected WARN
+        // ("lineage truncated, cannot be recomputed") on EVERY small-state
+        // put — intentional here (the rows live on in a LocalRelation), so
+        // quiet that logger once rather than spam the driver log per batch
+        quietUnpersistWarn
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  private lazy val quietUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** LocalRelation-backed frame over InternalRows (zero-copy: the rows are
     * the UnsafeRow copies executeTake already made). Schema nullability is
     * taken as given — pass the same schema a parquet read would report so

@@ -452,6 +452,18 @@ object GraftTemplates {
     if (rows.length > cap) None else Some(rows)
   }
 
+  /** Template-cached FULL collect with a smallness verdict: Right(rows)
+    * when at most `cap`, Left(rows) when over — the caller keeps the
+    * over-cap rows (as a plain pin) instead of discarding the execution
+    * and re-running the plan. For plans whose over-cap execution is
+    * already ~full-price (aggregates materialize everything before the
+    * first row), this turns the probe-then-re-execute double into one. */
+  def collectVerdict(df: DataFrame,
+      cap: Int): Either[Array[InternalRow], Array[InternalRow]] = {
+    val rows = run(df, p => execPlan(p, -1))
+    if (rows.length > cap) Left(rows) else Right(rows)
+  }
+
   // dev instrumentation (enable with -Dgraft.timing=true)
   private def t[A](tag: String)(f: => A): A =
     if (!sys.props.get("graft.timing").contains("true")) f

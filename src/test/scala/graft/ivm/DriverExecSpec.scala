@@ -17,9 +17,11 @@ import graft.SparkTestBase
   * `graft.driverExec` sys-prop and asserts on the shared
   * `GraftTemplates.inlineRuns` counter — sound only because the build
   * runs suites sequentially in one forked JVM (`Test / fork := true`,
-  * no `testForkedParallel`). A parallel runner would flip the execution
-  * path under concurrently running suites and make the counter deltas
-  * flaky; revisit the prop/counter handling before enabling one. */
+  * `testForkedParallel := false`, `parallelExecution := false` — all
+  * pinned in build.sbt with a pointer back here). A parallel runner
+  * would flip the execution path under concurrently running suites and
+  * make the counter deltas flaky; revisit the prop/counter handling
+  * before enabling one. */
 class DriverExecSpec extends AnyFunSuite with SparkTestBase {
 
   private val view: IvmQuery = Aggregate(
