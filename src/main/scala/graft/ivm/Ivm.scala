@@ -219,7 +219,7 @@ object Ivm {
     // same shared group) already wrote.
     val served = scala.collection.concurrent.TrieMap.empty[String, (String, Aggregate)]
     val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    def hook(node: IvmQuery): Option[DataFrame] = node match {
+    def hook0(node: IvmQuery): Option[DataFrame] = node match {
       case a: Aggregate =>
         served.get(a.toString).filter(t => ready.contains(t._1))
           .map { case (name, agg) =>
@@ -228,6 +228,26 @@ object Ivm {
               (agg.keys.map(col) ++ agg.aggs.map(Eval.stateOutput)): _*)
           }
       case _ => None
+    }
+    // Shared-CTE evaluation cache: a stateless subtree referenced from
+    // several consumers (the TPC-H Q21 shape: ns over j, nl over j, the
+    // top join over j) evaluates ONCE into a cached frame served through
+    // the hook — without it, create re-runs the CTE's base-scan join once
+    // per dependent state (each aggregate state, each aux multiset, the
+    // top). Thread-safe: level seeds run in parallel.
+    val sharedCounts = new java.util.IdentityHashMap[IvmQuery, java.lang.Integer]
+    ZDelta.countShared(q, sharedCounts)
+    val sharedEval = new java.util.IdentityHashMap[IvmQuery, DataFrame]
+    def hook(node: IvmQuery): Option[DataFrame] = hook0(node).orElse {
+      if (!sharedCounts.containsKey(node)) None
+      else sharedEval.synchronized {
+        var df = sharedEval.get(node)
+        if (df == null) {
+          df = Eval.eval(node, base, hook0).cache()
+          sharedEval.put(node, df)
+        }
+        Some(df)
+      }
     }
     /** Aggregate-nesting depth: the creation level of each state. */
     def depth(node: IvmQuery): Int = node match {
@@ -331,6 +351,9 @@ object Ivm {
           rows.groupBy(rows.columns.map(col): _*).agg(count(lit(1)).as(HCOUNT)),
           rows.columns.toSeq)
     }
+    // the shared-CTE frames are create-scoped; every dependent state is
+    // committed by now
+    sharedEval.values.forEach(_.unpersist(false))
   }
 
   /** Current contents of a materialized view. A [[TopK]] decoration ranks
@@ -667,6 +690,8 @@ object Ivm {
       onUpdate = commit,
       recorder = recorder,
       insertOnly = store.getTag(s"$view/_insert_only").contains("true"))
+    // intra-batch delta CSE for shared CTE subtrees (see Ctx.sharedDelta)
+    ZDelta.countShared(q, ctx.sharedCounts)
     // A batch that touches none of the view's base tables is a no-op —
     // return an empty ΔV with the right schema instead of erroring.
     if (!ZDelta.hasDelta(q, ctx))

@@ -160,6 +160,12 @@ private[ivm] object Trace {
   @volatile var records: Long = 0L
   def enabled: Boolean =
     !sys.props.get("graft.traceReplay").contains("false")
+  /** Dev flag (-Dgraft.traceDebug=true): print why a walk did not record
+    * or a tape did not replay — the first place to look when a view's
+    * steady-state refresh is paying fresh-walk costs. */
+  private[ivm] def debug(msg: => String): Unit =
+    if (sys.props.get("graft.traceDebug").contains("true"))
+      println(s"[trace] $msg")
 
   /** Views this layer records: aggregate-topped (SPJ tops run mergeTop
     * outside the walk) with no sketch aggregates anywhere (the sketch
@@ -208,7 +214,10 @@ private[ivm] object Trace {
   def finish(store: IvmStore, view: String, sigStr: String, rec: Recorder,
       finalPlan: LogicalPlan,
       stateRead: String => Option[DataFrame]): Unit = {
-    if (rec.invalid) { dropTape(store, view); return }
+    if (rec.invalid) {
+      debug(s"$view NOT recorded: ${rec.invalidReason}")
+      dropTape(store, view); return
+    }
     val roles = stateRoles(rec.steps.toSeq, finalPlan)
     val keys = mutable.Map[String, String]()
     for (role <- roles) {
@@ -216,7 +225,9 @@ private[ivm] object Trace {
       stateRead(name) match {
         case Some(df) =>
           keys(role) = GraftTemplates.cacheKey(df.queryExecution.analyzed)
-        case None => dropTape(store, view); return
+        case None =>
+          debug(s"$view NOT recorded: state '$name' unreadable at finish")
+          dropTape(store, view); return
       }
     }
     records += 1
@@ -238,8 +249,9 @@ private[ivm] object Trace {
       stateRead: String => Option[DataFrame],
       probe: String => Boolean,
       queue: ZDelta.StateUpdate => Unit): Option[DataFrame] = {
-    if (tape.sig != sigStr) return None
-    if (!tape.probes.forall { case (p, was) => probe(p) == was }) return None
+    if (tape.sig != sigStr) { debug(s"no replay: sig changed"); return None }
+    if (!tape.probes.forall { case (p, was) => probe(p) == was }) {
+      debug("no replay: state-existence probe flipped"); return None }
 
     // resolve state + delta roles up front (schema- and structure-guarded)
     val roleRows = mutable.Map[String, Seq[InternalRow]]()
@@ -254,14 +266,19 @@ private[ivm] object Trace {
       val name = role.stripPrefix("state:")
       stateRead(name) match {
         case Some(df) =>
-          if (GraftTemplates.cacheKey(df.queryExecution.analyzed) != key)
-            return None // layout changed (grew distributed / re-bucketed)
+          if (GraftTemplates.cacheKey(df.queryExecution.analyzed) != key) {
+            // layout changed (grew distributed / re-bucketed)
+            debug(s"no replay: state '$name' structural key changed")
+            return None
+          }
           leafOf(df, role) match {
             case Some(l) =>
               roleRows(role) = l.data; roleAttrs(role) = attrsOf(l)
-            case None => return None
+            case None =>
+              debug(s"no replay: state '$name' has no role leaf"); return None
           }
-        case None => return None
+        case None =>
+          debug(s"no replay: state '$name' unreadable"); return None
       }
     }
 
@@ -315,7 +332,7 @@ private[ivm] object Trace {
             keyHint = hint, alive = alive))
         }
     }
-    if (aborted) None
+    if (aborted) { debug("no replay: a role failed to resolve mid-tape"); None }
     else {
       val fin = swap(tape.finalPlan)
       if (aborted) None

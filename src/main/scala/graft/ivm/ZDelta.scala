@@ -122,7 +122,25 @@ object ZDelta {
         * multiset (O(groups) total state instead of O(rows)); a deletion
         * reaching one raises. The append-only contract of most
         * training-data pipelines, matching the sketch family's. */
-      insertOnly: Boolean = false) {
+      insertOnly: Boolean = false,
+      /** Occurrence counts, by OBJECT IDENTITY, of stateless compound
+        * subtrees referenced more than once in the view (a CTE scanned
+        * from several consumers — [[SqlFrontend]] substitutes the same
+        * instance at every use site). Populated by [[countShared]];
+        * empty = no intra-batch delta CSE (the pre-existing behavior). */
+      sharedCounts: java.util.IdentityHashMap[IvmQuery, java.lang.Integer] =
+        new java.util.IdentityHashMap,
+      /** Batch-scoped memo for the above: first reference computes the
+        * subtree's delta and pins it, every later reference reuses the
+        * pin — a triple-CTE view stops paying the CTE's base-scan join
+        * once per consumer. Identity-keyed: only safe because the keys
+        * are the literally-shared instances counted above. */
+      sharedDelta: java.util.IdentityHashMap[IvmQuery, DataFrame] =
+        new java.util.IdentityHashMap,
+      /** Batch-scoped memo for shared subtrees' CURRENT content (cached,
+        * not pinned — currents are O(base)); see [[currentW]]. */
+      sharedCurrent: java.util.IdentityHashMap[IvmQuery, DataFrame] =
+        new java.util.IdentityHashMap) {
     /** Queue a state update and fire [[onUpdate]]. */
     def queue(u: StateUpdate): Unit = {
       if (recorder != null) recorder.recordUpdate(u)
@@ -193,6 +211,53 @@ object ZDelta {
   /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
   def hasDelta(q: IvmQuery, ctx: Ctx): Boolean =
     q.tables.exists(t => ctx.deltaOf(t).isDefined)
+
+  /** True when `q` maintains NO state of its own anywhere below (pure
+    * scan/filter/project/join/union tree) — the precondition for reusing
+    * one walk path's delta at another path (see [[Ctx.sharedDelta]]). */
+  private def stateless(q: IvmQuery): Boolean = q match {
+    case Scan(_)        => true
+    case Filter(c, _)   => stateless(c)
+    case Project(c, _)  => stateless(c)
+    case Join(l, r, _)  => stateless(l) && stateless(r)
+    case Union(l, r)    => stateless(l) && stateless(r)
+    case _              => false
+  }
+
+  /** Populate `into` with identity-occurrence counts of every STATELESS
+    * inner-join subtree referenced more than once under `q` — shared CTE
+    * definitions, which [[SqlFrontend]] substitutes as the same instance
+    * at every use site. Singletons are dropped so the [[delta]] Join case
+    * tests sharing with one map hit. */
+  def countShared(q: IvmQuery,
+      into: java.util.IdentityHashMap[IvmQuery, java.lang.Integer]): Unit = {
+    def walk(n: IvmQuery): Unit = {
+      n match {
+        case j: Join if stateless(j) =>
+          val prev = into.get(j)
+          into.put(j, if (prev == null) 1 else prev + 1)
+        case _ => ()
+      }
+      n match {
+        case Scan(_)                => ()
+        case Filter(c, _)           => walk(c)
+        case Project(c, _)          => walk(c)
+        case Aggregate(c, _, _)     => walk(c)
+        case Join(l, r, _)          => walk(l); walk(r)
+        case LeftJoin(l, r, _)      => walk(l); walk(r)
+        case RightJoin(l, r, _)     => walk(l); walk(r)
+        case FullJoin(l, r, _)      => walk(l); walk(r)
+        case Union(l, r)            => walk(l); walk(r)
+        case TopK(c, _, _)          => walk(c)
+        case WindowDeco(c, _)       => walk(c)
+        case ExpandCount(c, _)      => walk(c)
+        case ScalarDeco(c, subs, _) => walk(c); subs.foreach(walk)
+      }
+    }
+    walk(q)
+    val it = into.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue <= 1) it.remove()
+  }
 
   /** Inner join on `keys`; empty keys = cross join (the scalar-subquery
     * fold joins a 1-row global aggregate against the filtered child). */
@@ -275,7 +340,23 @@ object ZDelta {
     case Project(c, cols) => currentW(c, ctx, path + ".0").select(cols :+ col(WEIGHT): _*)
     case Union(l, r) =>
       currentW(l, ctx, path + ".0").unionByName(currentW(r, ctx, path + ".1"))
-    case Join(l, r, keys) => joinCurrent(l, r, keys, ctx, path)
+    case j @ Join(l, r, keys) =>
+      // Current-side CSE for shared CTE subtrees: the CURRENT content of a
+      // stateless join referenced from several consumers is the same frame
+      // in every term — cache() it once per batch (executor memory, spills
+      // to disk; NEVER a driver collect — currents are O(base), not
+      // O(touched)) so the base-scan join runs once instead of once per
+      // union term. Unpersisted with the batch's pins.
+      if (ctx.sharedCounts.getOrDefault(j, 1) > 1) {
+        val hit = ctx.sharedCurrent.get(j)
+        if (hit != null) hit
+        else {
+          val c = joinCurrent(l, r, keys, ctx, path).cache()
+          ctx.pins += c
+          ctx.sharedCurrent.put(j, c)
+          c
+        }
+      } else joinCurrent(l, r, keys, ctx, path)
     case agg @ Aggregate(_, keys, aggs) =>
       ctx.state(ctx.namer(agg, path))
         .select(keys.map(col) ++ aggs.map(Eval.stateOutput): _*)
@@ -425,7 +506,24 @@ object ZDelta {
       delta(c, ctx, path + ".0").select(cols :+ col(WEIGHT): _*)
 
     case Join(l, r, keys) =>
-      deltaJoin(l, r, keys, ctx, path)
+      // Intra-batch delta CSE: a stateless join subtree referenced from
+      // several consumers (a CTE) computes its delta ONCE into a pin; the
+      // other references reuse the pinned frame. Without this, a
+      // triple-CTE view (TPC-H Q21 shape) re-runs the CTE's base-scan
+      // join terms once per consumer AND once per union term downstream —
+      // the dominant slice of its per-batch floor. Stateless-only: a
+      // subtree carrying state (aggregate / outer join) names its states
+      // by walk path, and reusing another path's delta would leave this
+      // path's states un-maintained.
+      if (ctx.sharedCounts.getOrDefault(q, 1) > 1) {
+        val hit = ctx.sharedDelta.get(q)
+        if (hit != null) hit
+        else {
+          val d = ctx.pin(deltaJoin(l, r, keys, ctx, path), s"$path.cse")
+          ctx.sharedDelta.put(q, d)
+          d
+        }
+      } else deltaJoin(l, r, keys, ctx, path)
 
     // Δ(A ⊎ B) = ΔA ⊎ ΔB — stateless; a side without deltas contributes
     // nothing (a batch may touch only one input).
@@ -485,8 +583,21 @@ object ZDelta {
     def bcast(df: DataFrame): DataFrame =
       if (ctx.broadcastDeltas) broadcast(df) else df
 
-    lazy val dl = delta(l, ctx, path + ".0")
-    lazy val dr = delta(r, ctx, path + ".1")
+    // When BOTH sides carry deltas, each side's delta feeds TWO union
+    // terms — inlining a compound (join-backed) child delta would execute
+    // its base-scan join terms once per reference. Pin it instead (scan
+    // and aggregate-changelog deltas stay inline: they are already local
+    // collects or pinned ΔVs, and a pin-of-a-pin is pure overhead).
+    def pinned(d: DataFrame, q: IvmQuery, tag: String): DataFrame =
+      if (!(lHas && rHas) || !q.isInstanceOf[Join]) d
+      else d.queryExecution.logical match {
+        case org.apache.spark.sql.catalyst.plans.logical.Repartition(1, false,
+            _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) => d
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => d
+        case _ => ctx.pin(d, tag)
+      }
+    lazy val dl = pinned(delta(l, ctx, path + ".0"), l, s"$path.0.dj")
+    lazy val dr = pinned(delta(r, ctx, path + ".1"), r, s"$path.1.dj")
     // CURRENT sides (base ⊎ applied deltas), weighted — a side delta'd in
     // an EARLIER batch must be visible to this batch's other-side delta.
     lazy val bl = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, CW)
