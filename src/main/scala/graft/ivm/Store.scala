@@ -305,7 +305,14 @@ final class ParquetStore(
         * with the data — readers pass it to the parquet scan instead of
         * inferring from footers, a measurable fixed cost per state read in
         * a refresh. Empty (old manifests) falls back to inference. */
-      schemaDDL: String = "") {
+      schemaDDL: String = "",
+      /** Per-segment-dir leaf files ((name, bytes)), recorded at publish:
+        * state reads plan from the manifest with ZERO filesystem listing —
+        * the table-format property (an 8-deep × 32-bucket overlay chain
+        * re-listed ~0.5 s of driver time per refresh without it, and on an
+        * object store LIST is a throttled network call). Missing entries
+        * (old manifests) fall back to a listing read. */
+      files: Map[String, Seq[(String, Long)]] = Map.empty) {
     def layered: Boolean = chains.values.exists(_.lengthCompare(1) > 0)
     def allPaths: Seq[String] = chains.values.flatten.toSeq
   }
@@ -347,18 +354,30 @@ final class ParquetStore(
   private def readManifest(v: Long): (Map[String, Entry], Map[String, String]) = {
     // E lines per bucket are in chain order (newest first) — preserve it
     val dirs = TrieMap.empty[String, Map[Int, List[String]]]
+    val fls = TrieMap.empty[String, Map[String, Seq[(String, Long)]]]
     val keys = TrieMap.empty[String, (Seq[String], Seq[String], Long, String)]
     val ts = TrieMap.empty[String, String]
     def csv(s: String): Seq[String] =
       if (s.isEmpty) Seq.empty else s.split(',').toSeq
+    def addDir(name: String, bucket: String, path: String): Unit = {
+      val m = dirs.getOrElse(name, Map.empty)
+      dirs.put(name,
+        m + (bucket.toInt -> (m.getOrElse(bucket.toInt, Nil) :+ path)))
+    }
     Files.readAllLines(manifestPath(v)).asScala.foreach { line =>
       // the DDL is the LAST field and may itself contain no tabs, so a
       // bounded split keeps it intact
       line.split('\t') match {
+        case Array("E", name, bucket, path, fileList) =>
+          addDir(name, bucket, path)
+          if (fileList.nonEmpty)
+            fls.put(name, fls.getOrElse(name, Map.empty) +
+              (path -> fileList.split(',').toSeq.map { fl =>
+                val i = fl.lastIndexOf(':')
+                (fl.take(i), fl.drop(i + 1).toLong)
+              }))
         case Array("E", name, bucket, path) =>
-          val m = dirs.getOrElse(name, Map.empty)
-          dirs.put(name,
-            m + (bucket.toInt -> (m.getOrElse(bucket.toInt, Nil) :+ path)))
+          addDir(name, bucket, path)
         case Array("K", name, ks, bytes, mks, ddl) =>
           keys.put(name, (csv(ks), csv(mks), bytes.toLong, ddl))
         case Array("K", name, ks, bytes, mks) =>
@@ -374,7 +393,7 @@ final class ParquetStore(
     val es = dirs.map { case (n, d) =>
       val (ks, mks, bytes, ddl) = keys.getOrElse(n,
         (Seq.empty[String], Seq.empty[String], 0L, ""))
-      n -> Entry(d, ks, mks, bytes, ddl)
+      n -> Entry(d, ks, mks, bytes, ddl, fls.getOrElse(n, Map.empty))
     }
     (es.toMap, ts.toMap)
   }
@@ -387,7 +406,11 @@ final class ParquetStore(
       sb.append(s"K\t$name\t${e.bucketKeys.mkString(",")}\t${e.bytes}" +
         s"\t${e.mergeKeys.mkString(",")}\t${e.schemaDDL}\n")
       e.chains.foreach { case (b, chain) =>
-        chain.foreach(p => sb.append(s"E\t$name\t$b\t$p\n"))
+        chain.foreach { p =>
+          val fl = e.files.getOrElse(p, Seq.empty)
+            .map { case (f, len) => s"$f:$len" }.mkString(",")
+          sb.append(s"E\t$name\t$b\t$p\t$fl\n")
+        }
       }
     }
     ts.foreach { case (k, value) => sb.append(s"T\t$k\t$value\n") }
@@ -421,17 +444,26 @@ final class ParquetStore(
       // bucketed segment additionally carries the tombstone + seq columns
       // (its B= partition dir is addressed directly, so no partition
       // column materializes). Old manifests without a DDL infer.
-      val reader = spark.read
-      val withSchema =
-        if (e.schemaDDL.isEmpty) reader
-        else {
-          val clean = org.apache.spark.sql.types.StructType.fromDDL(e.schemaDDL)
-          val full =
-            if (key.head.contains(s"/$B=")) clean.add(DEAD, "int").add(SEQ, "long")
-            else clean
-          reader.schema(full)
-        }
-      withSchema.parquet(key.map(rel => s"$root/$rel"): _*)
+      lazy val fullSchema = {
+        val clean = org.apache.spark.sql.types.StructType.fromDDL(e.schemaDDL)
+        if (key.head.contains(s"/$B=")) clean.add(DEAD, "int").add(SEQ, "long")
+        else clean
+      }
+      if (e.schemaDDL.nonEmpty && key.forall(e.files.contains))
+        // manifest-backed scan: schema AND leaf files come from the
+        // manifest — ZERO fs listing at plan time (the per-refresh driver
+        // cost that dominated overlay-chain reads; an object store would
+        // pay a throttled LIST per directory here)
+        org.apache.spark.sql.GraftManifestScan.parquetByFiles(spark,
+          fullSchema,
+          key.flatMap(rel => e.files(rel).map { case (f, len) =>
+            (s"$root/$rel/$f", len) }))
+      else {
+        val reader = spark.read
+        val withSchema =
+          if (e.schemaDDL.isEmpty) reader else reader.schema(fullSchema)
+        withSchema.parquet(key.map(rel => s"$root/$rel"): _*)
+      }
     })
   }
 
@@ -532,11 +564,28 @@ final class ParquetStore(
 
   /** Record one state's new entry — staged if a txn is open, else
     * committed immediately as a single-op transaction. */
-  private def publish(name: String, e: Entry): Unit = {
+  private def publish(name: String, e0: Entry): Unit = {
+    // reconcile the files map centrally: carry forward segments the new
+    // entry keeps, walk ONLY just-written segments (metadata hot), drop
+    // the rest — construction sites stay oblivious
+    val prior = lookup(name).map(_.files).getOrElse(Map.empty)
+    val keep = e0.allPaths.distinct
+    val e = e0.copy(files = keep.map(rel =>
+      rel -> e0.files.getOrElse(rel,
+        prior.getOrElse(rel, filesOf(rel)))).toMap)
     val st = txnEntries
     if (txnDepth > 0 && st != null) st.put(name, e)
     else commit(Map(name -> e), Map.empty)
   }
+
+  /** Leaf parquet files ((name, bytes)) of one just-written segment dir. */
+  private def filesOf(rel: String): Seq[(String, Long)] =
+    listDir(Paths.get(s"$root/$rel"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(p => p.getFileName.toString -> Files.size(p)).sortBy(_._1)
 
   override def setTag(key: String, value: String): Unit = {
     val st = txnTags
@@ -757,6 +806,9 @@ final class ParquetStore(
         val rel = segDir(name, v)
         df.withColumn(DEAD, lit(0)).withColumn(SEQ, lit(v))
           .withColumn(B, bucketOf(bucketKeys))
+          .repartition(col(B)) // ONE file per bucket per segment — a chain
+          // read opens chainLen files per bucket, not chainLen × writer
+          // partitions (32× fewer parquet footers on the overlay read path)
           .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel")
         val found = discoverBuckets(rel)
         // a zero-row state writes no bucket dirs; fall back to a plain
@@ -854,6 +906,7 @@ final class ParquetStore(
             .withColumn(DEAD, when(alive, lit(0)).otherwise(lit(1)))
             .withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
+            .repartition(col(B)) // one file per bucket per segment
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           if (written.isEmpty) return // empty batch — state unchanged
@@ -886,6 +939,7 @@ final class ParquetStore(
           Ivm.timed(s"m.minorwrite $name")(newRows
             .withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
+            .repartition(col(B)) // one file per bucket per segment
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           // the folded overlay stacks directly on its bucket's base; a
@@ -912,6 +966,7 @@ final class ParquetStore(
           Ivm.timed(s"m.write $name")(newRows
             .withColumn(DEAD, lit(0)).withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
+            .repartition(col(B)) // one file per bucket per segment
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           // touched buckets collapse to the new segment (or vanish if now
