@@ -53,6 +53,20 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  /** The q113 topology at property scale: a literally-SHARED join
+    * instance (reference identity is what triggers the delta-CSE memo)
+    * consumed by two aggregates and the final join. */
+  private lazy val sharedCteShape: IvmQuery = {
+    val j = Join(Project(Scan("t"), Seq(col("g"), col("v"))),
+      Project(Scan("u"), Seq(col("g"), col("h"))), Seq("g"))
+    val ns = Aggregate(j, Seq("g"), Seq(CountDistinct(col("h"), "nd")))
+    val nl = Aggregate(Filter(j, coalesce(col("v"), lit(0)) > 0), Seq("g"),
+      Seq(CountStar("nn")))
+    Aggregate(
+      Join(Join(j, ns, Seq("g")), nl, Seq("g")),
+      Seq("nd"), Seq(Sum(col("v"), "sv"), CountStar("n")))
+  }
+
   private val shapes: Seq[(String, IvmQuery)] = {
     def sc = Scan("t")
     Seq(
@@ -233,6 +247,15 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
         Project(sc, Seq(col("g"), col("v"))),
         Seq(Aggregate(Scan("u"), Seq.empty, Seq(Avg(col("h"), "__ivm_sq0")))),
         Seq(col("g"), (col("v") - col("__ivm_sq0")).as("dev"))),
+      // SHARED CTE (batch-scoped delta CSE): ONE stateless join instance
+      // referenced three ways — aggregated twice (once through a filter)
+      // and joined directly, the TPC-H Q21 CTE topology. The CSE layer
+      // pins the subtree's delta / caches its current side on first
+      // reference and reuses them; results must be indistinguishable
+      // from the unshared walk. `shared_cte` takes deltas on t only,
+      // `shared_cte_2side` churns both tables in one batch.
+      "shared_cte" -> sharedCteShape,
+      "shared_cte_2side" -> sharedCteShape,
       // DECORRELATED scalar subquery (the SqlFrontend fold of
       // `WHERE v > (SELECT 2*avg(h) FROM u WHERE u.g = t.g)`): per-key
       // aggregate view LEFT-joined on the correlation key — a t-row whose
