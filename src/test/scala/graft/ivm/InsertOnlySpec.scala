@@ -110,4 +110,29 @@ class InsertOnlySpec extends AnyFunSuite with SparkTestBase {
       assert(got == Set(("a", 1, 1, 3L), ("b", 7, 3, 1L))) // argmax: h of max v=5
     } finally q.stop()
   }
+
+  test("a streaming extremum retraction names the EXTREMUM family, not sketches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.IvmStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Int, Int, Boolean)]
+    val out = IvmStream.statefulAgg(
+      in.toDF().toDF("g", "v", "h", IvmCore.MULT), Seq("g"),
+      Seq(Min(col("v"), "min_v"), CountStar("n")))
+    val q = out.writeStream.format("memory").queryName("io_stream_del")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 5, 1, false)) // retraction into an extremum agg
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the diagnostic must point at the extremum family and its real
+      // alternatives — not at HLL/KLL registers (a sketch-specific
+      // message here sent users chasing the wrong aggregate)
+      assert(e.getMessage.contains("MIN/MAX"), e.getMessage)
+      assert(e.getMessage.contains("statefulMinMax"), e.getMessage)
+      assert(!e.getMessage.contains("HLL"), e.getMessage)
+    } finally q.stop()
+  }
 }

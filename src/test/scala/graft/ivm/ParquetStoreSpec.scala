@@ -23,6 +23,44 @@ class ParquetStoreSpec extends AnyFunSuite with SparkTestBase {
         smallStateBytes = if (smallBytes >= 0) smallBytes else 64L << 20,
         maxChain = maxChain))
 
+  test("state reads plan from the manifest's file lists (no listing FileIndex)") {
+    val (root, f) = mkStore(smallBytes = 0) // force distributed segments
+    val store = f(root)
+    val base: String => DataFrame = {
+      case "t" => df("g STRING, v INT",
+        Seq(Row("a", 1), Row("a", 2), Row("b", 10)))
+    }
+    val q = Aggregate(Scan("t"), Seq("g"),
+      Seq(Sum(col("v"), "sum_v"), CountStar("cnt")))
+    Ivm.create("mf", q, base, store)
+    Ivm.refresh("mf", q, base, t => if (t == "t") Some(df(
+      s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("a", 5, true), Row("c", 2, true)))) else None, store)
+    // the read's leaf relation must be the manifest-backed KnownFiles
+    // index — the design property that state reads never LIST directories
+    val leaves = Ivm.read("mf", q, store).queryExecution.analyzed.collectLeaves()
+    val locs = leaves.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.getClass.getName
+        }
+    }
+    assert(locs.nonEmpty, s"expected a file-source leaf, got: $leaves")
+    assert(locs.forall(_.contains("GraftManifestScan")),
+      s"state read did not plan from the manifest file index: $locs")
+    // and a store re-opened from disk (fresh manifest parse) keeps it
+    val store2 = f(root)
+    val locs2 = store2("mf/r").queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.getClass.getName
+    }
+    assert(locs2.forall(_.contains("GraftManifestScan")), locs2.toString)
+    assertSameRows(Ivm.read("mf", q, store2), Ivm.read("mf", q, store))
+  }
+
   test("create + two refreshes over ParquetStore equal recompute") {
     val (root, f) = mkStore()
     val store = f(root)
