@@ -721,6 +721,23 @@ object SparkEntry {
     // Deterministic hash-split sampling (train/val/held-out cuts): md5 of
     // the id → stable bucket, reproducible across runs/engines/retries
     // (never rand()). Distribution + per-split token volume.
+    // Mixture REBALANCING: derive per-source keep-rates from the corpus
+    // so the sample hits target language proportions at the largest size
+    // achievable without upsampling (scale = min n/w; the scarcest lang
+    // keeps 100%) — the source-mixing step every pretraining pipeline
+    // runs, as one count + broadcast rates + a pure hash filter (the
+    // corpus never shuffles). DuckDB recomputes the same rates and the
+    // same md5 threshold analytically.
+    "q135_mixture_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ops.Sampling.mixture(docs, col("doc_id"), col("lang"),
+        Seq("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2, "de" -> 0.1, "fr" -> 0.1))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ops.TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
     "q42_hash_split" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.withColumn("split", ops.TextOps.hashSplit(col("doc_id"), 10))
@@ -4604,6 +4621,24 @@ object SparkEntry {
             FROM scored) WHERE rank <= 5""",
 
     "q27_text_analyze" -> textAnalyzeSql(),
+
+    // Mixture rebalancing == the same derived rates + md5 threshold,
+    // recomputed analytically (scale = min n/w over the weighted langs).
+    "q135_mixture_sample" ->
+      """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+                                     ('de', 0.1), ('fr', 0.1)),
+          c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+                FROM documents GROUP BY lang),
+          s AS (SELECT MIN(n / wt) AS scale FROM c JOIN w USING (lang)),
+          r AS (SELECT lang, least(1.0, scale * wt / n) AS rate
+                FROM c JOIN w USING (lang) CROSS JOIN s)
+          SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+          FROM documents d JOIN r USING (lang)
+          WHERE (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+                < CAST(floor(rate * 1000000.0) AS BIGINT)
+          GROUP BY d.lang""",
 
     "q42_hash_split" ->
       """SELECT (CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10) AS split,

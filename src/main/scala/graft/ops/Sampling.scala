@@ -33,4 +33,40 @@ object Sampling {
     * when other strata's rates change (the hash ignores the stratum). */
   def stratified(df: DataFrame, id: Column, ratePercent: Column): DataFrame =
     df.where(TextOps.hashSplit(id, 100) < ratePercent)
+
+  /** Rebalance a corpus to TARGET MIXTURE proportions (the Pile/LLaMA-style
+    * source-mixing step): given per-source target weights, derive each
+    * source's keep-rate FROM THE DATA so the sampled corpus hits the
+    * target mix at the largest size achievable without upsampling —
+    * scale = minₛ(nₛ/wₛ), rateₛ = min(1, scale·wₛ/nₛ); the scarcest
+    * source keeps 100% and every other source downsamples to match.
+    * Sources not in `weights` are dropped.
+    *
+    * Scale shape: one map-side-combinable count per source (tiny result),
+    * a broadcast rate table, then a pure hash filter — the corpus itself
+    * never shuffles, and membership is a deterministic function of the
+    * row id (stable across retries, runs, and engines — the DuckDB
+    * oracle recomputes the same rates and the same md5 threshold). */
+  def mixture(df: DataFrame, id: Column, source: Column,
+      weights: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "mixture weights must be positive")
+    val spark = df.sparkSession
+    val w = spark.createDataFrame(weights).toDF("__mix_src", "__mix_wt")
+    val tagged = df.withColumn("__mix_src", source)
+    val counts = tagged.groupBy("__mix_src")
+      .agg(count(lit(1)).cast("double").as("__mix_n"))
+    val scaled = counts.join(w, "__mix_src") // inner: unlisted sources drop
+    val s = scaled.agg(min(col("__mix_n") / col("__mix_wt")).as("__mix_scale"))
+    val rates = scaled.crossJoin(s).select(col("__mix_src"),
+      least(lit(1.0),
+        col("__mix_scale") * col("__mix_wt") / col("__mix_n")).as("__mix_rate"))
+    // integer threshold on the 10⁶-bucket hash: floor(rate·10⁶) mirrors
+    // bit-for-bit in the oracle (IEEE ops in the same order both sides)
+    tagged.join(broadcast(rates), "__mix_src")
+      .where(TextOps.hashSplit(id, 1000000) <
+        floor(col("__mix_rate") * lit(1000000.0)).cast("long"))
+      .drop("__mix_src", "__mix_rate")
+  }
 }
