@@ -154,6 +154,14 @@ object Ivm {
         * deletion that touches an extremum spec FAILS the refresh loudly
         * (the same contract as the insert-only sketch aggregates). */
       insertOnly: Boolean = false): DataFrame = {
+    // Canonical-instance naming (see [[ZDelta.canonicalPaths]]): a
+    // stateful CTE subtree spliced at several positions gets ONE state,
+    // named by its first position — refresh derives names through the
+    // same map, so the two walks agree by construction.
+    def canonNamer(tree: IvmQuery, prefix: String): (IvmQuery, String) => String = {
+      val canon = ZDelta.canonicalPaths(tree)
+      (n, p) => stateName(prefix, canon.getOrDefault(n, p))
+    }
     store.transaction {
       stripRead(q) match {
         case ScalarDeco(c, subs, _) =>
@@ -161,17 +169,17 @@ object Ivm {
           // subviews live under <view>/q<i> (their own little view trees)
           subs.zipWithIndex.foreach { case (s, i) =>
             createStates(s, base, store,
-              (_, p) => stateName(subViewName(view, i), p),
+              canonNamer(s, subViewName(view, i)),
               topName = stateName(subViewName(view, i), TOP),
               skipExisting = false, insertOnly = insertOnly)
             if (insertOnly)
               store.setTag(s"${subViewName(view, i)}/_insert_only", "true")
           }
-          createStates(c, base, store, (_, p) => stateName(view, p),
+          createStates(c, base, store, canonNamer(c, view),
             topName = stateName(view, TOP), skipExisting = false,
             insertOnly = insertOnly)
         case core =>
-          createStates(core, base, store, (_, p) => stateName(view, p),
+          createStates(core, base, store, canonNamer(core, view),
             topName = stateName(view, TOP), skipExisting = false,
             insertOnly = insertOnly)
       }
@@ -671,11 +679,14 @@ object Ivm {
       if (recorder != null) recorder.checkStateRead(df)
       df
     }
+    // canonical-instance state names, mirroring create (ZDelta.canonicalPaths)
+    val canon = ZDelta.canonicalPaths(q)
     val ctx = ZDelta.Ctx(base, deltas,
       p => checked(snap(stateName(view, p))),
       broadcastDeltas,
       sliceFn = (p, kdf, ks) =>
         timed(s"slice $p")(checked(snap.slice(stateName(view, p), kdf, ks))),
+      namer = (n, p) => canon.getOrDefault(n, p),
       stateOpt = p => {
         val r = snap.get(stateName(view, p))
         if (recorder != null) {

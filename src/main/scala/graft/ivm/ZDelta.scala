@@ -224,6 +224,46 @@ object ZDelta {
     case _              => false
   }
 
+  /** Canonical state paths for STATEFUL node instances: every
+    * Aggregate / outer-join instance maps to the FIRST (depth-first,
+    * left-to-right — the same order the positional path labels encode)
+    * position it occupies in `q`. An aggregate CTE spliced at several
+    * positions (TPC-H Q15's `rev`, read by the main query AND its scalar
+    * subquery) then resolves ONE state name everywhere: one state on
+    * disk, one delta computation and one StateUpdate per batch (via
+    * [[Ctx.memo]]), instead of n positional twins each maintaining an
+    * identical copy. Create and refresh both derive names through this
+    * map, so they agree by construction; nodes occurring once map to
+    * their own position (identity with the plain positional namer). */
+  def canonicalPaths(q: IvmQuery):
+      java.util.IdentityHashMap[IvmQuery, String] = {
+    val m = new java.util.IdentityHashMap[IvmQuery, String]
+    def walk(n: IvmQuery, path: String): Unit = {
+      n match {
+        case _: Aggregate | _: LeftJoin | _: RightJoin | _: FullJoin =>
+          if (!m.containsKey(n)) m.put(n, path)
+        case _ => ()
+      }
+      n match {
+        case Scan(_)                => ()
+        case Filter(c, _)           => walk(c, path + ".0")
+        case Project(c, _)          => walk(c, path + ".0")
+        case Aggregate(c, _, _)     => walk(c, path + ".0")
+        case Join(l, r, _)          => walk(l, path + ".0"); walk(r, path + ".1")
+        case LeftJoin(l, r, _)      => walk(l, path + ".0"); walk(r, path + ".1")
+        case RightJoin(l, r, _)     => walk(l, path + ".0"); walk(r, path + ".1")
+        case FullJoin(l, r, _)      => walk(l, path + ".0"); walk(r, path + ".1")
+        case Union(l, r)            => walk(l, path + ".0"); walk(r, path + ".1")
+        case TopK(c, _, _)          => walk(c, path)
+        case WindowDeco(c, _)       => walk(c, path)
+        case ExpandCount(c, _)      => walk(c, path)
+        case ScalarDeco(c, _, _)    => walk(c, path) // subviews walk separately
+      }
+    }
+    walk(q, "r")
+    m
+  }
+
   /** Populate `into` with identity-occurrence counts of every STATELESS
     * inner-join subtree referenced more than once under `q` — shared CTE
     * definitions, which [[SqlFrontend]] substitutes as the same instance

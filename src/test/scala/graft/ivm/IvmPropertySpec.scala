@@ -67,6 +67,21 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       Seq("nd"), Seq(Sum(col("v"), "sv"), CountStar("n")))
   }
 
+  /** The TPC-H Q15 topology: a SHARED AGGREGATE instance read by the
+    * main query AND its scalar-subquery gate — canonical-instance naming
+    * must give it ONE state, refreshed once, with both consumers reading
+    * the same changelog. */
+  private lazy val sharedAggCteShape: IvmQuery = {
+    val rev = Aggregate(Project(Scan("t"), Seq(col("g"), col("v"))),
+      Seq("g"), Seq(Sum(col("v"), "sv"), CountStar("cnt")))
+    Project(
+      Filter(
+        Join(rev, Aggregate(rev, Seq.empty, Seq(Max(col("sv"), "__mx"))),
+          Seq.empty),
+        col("sv") === col("__mx")),
+      Seq(col("g"), col("sv")))
+  }
+
   private val shapes: Seq[(String, IvmQuery)] = {
     def sc = Scan("t")
     Seq(
@@ -256,6 +271,7 @@ class IvmPropertySpec extends AnyFunSuite with SparkTestBase {
       // `shared_cte_2side` churns both tables in one batch.
       "shared_cte" -> sharedCteShape,
       "shared_cte_2side" -> sharedCteShape,
+      "shared_agg_cte" -> sharedAggCteShape,
       // DECORRELATED scalar subquery (the SqlFrontend fold of
       // `WHERE v > (SELECT 2*avg(h) FROM u WHERE u.g = t.g)`): per-key
       // aggregate view LEFT-joined on the correlation key — a t-row whose

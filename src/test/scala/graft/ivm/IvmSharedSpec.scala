@@ -26,6 +26,40 @@ class IvmSharedSpec extends AnyFunSuite with SparkTestBase {
     name => { require(name == "t"); t }
   }
 
+  test("a stateful CTE instance spliced twice IN ONE VIEW keeps one state") {
+    // the Q15 topology: `rev` read by the main query and its scalar gate —
+    // canonical-instance naming must produce ONE rev state (plus the
+    // scalar MAX state and its aux), refreshed once per batch
+    val rev = Aggregate(Scan("t"), Seq("g"), Seq(Sum(col("v"), "sv")))
+    val v = Project(
+      Filter(
+        Join(rev, Aggregate(rev, Seq.empty, Seq(Max(col("sv"), "__mx"))),
+          Seq.empty),
+        col("sv") === col("__mx")),
+      Seq(col("g"), col("sv")))
+    val root = Files.createTempDirectory("ivm-q15").toString
+    val store = new ParquetStore(spark, root)
+    val base = mkBase(Seq(Row("a", 1), Row("a", 2), Row("b", 10), Row("c", 9)))
+    Ivm.create("q15", v, base, store)
+    // state dirs under q15/: rev at its canonical path, the MAX top, the
+    // MAX aux multiset, the top multiset — and NO second rev state
+    def stateDirs = Files.list(Paths.get(s"$root/q15")).toArray
+      .map(_.toString.split('/').last).sorted.toSeq
+    val dirs = stateDirs
+    // rev canonically at r.0.0.0; the scalar MAX at r.0.0.1 (+ its aux).
+    // WITHOUT canonical naming a second rev state appears under the MAX's
+    // child position r.0.0.1.0
+    assert(dirs == Seq("r.0.0.0", "r.0.0.1", "r.0.0.1.aux.__mx", "top"),
+      s"expected ONE rev state (no r.0.0.1.0 twin), got: $dirs")
+    val d1 = df(s"g STRING, v INT, ${IvmCore.MULT} BOOLEAN",
+      Seq(Row("b", 3, true), Row("c", 9, false))) // b takes the max; c dies
+    val deltas: String => Option[DataFrame] =
+      t => if (t == "t") Some(d1) else None
+    Ivm.refreshState("q15", v, base, deltas, store)
+    assertSameRows(Ivm.read("q15", v, store), Ivm.recompute(v, base, deltas))
+    assert(stateDirs == dirs, "refresh created new state paths")
+  }
+
   test("identical subtrees share one state directory; both views refresh correctly") {
     val root = Files.createTempDirectory("ivm-shared").toString
     val store = new ParquetStore(spark, root)
