@@ -29,6 +29,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Warm re-run of every query whose cold (sweep-position) time crossed
+    // 1 s: the cold sweep keeps producing 2×+ false regression signals
+    // (q94 in r06, q22 in r07 — JVM/JIT/template-cache warmth, not plan
+    // changes) that cost an isolation-probe session each round to refute.
+    // `queries` stays the historical cold series; `queries_warm` is the
+    // number to compare against isolated-probe values.
+    val warmResults = results.collect { case (name, cold) if cold >= 1.0 =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qsWarm = warmResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Like-for-like cross-round comparison: the gated query set GROWS every
     // round (32 → 76), so the raw total is not comparable to BENCH_r01's.
@@ -514,7 +528,7 @@ object Bench {
       f"""{"create_sec":$tCreate%.3f,"refresh_sec":$tR%.3f,"full_pipeline_sec":$tC%.3f,"speedup":${tC / tR}%.2f,"delta_rows":$dRows,"sig_changelog_rows":$sigRows}"""
     } catch { case e: Throwable => s"""{"error":"${e.getMessage}"}""" }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"cascade":$cascadeJson,"dedup":$dedupJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","total_core_r1_queryset":$totalCore,"n_queries":${results.size},"queries":$qs,"queries_warm":$qsWarm,"ivm":$ivmJson,"scaling":$scalingJson,"lsm":$lsmJson,"ann":$annJson,"streaming":$streamJson,"cascade":$cascadeJson,"dedup":$dedupJson,"sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture truncated the round-3 headline — always also
     // write the JSON to a file the driver (and humans) can read whole.

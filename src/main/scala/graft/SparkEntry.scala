@@ -891,11 +891,18 @@ object SparkEntry {
       Ivm.create("q134", v, base(s, dir), store)
       Ivm.refreshState("q134", v, base(s, dir), deltas(s, dir), store)
       val index = Ivm.read("q134", v, store)
+      // The gate's equivalence (ADC shortlist + exact re-rank == brute
+      // force) is degenerate: it holds ONLY when the shortlist spans the
+      // whole post-delta corpus. Derive `rerank` from the corpus count so
+      // a larger scale factor can't silently narrow the shortlist and
+      // surface as a spurious hash mismatch against the exact oracle.
+      val corpusN = index.count()
+      require(corpusN <= Int.MaxValue - 1, s"q134 corpus too large: $corpusN")
       ops.Pq.topKRerank(
         index.select(col("vec_id").as("n_id"), col("pq_code")),
         index.select("vec_id", "embedding"),
         index.where(col("vec_id") < 8).select("vec_id", "embedding"),
-        k = 5, model, rerank = 1 << 16)
+        k = 5, model, rerank = corpusN.toInt)
     }),
 
     // Sessionization: 30-minute-gap sessions per user via window functions

@@ -528,10 +528,16 @@ object Ivm {
             // defaultParallelism slices downstream), so the one execution
             // here is the only one: no discarded probe, no cache()+count()
             // re-run of a plan that had already materialized everything.
-            GraftTemplates.collectVerdict(df, cap) match {
-              case Right(r) => Some(r)
-              case Left(r) => return Some(org.apache.spark.sql.GraftLocalIO
+            // Hard ceiling (64× the pin cap): a mid-plan join blowup past
+            // that is no longer an O(touched) pin; abort the inline collect
+            // and let the caller's cache()+count() distributed pin absorb
+            // it through the block manager instead of one driver array.
+            GraftTemplates.collectVerdict(df, cap,
+                hard = math.min(cap.toLong * 64, Int.MaxValue - 1).toInt) match {
+              case Some(Right(r)) => Some(r)
+              case Some(Left(r)) => return Some(org.apache.spark.sql.GraftLocalIO
                 .localDf(df.sparkSession, df.schema, r.toIndexedSeq))
+              case None => None
             }
           else if (allLocal)
             // remaining accepted corner for NON-pin callers (delta memos,

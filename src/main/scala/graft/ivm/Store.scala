@@ -806,9 +806,11 @@ final class ParquetStore(
         val rel = segDir(name, v)
         df.withColumn(DEAD, lit(0)).withColumn(SEQ, lit(v))
           .withColumn(B, bucketOf(bucketKeys))
-          .repartition(col(B)) // ONE file per bucket per segment — a chain
-          // read opens chainLen files per bucket, not chainLen × writer
-          // partitions (32× fewer parquet footers on the overlay read path)
+          .repartition(buckets, col(B)) // ONE file per bucket per segment —
+          // a chain read opens chainLen files per bucket, not chainLen ×
+          // writer partitions (32× fewer parquet footers on the overlay
+          // read path). The explicit count bounds the shuffle fanout to
+          // `buckets` tasks — bounded and predictable vs shuffle.partitions
           .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel")
         val found = discoverBuckets(rel)
         // a zero-row state writes no bucket dirs; fall back to a plain
@@ -906,7 +908,9 @@ final class ParquetStore(
             .withColumn(DEAD, when(alive, lit(0)).otherwise(lit(1)))
             .withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
-            .repartition(col(B)) // one file per bucket per segment
+            .repartition(buckets, col(B)) // one file per bucket per segment;
+            // explicit count bounds the shuffle fanout to `buckets` tasks
+            // (repartition(col) would spread over shuffle.partitions)
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           if (written.isEmpty) return // empty batch — state unchanged
@@ -939,7 +943,9 @@ final class ParquetStore(
           Ivm.timed(s"m.minorwrite $name")(newRows
             .withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
-            .repartition(col(B)) // one file per bucket per segment
+            .repartition(buckets, col(B)) // one file per bucket per segment;
+            // explicit count bounds the shuffle fanout to `buckets` tasks
+            // (repartition(col) would spread over shuffle.partitions)
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           // the folded overlay stacks directly on its bucket's base; a
@@ -966,7 +972,9 @@ final class ParquetStore(
           Ivm.timed(s"m.write $name")(newRows
             .withColumn(DEAD, lit(0)).withColumn(SEQ, lit(segV))
             .withColumn(B, bucketOf(bKeys))
-            .repartition(col(B)) // one file per bucket per segment
+            .repartition(buckets, col(B)) // one file per bucket per segment;
+            // explicit count bounds the shuffle fanout to `buckets` tasks
+            // (repartition(col) would spread over shuffle.partitions)
             .write.partitionBy(B).mode("overwrite").parquet(s"$root/$rel"))
           val written = discoverBuckets(rel)
           // touched buckets collapse to the new segment (or vanish if now

@@ -40,7 +40,8 @@ object Sampling {
     * target mix at the largest size achievable without upsampling —
     * scale = minₛ(nₛ/wₛ), rateₛ = min(1, scale·wₛ/nₛ); the scarcest
     * source keeps 100% and every other source downsamples to match.
-    * Sources not in `weights` are dropped.
+    * Sources not in `weights` are dropped; a weighted source with zero
+    * corpus rows fails loudly (the target mix would be silently wrong).
     *
     * Scale shape: one map-side-combinable count per source (tiny result),
     * a broadcast rate table, then a pure hash filter — the corpus itself
@@ -53,15 +54,26 @@ object Sampling {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "mixture weights must be positive")
     val spark = df.sparkSession
-    val w = spark.createDataFrame(weights).toDF("__mix_src", "__mix_wt")
     val tagged = df.withColumn("__mix_src", source)
-    val counts = tagged.groupBy("__mix_src")
+    // One map-side-combinable count per source — a tiny result collected to
+    // the driver. (The old plan computed the same aggregate INSIDE the
+    // final query, so total passes over the corpus are unchanged: one for
+    // the counts, one for the filter.) Collecting it lets us fail loudly
+    // when a weighted source has ZERO corpus rows — the inner join used to
+    // silently drop it, deriving scale from the remaining sources and
+    // missing the requested proportions without any signal.
+    val n = tagged.groupBy("__mix_src")
       .agg(count(lit(1)).cast("double").as("__mix_n"))
-    val scaled = counts.join(w, "__mix_src") // inner: unlisted sources drop
-    val s = scaled.agg(min(col("__mix_n") / col("__mix_wt")).as("__mix_scale"))
-    val rates = scaled.crossJoin(s).select(col("__mix_src"),
-      least(lit(1.0),
-        col("__mix_scale") * col("__mix_wt") / col("__mix_n")).as("__mix_rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val missing = weights.collect { case (s, _) if !n.contains(s) => s }
+    require(missing.isEmpty,
+      s"mixture: weighted source(s) with zero corpus rows: ${missing.mkString(", ")}")
+    // Same IEEE double arithmetic, same op order as the SQL oracle:
+    // scale = min_s(n_s/w_s); rate_s = min(1, scale*w_s/n_s).
+    val scale = weights.map { case (s, wt) => n(s) / wt }.min
+    val rates = spark.createDataFrame(weights.map { case (s, wt) =>
+      (s, math.min(1.0, scale * wt / n(s)))
+    }).toDF("__mix_src", "__mix_rate")
     // integer threshold on the 10⁶-bucket hash: floor(rate·10⁶) mirrors
     // bit-for-bit in the oracle (IEEE ops in the same order both sides)
     tagged.join(broadcast(rates), "__mix_src")

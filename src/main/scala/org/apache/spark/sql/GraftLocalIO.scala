@@ -71,10 +71,38 @@ object GraftLocalIO {
       case _ => ()
     }
   private lazy val quietUnpersistWarn: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      // Scope the mute to the ONE expected message: a message-matching
+      // DENY filter on a dedicated LoggerConfig for MapPartitionsRDD.
+      // (A blanket setLevel(ERROR) would mute every other WARN from that
+      // class JVM-wide for the rest of the session.)
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val cfg = ctx.getConfiguration
+      val parent = cfg.getLoggerConfig(name) // nearest ancestor config
+      val lc =
+        if (parent.getName == name) parent
+        else {
+          // fresh additive config: no appenders of its own, events still
+          // flow to the ancestor's appenders — only the filter is new
+          val fresh = new org.apache.logging.log4j.core.config.LoggerConfig(
+            name, parent.getLevel, true)
+          cfg.addLogger(name, fresh)
+          fresh
+        }
+      lc.addFilter(new org.apache.logging.log4j.core.filter.AbstractFilter {
+        override def filter(event: org.apache.logging.log4j.core.LogEvent)
+            : org.apache.logging.log4j.core.Filter.Result =
+          if (event.getLevel == org.apache.logging.log4j.Level.WARN &&
+              event.getMessage != null &&
+              String.valueOf(event.getMessage.getFormattedMessage)
+                .contains("cannot be recomputed after unpersisting"))
+            org.apache.logging.log4j.core.Filter.Result.DENY
+          else org.apache.logging.log4j.core.Filter.Result.NEUTRAL
+      })
+      ctx.updateLoggers()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** LocalRelation-backed frame over InternalRows (zero-copy: the rows are
     * the UnsafeRow copies executeTake already made). Schema nullability is

@@ -452,16 +452,22 @@ object GraftTemplates {
     if (rows.length > cap) None else Some(rows)
   }
 
-  /** Template-cached FULL collect with a smallness verdict: Right(rows)
-    * when at most `cap`, Left(rows) when over — the caller keeps the
+  /** Template-cached collect with a smallness verdict: Some(Right(rows))
+    * when at most `cap`, Some(Left(rows)) when over — the caller keeps the
     * over-cap rows (as a plain pin) instead of discarding the execution
     * and re-running the plan. For plans whose over-cap execution is
     * already ~full-price (aggregates materialize everything before the
-    * first row), this turns the probe-then-re-execute double into one. */
-  def collectVerdict(df: DataFrame,
-      cap: Int): Either[Array[InternalRow], Array[InternalRow]] = {
-    val rows = run(df, p => execPlan(p, -1))
-    if (rows.length > cap) Left(rows) else Right(rows)
+    * first row), this turns the probe-then-re-execute double into one.
+    * `hard` bounds the driver-heap exposure: a plan that expands past it
+    * (a mid-plan join blowup — pathological for O(touched) pins) returns
+    * None so the caller can fall back to a distributed pin instead of
+    * materializing an unbounded array. */
+  def collectVerdict(df: DataFrame, cap: Int, hard: Int = -1)
+      : Option[Either[Array[InternalRow], Array[InternalRow]]] = {
+    val rows = run(df, p => execPlan(p, hard))
+    if (hard >= 0 && rows.length > hard) None
+    else if (rows.length > cap) Some(Left(rows))
+    else Some(Right(rows))
   }
 
   // dev instrumentation (enable with -Dgraft.timing=true)
