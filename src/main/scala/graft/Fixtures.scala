@@ -77,11 +77,15 @@ object Fixtures {
     * i·10⁷), so joins and group cardinalities scale linearly instead of
     * multiplying — the same data distribution at 10× the volume, the
     * extra point that turns the "refresh flat, recompute grows" argument
-    * from extrapolation into measurement. Written once under target/
-    * (regenerable, never committed) and reused across runs. */
+    * from extrapolation into measurement. Written once under a DURABLE
+    * fixture directory (default `fixtures/`, gitignored — survives `sbt
+    * clean`, unlike target/) and reused across runs and rounds, so the
+    * sf1-equivalent crossover measurement is reproducible rather than
+    * regenerated per run. Override root with -Dgraft.fixtureDir. */
   def ensureScaled10x(s: SparkSession, dir: String): String = {
     val dirName = new java.io.File(dir).getName
-    val out = s"target/bench-10x-$dirName"
+    val root = sys.props.getOrElse("graft.fixtureDir", "fixtures")
+    val out = s"$root/bench-10x-$dirName"
     val done = java.nio.file.Paths.get(out, "_DONE")
     if (java.nio.file.Files.exists(done)) return out
     val reps = s.range(10).select(col("id").as("__rep"))

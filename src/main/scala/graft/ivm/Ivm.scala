@@ -226,6 +226,7 @@ object Ivm {
     // any aggregate whose state this call (or a previous create in the
     // same shared group) already wrote.
     val served = scala.collection.concurrent.TrieMap.empty[String, (String, Aggregate)]
+    val servedMat = scala.collection.concurrent.TrieMap.empty[String, String]
     val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def hook0(node: IvmQuery): Option[DataFrame] = node match {
       case a: Aggregate =>
@@ -235,6 +236,11 @@ object Ivm {
             else store(name).select(
               (agg.keys.map(col) ++ agg.aggs.map(Eval.stateOutput)): _*)
           }
+      case mz: Materialize =>
+        // parents of a materialized subview read its just-written multiset
+        // (expanded) instead of re-running the child's base-scan join
+        servedMat.get(mz.toString).filter(ready.contains)
+          .map(name => expandMultiset(store(name), HCOUNT))
       case _ => None
     }
     // Shared-CTE evaluation cache: a stateless subtree referenced from
@@ -260,6 +266,7 @@ object Ivm {
     /** Aggregate-nesting depth: the creation level of each state. */
     def depth(node: IvmQuery): Int = node match {
       case Aggregate(c, _, _)     => 1 + depth(c)
+      case Materialize(c)         => 1 + depth(c)
       case Scan(_)                => 0
       case Filter(c, _)           => depth(c)
       case Project(c, _)          => depth(c)
@@ -311,6 +318,19 @@ object Ivm {
                 () => Eval.evalAuxState(a, spec, base, hook))
               (s"$name.aux.${spec.name}", bKeys, bumpX(2 * depth(a)), mkX)
             }
+        case mz @ Materialize(c) =>
+          // interior multiset state: child rows in Z-set canonical form
+          // (row → count), written one level above the child's own states
+          // so parents' evals above serve from it through the hook
+          val name = nameOf(mz, path)
+          servedMat.putIfAbsent(mz.toString, name)
+          val rows = Eval.eval(c, base, hook) // plan only (columns)
+          val cols = rows.columns.toSeq
+          val (bump, mk) = dedup(s"z:$c", name, () => {
+            val r = Eval.eval(c, base, hook)
+            r.groupBy(cols.map(col): _*).agg(count(lit(1)).as(HCOUNT))
+          })
+          walk(c, path + ".0") ++ Seq((name, cols, bump(2 * depth(mz)), mk))
         case Filter(c, _)  => walk(c, path + ".0")
         case Project(c, _) => walk(c, path + ".0")
         case Join(l, r, _) => walk(l, path + ".0") ++ walk(r, path + ".1")
@@ -381,6 +401,8 @@ object Ivm {
     case Aggregate(_, keys, aggs) =>
       store(stateName(view, "r"))
         .select((keys.map(col) ++ aggs.map(Eval.stateOutput)): _*)
+    case _: Materialize => // top-level materialized multiset IS the view
+      expandMultiset(store(stateName(view, "r")), HCOUNT)
     case _ =>
       val st = store(stateName(view, TOP))
       expandMultiset(st, HCOUNT)
@@ -771,8 +793,9 @@ object Ivm {
         // SPJ views: fold ΔV into the stored multiset (reads pre-batch
         // top state through the snapshot; writes through the live store).
         q match {
-          case _: Aggregate => ()
-          case _            => mergeTop(store, snap, stateName(view, TOP), dv)
+          case _: Aggregate   => ()
+          case _: Materialize => () // its delta queued its own state merge
+          case _              => mergeTop(store, snap, stateName(view, TOP), dv)
         }
         dv
       } finally drain() // failure path: no commit may outlive the open txn
@@ -934,6 +957,7 @@ object Ivm {
   private def interiorAggs(q: IvmQuery): Seq[Aggregate] = {
     def kids(n: IvmQuery): Seq[IvmQuery] = n match {
       case Aggregate(c, _, _)     => Seq(c)
+      case Materialize(c)         => Seq(c)
       case Filter(c, _)           => Seq(c)
       case Project(c, _)          => Seq(c)
       case Union(l, r)            => Seq(l, r)

@@ -155,7 +155,13 @@ final class MemStore extends IvmStore {
   /** Row cap under which a state is held as a driver-side LocalRelation
     * instead of checkpointed executor blocks (same smallness assumption as
     * `graft.localBatchRows`). */
-  private val localRows = 1 << 16
+  // Probed at sf0.1: raising this to 512k makes 300k-row states local,
+  // which kills the per-merge checkpoint job BUT costs a full driver
+  // collect per put and a fat broadcast per consuming term — net slower
+  // on both the fresh-store gate path and warm creates. 64k keeps local
+  // states cheap-to-collect and cheap-to-broadcast.
+  private val localRows =
+    sys.props.getOrElse("graft.memStateRows", (1 << 16).toString).toInt
   /** Size memos: a KNOWN-big state skips the collect probe outright
     * (executeTake(cap+1) over an aggregate state materializes the whole
     * plan — probing it before checkpointing would execute the merge twice
@@ -178,10 +184,19 @@ final class MemStore extends IvmStore {
     // NOTE: previous versions are intentionally never unpersisted — pending
     // lazy plans may still read them (snapshot isolation); session-lifetime
     // leak is the documented trade-off of the in-memory store.
-    def local(rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
-      org.apache.spark.sql.GraftTemplates.taggedLocal(
+    def local(rows: Seq[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+      val l = org.apache.spark.sql.GraftTemplates.taggedLocal(
         df.sparkSession, org.apache.spark.sql.GraftLocalIO.nullable(df.schema),
-        rows, s"state:$name").coalesce(1)
+        rows, s"state:$name")
+      // Small states coalesce to ONE partition (downstream aggregations
+      // plan with no exchange and qualify for the driver-inline executor).
+      // BIGGER local states stay un-coalesced: LocalTableScanExec splits
+      // them across the default parallelism, so a 300k-row state joins and
+      // aggregates on all cores instead of single-threaded on the driver —
+      // while still avoiding the per-merge checkpoint job and keeping the
+      // plan template- and trace-replay-eligible (no RDD-backed leaf).
+      if (rows.length <= (1 << 16)) l.coalesce(1) else l
+    }
     m.put(name,
       if (knownBig.contains(name)) df.localCheckpoint(true)
       else if (knownSmall.contains(name))

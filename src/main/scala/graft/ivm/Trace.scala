@@ -181,6 +181,7 @@ private[ivm] object Trace {
       case RightJoin(l, r, _)    => noSketch(l) && noSketch(r)
       case FullJoin(l, r, _)     => noSketch(l) && noSketch(r)
       case Scan(_)               => true
+      case Materialize(c)        => noSketch(c)
       case TopK(c, _, _)         => noSketch(c)
       case WindowDeco(c, _)      => noSketch(c)
       case ExpandCount(c, _)     => noSketch(c)

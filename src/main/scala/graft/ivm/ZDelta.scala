@@ -240,7 +240,8 @@ object ZDelta {
     val m = new java.util.IdentityHashMap[IvmQuery, String]
     def walk(n: IvmQuery, path: String): Unit = {
       n match {
-        case _: Aggregate | _: LeftJoin | _: RightJoin | _: FullJoin =>
+        case _: Aggregate | _: LeftJoin | _: RightJoin | _: FullJoin |
+             _: Materialize =>
           if (!m.containsKey(n)) m.put(n, path)
         case _ => ()
       }
@@ -249,6 +250,7 @@ object ZDelta {
         case Filter(c, _)           => walk(c, path + ".0")
         case Project(c, _)          => walk(c, path + ".0")
         case Aggregate(c, _, _)     => walk(c, path + ".0")
+        case Materialize(c)         => walk(c, path + ".0")
         case Join(l, r, _)          => walk(l, path + ".0"); walk(r, path + ".1")
         case LeftJoin(l, r, _)      => walk(l, path + ".0"); walk(r, path + ".1")
         case RightJoin(l, r, _)     => walk(l, path + ".0"); walk(r, path + ".1")
@@ -271,6 +273,8 @@ object ZDelta {
     * tests sharing with one map hit. */
   def countShared(q: IvmQuery,
       into: java.util.IdentityHashMap[IvmQuery, java.lang.Integer]): Unit = {
+    val seenM = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[IvmQuery, java.lang.Boolean])
     def walk(n: IvmQuery): Unit = {
       n match {
         case j: Join if stateless(j) =>
@@ -283,6 +287,12 @@ object ZDelta {
         case Filter(c, _)           => walk(c)
         case Project(c, _)          => walk(c)
         case Aggregate(c, _, _)     => walk(c)
+        // barrier: a Materialize instance computes its child's delta ONCE
+        // (memoized by state name), so repeat visits of a spliced instance
+        // must not inflate the child's share counts — an inflated count
+        // would wrap the child's single evaluation in a useless CSE pin
+        case mz: Materialize =>
+          if (seenM.add(mz)) walk(mz.child)
         case Join(l, r, _)          => walk(l); walk(r)
         case LeftJoin(l, r, _)      => walk(l); walk(r)
         case RightJoin(l, r, _)     => walk(l); walk(r)
@@ -331,6 +341,7 @@ object ZDelta {
       case RightJoin(l, r, _) => linear(l) ++ linear(r)
       case FullJoin(l, r, _)  => linear(l) ++ linear(r)
       case _: Aggregate       => Set.empty
+      case _: Materialize    => Set.empty // reads its own state, like Aggregate
       case _: TopK | _: WindowDeco | _: ExpandCount | _: ScalarDeco =>
         Set.empty // decorations
     }
@@ -347,6 +358,7 @@ object ZDelta {
         val own = if (aggs.exists(isSketch)) linear(c) & declared
                   else Set.empty[String]
         own ++ accTables(c, declared)
+      case Materialize(c)     => accTables(c, declared)
       case Union(l, r)        => accTables(l, declared) ++ accTables(r, declared)
       case Join(l, r, _)      => joinAcc(l, r)
       case LeftJoin(l, r, _)  => joinAcc(l, r)
@@ -401,6 +413,12 @@ object ZDelta {
       ctx.state(ctx.namer(agg, path))
         .select(keys.map(col) ++ aggs.map(Eval.stateOutput): _*)
         .withColumn(WEIGHT, lit(1L))
+    // materialized subview: its current content IS the maintained multiset
+    // (pre-batch through the snapshot) — the child never re-evaluates here
+    case m: Materialize =>
+      val cols = outputNames(m.child, ctx)
+      ctx.state(ctx.namer(m, path))
+        .select(cols.map(col) :+ col(HCOUNT).cast("long").as(WEIGHT): _*)
     case lj @ LeftJoin(l, r, keys) =>
       outerCurrent(l, r, keys, ctx, ctx.namer(lj, path), path,
         preserveL = true, preserveR = false)
@@ -592,6 +610,15 @@ object ZDelta {
     case agg @ Aggregate(_, _, _) =>
       memoized(ctx, q, path)(p => deltaAggregate(agg, ctx, p))
 
+    // Materialized interior subview: Δ(M(c)) = Δ(c) — the changelog passes
+    // through unchanged — plus one queued multiset merge so parents' later
+    // CURRENT reads (this batch's siblings read pre-batch state through the
+    // snapshot; next batch reads post-merge) see the child without
+    // recomputing it. Memoized by resolved state name: a CTE spliced at n
+    // positions computes Δ once and queues ONE update.
+    case m: Materialize =>
+      memoized(ctx, q, path)(name => deltaMaterialize(m, ctx, name, path))
+
     case _: TopK | _: WindowDeco | _: ExpandCount =>
       throw new UnsupportedOperationException(
         "TopK/window/expand is a read-time decoration at the view top; Ivm " +
@@ -606,6 +633,40 @@ object ZDelta {
       f: String => DataFrame): DataFrame = {
     val name = ctx.namer(node, path)
     ctx.memo.getOrElseUpdate(name, f(name))
+  }
+
+  /** Δ + state merge of a [[Materialize]] node. The merge mirrors the SPJ
+    * top-state shape (row multiset, HCOUNT, group death at 0) and the
+    * delta-accumulator diff: adjust counts from the batch alone, slice old
+    * counts for touched rows only — O(‖Δ‖) reads and writes, bucket-pruned
+    * at scale. Returns Δ(child) for the parent's own terms. */
+  private def deltaMaterialize(
+      m: Materialize, ctx: Ctx, name: String, path: String): DataFrame = {
+    val d0 = delta(m.child, ctx, path + ".0")
+    // Δ(child) feeds the count adjustment AND every parent term — pin it
+    // once (skip when the child delta is already a pinned local frame,
+    // e.g. a sharedDelta CSE hit: a pin-of-a-pin is pure overhead).
+    val d = d0.queryExecution.logical match {
+      case org.apache.spark.sql.catalyst.plans.logical.Repartition(1, false,
+          _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) => d0
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => d0
+      case _ => ctx.pin(d0, s"$path.m")
+    }
+    val cols = outputNames(m.child, ctx)
+    def bcast(df: DataFrame): DataFrame =
+      if (ctx.broadcastDeltas) broadcast(df) else df
+    val dAdj = ctx.pin(
+      d.groupBy(cols.map(col): _*).agg(sum(col(WEIGHT)).as("__ivm_madj")),
+      s"$path.madj")
+    val oldTouched = ctx.slice(name, dAdj, cols)
+      .withColumnRenamed(HCOUNT, "__ivm_moldc")
+    val updated = leftOuterByKeys(dAdj, oldTouched, cols, hint = bcast)
+      .select(cols.map(col) :+
+        (coalesce(col("__ivm_moldc"), lit(0L)) + col("__ivm_madj"))
+          .as(HCOUNT): _*)
+    ctx.queue(StateUpdate(name, cols, updated, bucketKeys = cols,
+      keyHint = dAdj))
+    d
   }
 
   // ---------------------------------------------------------------- joins
@@ -697,6 +758,7 @@ object ZDelta {
       keys ++ outputNames(l, ctx).filterNot(keys.contains) ++
         outputNames(r, ctx).filterNot(keys.contains)
     case Union(l, _) => outputNames(l, ctx) // sides align by contract
+    case Materialize(c) => outputNames(c, ctx)
     case TopK(c, _, _) => outputNames(c, ctx)
     case WindowDeco(_, cols) => cols.map(colName)
     case ExpandCount(c, n) => outputNames(c, ctx).filterNot(_ == n)
