@@ -521,10 +521,19 @@ object Ivm {
   private[ivm] def collectLocal(df: DataFrame, cap: Int, role: String = "",
       overCapPin: Boolean = false): Option[DataFrame] = {
     import org.apache.spark.sql.GraftTemplates
-    df.queryExecution.optimizedPlan match {
+    // logical-plan match, NOT optimizedPlan: running the main-session
+    // optimizer here just to detect "already local" cost a full Catalyst
+    // pass per delta collect (see [[toLocal]]); compound all-local frames
+    // fall through to the template-cached inline path below instead
+    df.queryExecution.logical match {
       // already local (e.g. a cascade changelog feed): re-tag so the frame
       // is a plan-template substitution point, not a per-batch literal
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(GraftTemplates.taggedLocal(df.sparkSession,
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(l.output), l.data, role).coalesce(1))
+      case org.apache.spark.sql.catalyst.plans.logical.Repartition(1, false,
+          l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) =>
         Some(GraftTemplates.taggedLocal(df.sparkSession,
           org.apache.spark.sql.catalyst.types.DataTypeUtils
             .fromAttributes(l.output), l.data, role).coalesce(1))
@@ -577,6 +586,18 @@ object Ivm {
     }
   }
 
+  // NOTE (r08, rejected design): pin collects were briefly made ASYNC — a
+  // background pool ran GraftTemplates.collect while the walk kept
+  // composing, with the LocalRelation holding a block-on-first-access
+  // rows Seq. It cannot work: Catalyst's QueryPlan._expressions traverses
+  // every Seq product element of a node looking for expressions, so the
+  // pin's OWN Dataset construction forces the rows synchronously — zero
+  // overlap, measured identical to the serial cadence. Overlap of
+  // independent subview chains would need walk-level parallelism (two
+  // composition threads), which conflicts with the recorder's ordered
+  // tape and the single-threaded Ctx buffers — left on the
+  // rejected-ideas list with this note.
+
   /** Collect a frame the caller already gated as small (every pinned
     * intermediate is O(touched) of a gated batch) — one plain collect, no
     * size probe. The result is coalesced to ONE partition: SinglePartition
@@ -587,10 +608,22 @@ object Ivm {
     * so nothing downstream collapses onto one task. */
   private[ivm] def toLocal(df: DataFrame, role: String = ""): DataFrame = {
     import org.apache.spark.sql.GraftTemplates
-    df.queryExecution.optimizedPlan match {
-      // pure projection over an earlier local pin — the fold already ran
-      // driver-side; re-tag the result as a fresh substitution point
+    // Match on the LOGICAL plan: the previous `optimizedPlan` match ran
+    // the main-session optimizer on the walk thread for EVERY pin — 0.3 to
+    // 0.8 s per big composed pin at sf0.1, the dominant slice of the
+    // multi-state view floor (r08 profile). Frames that would have folded
+    // to a LocalRelation under the optimizer now route through the
+    // template-cached collect instead, which executes all-local plans
+    // inline on the driver without a main-session optimizer pass.
+    df.queryExecution.logical match {
+      // already a local (or a pin: coalesce(1) over one) — re-tag as a
+      // fresh substitution point, no execution at all
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        GraftTemplates.taggedLocal(df.sparkSession,
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(l.output), l.data, role).coalesce(1)
+      case org.apache.spark.sql.catalyst.plans.logical.Repartition(1, false,
+          l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation) =>
         GraftTemplates.taggedLocal(df.sparkSession,
           org.apache.spark.sql.catalyst.types.DataTypeUtils
             .fromAttributes(l.output), l.data, role).coalesce(1)

@@ -50,10 +50,20 @@ object SqlFrontend {
     * two aggregates and the top join all scan it). One wrapper INSTANCE
     * per shared instance, so instance-identity sharing (canonical state
     * naming, per-batch delta memoization) carries over to the wrapper.
-    * `-Dgraft.materializeCte=false` reverts to recompute-current
-    * semantics. */
+    *
+    * OFF BY DEFAULT (`-Dgraft.materializeCte=true` enables). Measured at
+    * sf0.1 (r08): materializing TPC-H Q21's `j` — an SPJ CTE whose output
+    * is O(base), ~600k rows — cost +4-6 s per create (building and
+    * storing the multiset), made every state read distributed (killing
+    * trace-record eligibility), and bought back almost nothing per
+    * refresh because the per-batch sharedCurrent cache and the
+    * touched-key scan pruning (ZDelta key pushdown) already bound each
+    * consumer's current read to O(touched). At 100 TB the state would
+    * DUPLICATE a base-sized join output per view — the right default is
+    * recompute-current over pruned scans; turn this on only for a CTE
+    * whose output is far smaller than its inputs. */
   def materializeShared(q: IvmQuery): IvmQuery = {
-    if (!sys.props.getOrElse("graft.materializeCte", "true").toBoolean)
+    if (!sys.props.getOrElse("graft.materializeCte", "false").toBoolean)
       return q
     val counts = new java.util.IdentityHashMap[IvmQuery, java.lang.Integer]
     ZDelta.countShared(q, counts)

@@ -141,6 +141,15 @@ object ZDelta {
         * not pinned — currents are O(base)); see [[currentW]]. */
       sharedCurrent: java.util.IdentityHashMap[IvmQuery, DataFrame] =
         new java.util.IdentityHashMap) {
+    /** True while a KEY-PRUNED current side is being composed (see
+      * [[ZDelta.currentSide]]): the prune filter must reach the base
+      * scans, so the shared-current cache is bypassed below that walk —
+      * a filter above a cached frame stops at the cache boundary, and
+      * materializing the unpruned cache is exactly the full base pass the
+      * pruning exists to avoid. Plan construction is single-threaded (the
+      * concurrent onUpdate commits never build currents), so a plain
+      * bracketed var is safe. */
+    private[ivm] var bypassSharedCurrent: Boolean = false
     /** Queue a state update and fire [[onUpdate]]. */
     def queue(u: StateUpdate): Unit = {
       if (recorder != null) recorder.recordUpdate(u)
@@ -399,7 +408,7 @@ object ZDelta {
       // to disk; NEVER a driver collect — currents are O(base), not
       // O(touched)) so the base-scan join runs once instead of once per
       // union term. Unpersisted with the batch's pins.
-      if (ctx.sharedCounts.getOrDefault(j, 1) > 1) {
+      if (!ctx.bypassSharedCurrent && ctx.sharedCounts.getOrDefault(j, 1) > 1) {
         val hit = ctx.sharedCurrent.get(j)
         if (hit != null) hit
         else {
@@ -675,6 +684,145 @@ object ZDelta {
     * keeps WEIGHT; the two multiply into the term's weight). */
   private val CW = "__ivm_cw"
 
+  // ---- touched-key scan pruning (opt guide §3.2: pre-filter the big side)
+  //
+  // A "Δside ⋈ current" join-delta term can only emit current rows whose
+  // join key appears in the (small, driver-local) delta side. Filtering
+  // the current side by the delta's LITERAL key values before the join
+  // lets Catalyst push the IN predicate through the current's
+  // project/filter/join tree into the parquet scans (PushedFilters), so
+  // the term reads O(touched keys) instead of streaming the whole base —
+  // the r07-verdict lever for the q113-class floor, and the structural
+  // 100 TB fix (a batch touches a few thousand keys; every current-side
+  // base pass becomes a pruned scan). Sound for equi-joins: absent-key
+  // rows produce no output, and NULL keys never match, so dropping the
+  // current's NULL-key rows is sound too. Multi-key joins prune each key
+  // independently (a per-key superset of the exact tuple set).
+
+  private def keyPushdownMode: String =
+    sys.props.getOrElse("graft.keyPushdown", "auto")
+  private def keyPushdownMax: Int =
+    sys.props.getOrElse("graft.keyPushdownMax", "8192").toInt
+
+  /** May this walk inject batch-specific literal predicates? Literal
+    * IN-lists bake ONE batch's keys into the plan, so a walk that could
+    * still be trace-recorded must not contain them (a replayed tape would
+    * filter every later batch by the recorded batch's keys — silently
+    * wrong). "auto" prunes exactly the walks that already cannot record:
+    * no recorder (untraceable view, replay disabled, distributed batch)
+    * or a recording guard already invalidated it (e.g. the q113-class
+    * distributed state read). "always" prunes every walk and forfeits the
+    * tape; "off" disables. */
+  private def pruneAllowed(ctx: Ctx): Boolean = keyPushdownMode match {
+    case "off" => false
+    case "always" =>
+      if (ctx.recorder != null) ctx.recorder.invalidate("key-pushdown literals")
+      true
+    case _ => ctx.recorder == null || ctx.recorder.invalid
+  }
+
+  /** Driver-resident rows of a small frame: direct for local/pinned
+    * frames (LocalRelation, possibly under the pins' coalesce(1)); an
+    * ALL-LOCAL-LEAF compound frame (an aggregate changelog derived from a
+    * local pin) is collected inline — single-partition local plans
+    * execute on the driver with no Spark job. None for anything
+    * file-backed or over the local cap (callers fall back unpruned). */
+  private def localRowsOf(d: DataFrame, ctx: Ctx): Option[
+      (Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+       Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Repartition}
+    def leaf(df: DataFrame) = df.queryExecution.logical match {
+      case l: LocalRelation                        => Some((l.output, l.data))
+      case Repartition(1, false, l: LocalRelation) => Some((l.output, l.data))
+      case _                                       => None
+    }
+    leaf(d).orElse {
+      if (ctx.localCap <= 0) None
+      else if (!d.queryExecution.analyzed.collectLeaves()
+          .forall(_.isInstanceOf[LocalRelation])) None
+      else Ivm.collectLocal(d, ctx.localCap).flatMap(leaf)
+    }
+  }
+
+  /** `key IN (delta's distinct values)` conjunction for an equi-join's
+    * current side. None when the delta rows are not driver-resident, or
+    * per key when the key is absent/complex/binary-typed or its distinct
+    * count exceeds [[keyPushdownMax]] (only that key's conjunct drops).
+    * NULL delta keys are skipped — see soundness note above. An EMPTY
+    * delta side yields `IN ()` = false, which Catalyst folds to an empty
+    * relation: a no-op term costs no job at all. */
+  private def touchedKeyFilter(
+      d: DataFrame, keys: Seq[String], ctx: Ctx): Option[Column] = {
+    if (keys.isEmpty) return None
+    localRowsOf(d, ctx).flatMap { case (attrs, rows) =>
+      val conds = keys.flatMap { k =>
+        val i = attrs.indexWhere(_.name.equalsIgnoreCase(k))
+        if (i < 0) None
+        else attrs(i).dataType match {
+          // plain scalar key types only (IN-literal-able; binary/complex
+          // keys skip pruning — their join still runs unpruned, correct)
+          case dt @ (org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.FloatType |
+              org.apache.spark.sql.types.DoubleType |
+              org.apache.spark.sql.types.StringType |
+              org.apache.spark.sql.types.DateType |
+              org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.TimestampNTZType |
+              org.apache.spark.sql.types.BooleanType |
+              (_: org.apache.spark.sql.types.DecimalType)) =>
+            val distinct = mutable.LinkedHashSet.empty[Any]
+            var over = false
+            val it = rows.iterator
+            while (!over && it.hasNext) {
+              val r = it.next()
+              if (!r.isNullAt(i)) {
+                distinct += r.get(i, dt)
+                if (distinct.size > keyPushdownMax) over = true
+              }
+            }
+            if (over) None
+            else {
+              val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .createToScalaConverter(dt)
+              Some(col(k).isin(distinct.toSeq.map(conv): _*))
+            }
+          case _ => None
+        }
+      }
+      if (conds.isEmpty) None else Some(conds.reduce(_ && _))
+    }
+  }
+
+  /** Engagement counter (bench/probe evidence that the touched-key scan
+    * pruning actually fires in a measured loop). */
+  val prunes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** CURRENT side of a "Δother ⋈ current" join-delta term, key-pruned to
+    * the batch's touched keys when [[pruneAllowed]] and the delta side is
+    * driver-resident; plain (cache-shared) current otherwise. Callers
+    * must force the delta side BEFORE calling (its walk may invalidate
+    * the recorder, which "auto" mode consults). */
+  private def currentSide(
+      side: IvmQuery, sidePath: String, deltaOther: DataFrame,
+      keys: Seq[String], ctx: Ctx): DataFrame = {
+    val cond =
+      if (!pruneAllowed(ctx)) None
+      else touchedKeyFilter(deltaOther, keys, ctx)
+    cond.foreach(_ => prunes.incrementAndGet())
+    cond match {
+      case Some(f) =>
+        val prev = ctx.bypassSharedCurrent
+        ctx.bypassSharedCurrent = true
+        try currentW(side, ctx, sidePath).where(f)
+          .withColumnRenamed(WEIGHT, CW)
+        finally ctx.bypassSharedCurrent = prev
+      case None => currentW(side, ctx, sidePath).withColumnRenamed(WEIGHT, CW)
+    }
+  }
+
   private def deltaJoin(
       l: IvmQuery, r: IvmQuery, keys: Seq[String], ctx: Ctx, path: String): DataFrame = {
     val lHas = hasDelta(l, ctx)
@@ -701,20 +849,24 @@ object ZDelta {
     lazy val dr = pinned(delta(r, ctx, path + ".1"), r, s"$path.1.dj")
     // CURRENT sides (base ⊎ applied deltas), weighted — a side delta'd in
     // an EARLIER batch must be visible to this batch's other-side delta.
-    lazy val bl = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, CW)
-    lazy val br = currentW(r, ctx, path + ".1").withColumnRenamed(WEIGHT, CW)
+    // Built per term through [[currentSide]]: a small local delta prunes
+    // the opposite current to the batch's touched keys (scan-level IN
+    // pushdown) instead of streaming the whole base.
 
     val terms = mutable.Buffer.empty[DataFrame]
     if (lHas) {
       // ΔA ⋈ B : broadcast the (small) delta side; B streams from parquet
-      // with pushdown — no shuffle of the base at any scale.
-      terms += joinOn(bcast(dl), br, keys)
+      // with pushdown — no shuffle of the base at any scale. (`bcast(dl)`
+      // forces the delta walk before currentSide consults the recorder.)
+      val dlF = bcast(dl)
+      terms += joinOn(dlF, currentSide(r, path + ".1", dl, keys, ctx), keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
     if (rHas) {
       // A ⋈ ΔB
-      terms += joinOn(bl, bcast(dr), keys)
+      val drF = bcast(dr)
+      terms += joinOn(currentSide(l, path + ".0", dr, keys, ctx), drF, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
@@ -823,16 +975,23 @@ object ZDelta {
       bSide.select((keys.map(col) ++ nullL ++ rNonKey.map(col) :+ weight.as(WEIGHT)): _*)
         .select(outCols :+ col(WEIGHT): _*)
 
-    // ---- inner-join delta terms (same as deltaJoin)
+    // ---- inner-join delta terms (same as deltaJoin, incl. the touched-
+    // key scan pruning of the current side; the preserved-side anti terms
+    // below keep the UNPRUNED bl/br — their driving key sets are the
+    // died/born transitions, not this batch's delta keys)
     val terms = mutable.Buffer.empty[DataFrame]
-    if (lHas)
-      terms += bcast(dl).join(br, keys)
+    if (lHas) {
+      val dlF = bcast(dl)
+      terms += dlF.join(currentSide(r, path + ".1", dl, keys, ctx), keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(outCols :+ col(WEIGHT): _*)
-    if (rHas)
-      terms += bl.join(bcast(dr), keys)
+    }
+    if (rHas) {
+      val drF = bcast(dr)
+      terms += currentSide(l, path + ".0", dr, keys, ctx).join(drF, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(outCols :+ col(WEIGHT): _*)
+    }
     if (lHas && rHas) {
       val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
       val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")

@@ -52,7 +52,7 @@ object CteProbe {
         s"jobs=${jobs.get() - j0} " +
         s"inline=${org.apache.spark.sql.GraftTemplates.inlineRuns.get()} " +
         s"tplHits=${org.apache.spark.sql.GraftTemplates.hits} " +
-        s"replays=${Ivm.traceReplays}")
+        s"replays=${Ivm.traceReplays} prunes=${ZDelta.prunes.get()}")
       r
     }
     val (_, v) = SqlFrontend.createImmv(spark,

@@ -13,7 +13,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * (structure + instance identity), multi-batch maintenance equivalence
   * vs recompute on both store backends (MemStore local path, ParquetStore
   * bucket-sliced path), deltas on both base tables, and group death. */
-class MaterializeSpec extends AnyFunSuite with SparkTestBase {
+class MaterializeSpec extends AnyFunSuite with SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  // materializeCte is OFF by default (r08: an O(base) SPJ CTE state costs
+  // more than it saves — see SqlFrontend.materializeShared); this suite
+  // exercises the opt-in machinery, so flip it on for its duration
+  // (suites run sequentially: Test/parallelExecution := false).
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    sys.props("graft.materializeCte") = "true"
+  }
+  override protected def afterAll(): Unit = {
+    sys.props.remove("graft.materializeCte")
+    super.afterAll()
+  }
 
   // mini TPC-H Q21 shape: shared join feeding two consumers + the top
   private def shape: (Materialize, IvmQuery) = {
