@@ -125,19 +125,28 @@ object SparkEntry {
     * keeps every node inside the delta algebra; each join shuffles on its
     * band key exactly like the exploded form would. */
   private[graft] lazy val dedupPairsView: IvmQuery = {
-    def bk(b: Int): Column =
-      md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")))
     // Four per-band self-joins unioned, not one join over a 4×-banded
     // union: measured head-to-head at sf0.1 the banded-union form is
     // SLOWER (1.63 s vs 1.44 s steady refresh) — trace replay already
     // amortizes the extra terms' per-batch floor, while the union
     // quadruples the rows every join side materializes per batch.
+    //
+    // Band key = the TWO RAW minhash columns, not md5(concat_ws(...)):
+    // band equality ⇔ component equality, so the pair set is identical,
+    // and the md5+concat per current-side row per band term (~40k hash
+    // evaluations per refresh at sf0.1, the largest slice of the pairs
+    // level's touched-pin compute — r08 profile) is replaced by plain
+    // column renames; the equi-join hashes two longs instead of a 32-char
+    // string. (md5 bought nothing distributionally either: same key →
+    // same bucket with or without it.)
     def bandPairs(b: Int): IvmQuery = Project(
       Filter(
         Join(
-          Project(Scan("sig123"), Seq(col("did").as("a_id"), bk(b).as("bk"))),
-          Project(Scan("sig123"), Seq(col("did").as("b_id"), bk(b).as("bk"))),
-          Seq("bk")),
+          Project(Scan("sig123"), Seq(col("did").as("a_id"),
+            col(s"mh${2 * b}").as("bk1"), col(s"mh${2 * b + 1}").as("bk2"))),
+          Project(Scan("sig123"), Seq(col("did").as("b_id"),
+            col(s"mh${2 * b}").as("bk1"), col(s"mh${2 * b + 1}").as("bk2"))),
+          Seq("bk1", "bk2")),
         col("a_id") < col("b_id")),
       Seq(col("a_id"), col("b_id")))
     IvmQuery.distinct(
