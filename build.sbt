@@ -33,10 +33,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap scales with the core count unless pinned via SPARK_DRIVER_MEM:
+// local[N] runs N concurrent tasks against ONE driver-JVM heap, so a
+// fixed 8g gives ~150 MB of execution memory per task at N=32 and the
+// memory-hungry queries (TPC-H Q10/Q18, median/listagg/cube) collapse
+// into GC/spill — measured as a 2–14x degraded 32-core sweep on code
+// whose 8-core run was fine. 2 GB/core (floor 8g, cap 64g) keeps
+// per-task execution memory roughly constant as the driver varies
+// $SPARK_GRAFT_CPUS; the cap stays well under the 128 GiB sandbox.
+val driverMem = sys.env.get("SPARK_DRIVER_MEM").getOrElse {
+  val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+    .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(4)
+  s"${math.max(8, math.min(64, 2 * cpus))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem",
 )
 // forward engine flags (graft.*) from the sbt JVM into forked test/run JVMs
 javaOptions ++= sys.props.toSeq.collect {

@@ -139,6 +139,13 @@ object SparkEntry {
     // column renames; the equi-join hashes two longs instead of a 32-char
     // string. (md5 bought nothing distributionally either: same key →
     // same bucket with or without it.)
+    //
+    // The "identical pair set" claim DEPENDS on mh0..mh7 being non-null
+    // by construction (the >=3-token filter in dedupSigView guarantees a
+    // full signature): md5(concat_ws(...)) skips NULL components, so a
+    // row with a NULL minhash could still pair under the old key, while
+    // raw-column equi-joins never match on NULL. If dedupSigView ever
+    // admits NULL signature components, the two keyings diverge.
     def bandPairs(b: Int): IvmQuery = Project(
       Filter(
         Join(

@@ -714,11 +714,9 @@ object ZDelta {
     * distributed state read). "always" prunes every walk and forfeits the
     * tape; "off" disables. */
   private def pruneAllowed(ctx: Ctx): Boolean = keyPushdownMode match {
-    case "off" => false
-    case "always" =>
-      if (ctx.recorder != null) ctx.recorder.invalidate("key-pushdown literals")
-      true
-    case _ => ctx.recorder == null || ctx.recorder.invalid
+    case "off"    => false
+    case "always" => true // tape forfeited in currentSide, only on real prune
+    case _        => ctx.recorder == null || ctx.recorder.invalid
   }
 
   /** Driver-resident rows of a small frame: direct for local/pinned
@@ -760,13 +758,15 @@ object ZDelta {
         if (i < 0) None
         else attrs(i).dataType match {
           // plain scalar key types only (IN-literal-able; binary/complex
-          // keys skip pruning — their join still runs unpruned, correct)
+          // keys skip pruning — their join still runs unpruned, correct).
+          // Float/Double are EXCLUDED: join keys get NormalizeFloatingNumbers
+          // (-0.0 ≡ 0.0, NaN ≡ NaN) but a Filter IN/InSet does not, so a
+          // current row keyed -0.0 would be pruned away from a 0.0 delta
+          // key it actually joins with. Those keys fall back unpruned.
           case dt @ (org.apache.spark.sql.types.IntegerType |
               org.apache.spark.sql.types.LongType |
               org.apache.spark.sql.types.ShortType |
               org.apache.spark.sql.types.ByteType |
-              org.apache.spark.sql.types.FloatType |
-              org.apache.spark.sql.types.DoubleType |
               org.apache.spark.sql.types.StringType |
               org.apache.spark.sql.types.DateType |
               org.apache.spark.sql.types.TimestampType |
@@ -811,7 +811,13 @@ object ZDelta {
     val cond =
       if (!pruneAllowed(ctx)) None
       else touchedKeyFilter(deltaOther, keys, ctx)
-    cond.foreach(_ => prunes.incrementAndGet())
+    cond.foreach { _ =>
+      // "always" forfeits the tape only when literals are actually injected
+      // (a never-pruned walk keeps its replay eligibility)
+      if (keyPushdownMode == "always" && ctx.recorder != null)
+        ctx.recorder.invalidate("key-pushdown literals")
+      prunes.incrementAndGet()
+    }
     cond match {
       case Some(f) =>
         val prev = ctx.bypassSharedCurrent
