@@ -46,6 +46,33 @@ object Ivm {
     Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
   }
 
+  // ScalarDeco PARTS (subviews + child) are fully independent view trees
+  // (disjoint states, own snapshots/commit queues) — refreshing/creating
+  // them concurrently overlaps their per-part fixed floors (walk, pins,
+  // seed jobs). A CACHED pool, not statePool: a part's own refresh awaits
+  // statePool commit futures, so running parts on statePool could starve
+  // the commits they wait for. Gated on IvmStore.concurrentParts (a store
+  // whose transaction is a cross-thread lock keeps parts serial) and on
+  // the same kill switch as the walk-level fork.
+  private val partsPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "ivm-parts"); t.setDaemon(true); t
+    })
+  private def parallelParts: Boolean =
+    !sys.props.get("graft.parallelWalk").contains("false")
+  private def inPartsPool[A](thunks: Seq[() => A]): Seq[A] = {
+    val fs = thunks.map(th => partsPool.submit(new java.util.concurrent.Callable[A] {
+      override def call(): A = th()
+    }))
+    fs.map { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw (if (e.getCause != null) e.getCause else e)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ catalog
 
   private val views = TrieMap.empty[String, IvmQuery]
@@ -166,8 +193,11 @@ object Ivm {
       stripRead(q) match {
         case ScalarDeco(c, subs, _) =>
           // the child and each 1-row scalar subview maintain independently;
-          // subviews live under <view>/q<i> (their own little view trees)
-          subs.zipWithIndex.foreach { case (s, i) =>
+          // subviews live under <view>/q<i> (their own little view trees).
+          // Parts are independent trees — create them concurrently (their
+          // puts stage into THIS thread's open transaction, the same
+          // cross-thread staging the level seeds below already rely on).
+          def subCreate(s: IvmQuery, i: Int): Unit = {
             createStates(s, base, store,
               canonNamer(s, subViewName(view, i)),
               topName = stateName(subViewName(view, i), TOP),
@@ -175,9 +205,18 @@ object Ivm {
             if (insertOnly)
               store.setTag(s"${subViewName(view, i)}/_insert_only", "true")
           }
-          createStates(c, base, store, canonNamer(c, view),
-            topName = stateName(view, TOP), skipExisting = false,
-            insertOnly = insertOnly)
+          def childCreate(): Unit =
+            createStates(c, base, store, canonNamer(c, view),
+              topName = stateName(view, TOP), skipExisting = false,
+              insertOnly = insertOnly)
+          if (parallelParts && subs.nonEmpty)
+            inPartsPool[Unit](
+              subs.zipWithIndex.map { case (s, i) => () => subCreate(s, i) }
+                :+ (() => childCreate()))
+          else {
+            subs.zipWithIndex.foreach { case (s, i) => subCreate(s, i) }
+            childCreate()
+          }
         case core =>
           createStates(core, base, store, canonNamer(core, view),
             topName = stateName(view, TOP), skipExisting = false,
@@ -365,7 +404,7 @@ object Ivm {
       if (!creating(name)) ready.add(name) }
     states.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, level) =>
       inParallel(level) { case (name, keys, _, mk) =>
-        store.putKeyed(name, mk(), keys) }
+        timed(s"seed $name")(store.putKeyed(name, mk(), keys)) }
       level.foreach { case (name, _, _, _) => ready.add(name) }
     }
     q match {
@@ -697,12 +736,24 @@ object Ivm {
             s"IVM: view '$view' received a delta for undeclared table '$t' — " +
               s"declare it in Ivm.create(deltaTables=...) (declared: $declared)")
         return store.transaction {
-          subs.zipWithIndex.foreach { case (s, i) =>
+          def subRefresh(s: IvmQuery, i: Int): Unit = {
             doRefresh(subViewName(view, i), s, base, deltas, store,
               broadcastDeltas, needDelta = false, releaseDelta = true)
+            ()
           }
-          doRefresh(view, child, base, deltas, store, broadcastDeltas,
-            needDelta, releaseDelta)
+          def childRefresh(): DataFrame =
+            doRefresh(view, child, base, deltas, store, broadcastDeltas,
+              needDelta, releaseDelta)
+          if (store.concurrentParts && parallelParts && subs.nonEmpty)
+            // independent parts on parallel threads (see partsPool note)
+            inPartsPool[Any](
+              subs.zipWithIndex.map { case (s, i) => () => subRefresh(s, i) }
+                :+ (() => childRefresh())
+            ).last.asInstanceOf[DataFrame]
+          else {
+            subs.zipWithIndex.foreach { case (s, i) => subRefresh(s, i) }
+            childRefresh()
+          }
         }
       case _ => ()
     }
@@ -751,7 +802,7 @@ object Ivm {
       stateOpt = p => {
         val r = snap.get(stateName(view, p))
         if (recorder != null) {
-          recorder.probes.getOrElseUpdate(p, r.isDefined)
+          recorder.recordProbe(p, r.isDefined)
           r.foreach(recorder.checkStateRead)
         }
         r

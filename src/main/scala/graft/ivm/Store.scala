@@ -118,6 +118,15 @@ trait IvmStore {
   def apply(name: String): DataFrame =
     get(name).getOrElse(throw new IllegalStateException(
       s"IVM state '$name' not found — was Ivm.create run for this view?"))
+
+  /** True when INDEPENDENT view parts (ScalarDeco subviews + child) may
+    * refresh on parallel threads, each opening its own [[transaction]],
+    * while the caller already holds one. Default false: a store whose
+    * transaction is a cross-thread lock ([[ParquetStore]]'s txnMonitor)
+    * would self-deadlock — the outer thread holds the lock and waits for
+    * parts that block acquiring it. [[MemStore]] (no-op transactions)
+    * opts in. */
+  private[ivm] def concurrentParts: Boolean = false
 }
 
 private[ivm] object StoreOps {
@@ -152,6 +161,7 @@ private[ivm] object StoreOps {
 final class MemStore extends IvmStore {
   private val m = TrieMap.empty[String, DataFrame]
   private val tags = TrieMap.empty[String, String]
+  override private[ivm] def concurrentParts: Boolean = true
   /** Row cap under which a state is held as a driver-side LocalRelation
     * instead of checkpointed executor blocks (same smallness assumption as
     * `graft.localBatchRows`). */
@@ -171,9 +181,17 @@ final class MemStore extends IvmStore {
     * over-cap probe-then-checkpoint double execution never happens. A
     * state that flips small→big pays one last double execution as its
     * memo corrects; big→small never re-enters the local path (big states
-    * stay big — acceptable). */
-  private val knownBig = TrieMap.empty[String, Unit]
-  private val knownSmall = TrieMap.empty[String, Unit]
+    * stay big — acceptable).
+    *
+    * PROCESS-GLOBAL (in [[MemStore]]'s companion), keyed by state name:
+    * the gated driver queries build a FRESH MemStore per invocation, so
+    * instance-local memos never fired for them and every create re-paid
+    * the checkpoint-then-probe first-sight path for every state. A
+    * state's size class is a property of (view definition, dataset),
+    * both stable within one bench process; a stale memo only costs one
+    * extra plan execution while it corrects, never correctness. */
+  private def knownBig = MemStore.knownBig
+  private def knownSmall = MemStore.knownSmall
   override def get(name: String): Option[DataFrame] = m.get(name)
   override def put(name: String, df: DataFrame): Unit = {
     // Small states are collected into TAGGED LocalRelations: downstream
@@ -243,6 +261,16 @@ final class MemStore extends IvmStore {
         throw new UnsupportedOperationException("snapshots are read-only")
     }
   }
+}
+
+object MemStore {
+  /** Process-global size-class memos (see the note on [[MemStore.put]]). */
+  private val knownBig = TrieMap.empty[String, Unit]
+  private val knownSmall = TrieMap.empty[String, Unit]
+  /** Test hook: forget all size classes (suites reuse state names with
+    * differently-sized data; stale classes are perf-only but make probes
+    * non-deterministic to assert on). */
+  private[ivm] def clearSizeMemos(): Unit = { knownBig.clear(); knownSmall.clear() }
 }
 
 /** Bucketed, manifest-versioned, LSM-layered parquet store — the at-scale

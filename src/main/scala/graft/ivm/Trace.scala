@@ -63,23 +63,40 @@ private[ivm] object Trace {
       bucketKeys: Seq[String], plan: LogicalPlan, keyHintRole: String,
       alive: Column) extends Step
 
-  /** Mutable capture for one fresh walk. */
+  /** Mutable capture for one fresh walk. THREAD-SAFE: the walk may compose
+    * independent join-side chains on parallel threads (ZDelta's walk-level
+    * fork), so every mutation synchronizes on this recorder. The resulting
+    * tape is append-ordered by wall time, which is a valid topological
+    * order for replay: a step can only reference a pin frame that already
+    * existed (and was therefore already recorded) when the step was
+    * composed. */
   final class Recorder {
     val steps = mutable.Buffer[Step]()
     /** ctx-path → state existed (the stateOpt probes: accumulator reads). */
     val probes = mutable.LinkedHashMap[String, Boolean]()
-    var invalidReason: String = null
+    @volatile var invalidReason: String = null
     def invalid: Boolean = invalidReason != null
-    def invalidate(r: String): Unit =
+    def invalidate(r: String): Unit = synchronized {
       if (invalidReason == null) invalidReason = r
+    }
+
+    def recordProbe(path: String, exists: Boolean): Unit = synchronized {
+      probes.getOrElseUpdate(path, exists); ()
+    }
 
     def recordPin(tag: String, df: DataFrame): Unit = if (!invalid) {
-      if (steps.exists { case Pin(t, _, _) => t == tag; case _ => false })
-        invalidate(s"duplicate pin tag '$tag'")
-      else {
-        val plan = df.queryExecution.analyzed
-        checkLeaves(plan)
-        steps += Pin(tag, plan, df.schema)
+      // analyze OUTSIDE the lock (concurrent chains must not serialize on
+      // Catalyst analysis); append + duplicate check inside
+      val plan = df.queryExecution.analyzed
+      val schema = df.schema
+      synchronized {
+        if (invalid) return
+        if (steps.exists { case Pin(t, _, _) => t == tag; case _ => false })
+          invalidate(s"duplicate pin tag '$tag'")
+        else {
+          checkLeaves(plan)
+          steps += Pin(tag, plan, schema)
+        }
       }
     }
 
@@ -93,8 +110,11 @@ private[ivm] object Trace {
         invalidate(s"keyHint of '${u.path}' is not a pin ($hintRole)"); return
       }
       val plan = u.updated.queryExecution.analyzed
-      checkLeaves(plan)
-      steps += Update(u.path, u.keys, u.bucketKeys, plan, hintRole, u.alive)
+      synchronized {
+        if (invalid) return
+        checkLeaves(plan)
+        steps += Update(u.path, u.keys, u.bucketKeys, plan, hintRole, u.alive)
+      }
     }
 
     /** A state/slice read must be fully driver-resident to replay: a

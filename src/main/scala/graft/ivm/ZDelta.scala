@@ -146,14 +146,31 @@ object ZDelta {
       * scans, so the shared-current cache is bypassed below that walk —
       * a filter above a cached frame stops at the cache boundary, and
       * materializing the unpruned cache is exactly the full base pass the
-      * pruning exists to avoid. Plan construction is single-threaded (the
-      * concurrent onUpdate commits never build currents), so a plain
-      * bracketed var is safe. */
-    private[ivm] var bypassSharedCurrent: Boolean = false
-    /** Queue a state update and fire [[onUpdate]]. */
+      * pruning exists to avoid. THREAD-LOCAL: independent join-side
+      * chains compose on parallel walk threads (see [[ZDelta.forkJoin]]),
+      * and one chain's pruned-current bracket must not leak into a
+      * sibling's composition. */
+    private val bypassTL = new ThreadLocal[java.lang.Boolean] {
+      override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+    }
+    private[ivm] def bypassSharedCurrent: Boolean = bypassTL.get()
+    private[ivm] def bypassSharedCurrent_=(b: Boolean): Unit = bypassTL.set(b)
+    /** Compute-once cells for this batch's memoized subtree deltas
+      * ([[ZDelta.memoized]]) and shared-CTE delta/current CSE: with
+      * parallel chain composition, the first thread to need a shared
+      * frame computes it and concurrent readers block until it is ready
+      * (compute-twice would double-pin and double-queue state updates). */
+    private[ivm] val onceMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, ZDelta.Once[DataFrame]]
+    private[ivm] val sharedDeltaOnce =
+      new java.util.IdentityHashMap[IvmQuery, ZDelta.Once[DataFrame]]
+    private[ivm] val sharedCurrentOnce =
+      new java.util.IdentityHashMap[IvmQuery, ZDelta.Once[DataFrame]]
+    /** Queue a state update and fire [[onUpdate]]. Synchronized: parallel
+      * chains queue their states concurrently. */
     def queue(u: StateUpdate): Unit = {
       if (recorder != null) recorder.recordUpdate(u)
-      updates += u
+      updates.synchronized { updates += u }
       if (onUpdate != null) onUpdate(u)
     }
     /** Analyzed output schema of subtree `q`, memoized across refreshes
@@ -213,8 +230,76 @@ object ZDelta {
           case _ => df.localCheckpoint(false)
         }
       }
-      pins += c; c
+      pins.synchronized { pins += c }; c
     }
+  }
+
+  /** Compute-once cell: the first caller runs `compute`, concurrent
+    * callers block on the cell until the value is ready. Per-cell lock, so
+    * distinct cells compute in parallel. */
+  private[ivm] final class Once[A] {
+    private var v: Option[A] = None
+    def get(compute: => A): A = synchronized {
+      v match {
+        case Some(r) => r
+        case None    => val r = compute; v = Some(r); r
+      }
+    }
+  }
+
+  private def once(m: java.util.IdentityHashMap[IvmQuery, Once[DataFrame]],
+      k: IvmQuery): Once[DataFrame] = m.synchronized {
+    var h = m.get(k)
+    if (h == null) { h = new Once[DataFrame]; m.put(k, h) }
+    h
+  }
+
+  // ---- walk-level parallel composition ----------------------------------
+  //
+  // When BOTH sides of a join carry deltas, their delta walks are
+  // INDEPENDENT subtree compositions (disjoint state paths; the only
+  // shared frames are CTE deltas, which the Once cells above serve
+  // compute-once). Each walk is dominated by its serial pin collects
+  // (driver-inline executions of O(touched) frames) — running the two
+  // sides on separate threads overlaps those pins, which the r08 profile
+  // measured as the dominant slice of the multi-state-view refresh floor
+  // (~15 serial pin jobs per q113-class batch). This is the guide's §2.6
+  // "overlap independent jobs" applied to the composition layer itself.
+  // Trace recording stays sound: the recorder is synchronized and its
+  // time-ordered tape is a valid topological order (a step can only
+  // reference pins that already existed when it was composed).
+  private def parallelWalk: Boolean =
+    !sys.props.get("graft.parallelWalk").contains("false")
+  // Unbounded-on-demand pool: forks nest (a join inside a join side), and
+  // a bounded pool could deadlock with every worker awaiting a child fork.
+  // Thread count is bounded in practice by the view's join depth.
+  private lazy val walkPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "ivm-walk"); t.setDaemon(true); t
+    })
+
+  /** Force `a` and `b` concurrently: `b` on the walk pool, `a` on the
+    * calling thread. Rethrows `b`'s failure un-wrapped. */
+  private def forkJoin[A, B](a: => A, b: => B): (A, B) = {
+    val fb = walkPool.submit(new java.util.concurrent.Callable[B] {
+      override def call(): B = b
+    })
+    val ra =
+      try a
+      catch {
+        case e: Throwable =>
+          fb.cancel(false)
+          // surface the primary failure; the sibling's (if any) is moot
+          try fb.get() catch { case _: Throwable => () }
+          throw e
+      }
+    val rb =
+      try fb.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw (if (e.getCause != null) e.getCause else e)
+      }
+    (ra, rb)
   }
 
   /** Does any scan under `q` have a delta? (Terms without deltas vanish.) */
@@ -408,16 +493,13 @@ object ZDelta {
       // to disk; NEVER a driver collect — currents are O(base), not
       // O(touched)) so the base-scan join runs once instead of once per
       // union term. Unpersisted with the batch's pins.
-      if (!ctx.bypassSharedCurrent && ctx.sharedCounts.getOrDefault(j, 1) > 1) {
-        val hit = ctx.sharedCurrent.get(j)
-        if (hit != null) hit
-        else {
+      if (!ctx.bypassSharedCurrent && ctx.sharedCounts.getOrDefault(j, 1) > 1)
+        once(ctx.sharedCurrentOnce, j).get {
           val c = joinCurrent(l, r, keys, ctx, path).cache()
-          ctx.pins += c
-          ctx.sharedCurrent.put(j, c)
+          ctx.pins.synchronized { ctx.pins += c }
           c
         }
-      } else joinCurrent(l, r, keys, ctx, path)
+      else joinCurrent(l, r, keys, ctx, path)
     case agg @ Aggregate(_, keys, aggs) =>
       ctx.state(ctx.namer(agg, path))
         .select(keys.map(col) ++ aggs.map(Eval.stateOutput): _*)
@@ -494,7 +576,7 @@ object ZDelta {
   private[ivm] def queueAccUpdates(q: IvmQuery, ctx: Ctx, declared: Set[String]): Unit =
     for (t <- accTables(q, declared).toSeq.sorted; d <- ctx.deltaOf(t)) {
       val p = accPath(ctx, t)
-      if (!ctx.updates.exists(_.path == p)) {
+      if (!ctx.updates.synchronized(ctx.updates.exists(_.path == p))) {
         val cols = ctx.base(t).columns.toSeq
         val adj = ctx.pin(weighted(d).groupBy(cols.map(col): _*)
           .agg(sum(WEIGHT).cast("long").as("__ivm_adj")), s"acc-adj.$t")
@@ -582,15 +664,10 @@ object ZDelta {
       // subtree carrying state (aggregate / outer join) names its states
       // by walk path, and reusing another path's delta would leave this
       // path's states un-maintained.
-      if (ctx.sharedCounts.getOrDefault(q, 1) > 1) {
-        val hit = ctx.sharedDelta.get(q)
-        if (hit != null) hit
-        else {
-          val d = ctx.pin(deltaJoin(l, r, keys, ctx, path), s"$path.cse")
-          ctx.sharedDelta.put(q, d)
-          d
-        }
-      } else deltaJoin(l, r, keys, ctx, path)
+      if (ctx.sharedCounts.getOrDefault(q, 1) > 1)
+        once(ctx.sharedDeltaOnce, q).get(
+          ctx.pin(deltaJoin(l, r, keys, ctx, path), s"$path.cse"))
+      else deltaJoin(l, r, keys, ctx, path)
 
     // Δ(A ⊎ B) = ΔA ⊎ ΔB — stateless; a side without deltas contributes
     // nothing (a batch may touch only one input).
@@ -641,7 +718,10 @@ object ZDelta {
   private def memoized(ctx: Ctx, node: IvmQuery, path: String)(
       f: String => DataFrame): DataFrame = {
     val name = ctx.namer(node, path)
-    ctx.memo.getOrElseUpdate(name, f(name))
+    // compute-once cell (not a plain map): parallel chains can reference
+    // the same canonical-named spliced subtree — exactly one computation,
+    // exactly one queued StateUpdate, concurrent callers block
+    ctx.onceMemo.computeIfAbsent(name, _ => new Once[DataFrame]).get(f(name))
   }
 
   /** Δ + state merge of a [[Materialize]] node. The merge mirrors the SPJ
@@ -853,6 +933,10 @@ object ZDelta {
       }
     lazy val dl = pinned(delta(l, ctx, path + ".0"), l, s"$path.0.dj")
     lazy val dr = pinned(delta(r, ctx, path + ".1"), r, s"$path.1.dj")
+    // Both sides carry deltas → their walks are independent compositions:
+    // force them on two threads so each side's serial pin collects overlap
+    // (see the walk-level parallel composition note above).
+    if (lHas && rHas && parallelWalk) forkJoin(dl, dr)
     // CURRENT sides (base ⊎ applied deltas), weighted — a side delta'd in
     // an EARLIER batch must be visible to this batch's other-side delta.
     // Built per term through [[currentSide]]: a small local delta prunes
@@ -864,24 +948,31 @@ object ZDelta {
       // ΔA ⋈ B : broadcast the (small) delta side; B streams from parquet
       // with pushdown — no shuffle of the base at any scale. (`bcast(dl)`
       // forces the delta walk before currentSide consults the recorder.)
+      // BILINEAR 2-TERM FORM when B also has a delta:
+      //   Δ(A⋈B) = ΔA ⋈ (B ⊎ ΔB)  ⊎  A ⋈ ΔB
+      // (old B on the second term) — algebraically equal to the textbook
+      // ΔA⋈B ⊎ A⋈ΔB ⊎ ΔA⋈ΔB but one union term and one broadcast fewer
+      // per join; per-term fixed cost is the floor of small-batch refresh
+      // (a 4-band dedup self-join drops 12 → 8 terms). The ⊎ ΔB rider is
+      // sound under the touched-key prune too: pruning drops current rows
+      // whose keys ΔA cannot match, and unpruned ΔB rows that match
+      // nothing fall out of the join.
       val dlF = bcast(dl)
-      terms += joinOn(dlF, currentSide(r, path + ".1", dl, keys, ctx), keys)
+      val postR = {
+        val cur = currentSide(r, path + ".1", dl, keys, ctx)
+        if (rHas) cur.unionByName(dr.select(
+          outputNames(r, ctx).map(col) :+ col(WEIGHT).cast("long").as(CW): _*))
+        else cur
+      }
+      terms += joinOn(dlF, postR, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
     if (rHas) {
-      // A ⋈ ΔB
+      // A ⋈ ΔB (A as of the PREVIOUS batch — the bilinear pairing above)
       val drF = bcast(dr)
       terms += joinOn(currentSide(l, path + ".0", dr, keys, ctx), drF, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
-        .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
-    }
-    if (lHas && rHas) {
-      // ΔA ⋈ ΔB : both small; weights multiply.
-      val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
-      val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
-      terms += joinOn(dl2, bcast(dr2), keys)
-        .withColumn(WEIGHT, col("__ivm_wl") * col("__ivm_wr"))
         .select(joinOut(l, r, keys, ctx) :+ col(WEIGHT): _*)
     }
     terms.reduce(_.unionByName(_))
@@ -961,6 +1052,8 @@ object ZDelta {
     lazy val dl = ctx.pin(dl0, path + ".dl")
     lazy val dr0 = delta(r, ctx, path + ".1")
     lazy val dr = ctx.pin(dr0, path + ".dr")
+    // independent side walks overlap (see walk-level parallel composition)
+    if (lHas && rHas && parallelWalk) forkJoin(dl, dr)
     // CURRENT sides, weighted (see deltaJoin) — both the inner terms and
     // the preserved-side anti scans must see earlier batches' deltas.
     lazy val bl = currentW(l, ctx, path + ".0").withColumnRenamed(WEIGHT, CW)
@@ -987,8 +1080,15 @@ object ZDelta {
     // died/born transitions, not this batch's delta keys)
     val terms = mutable.Buffer.empty[DataFrame]
     if (lHas) {
+      // bilinear 2-term form, as in [[deltaJoin]]: ΔA ⋈ (B ⊎ ΔB) ⊎ A ⋈ ΔB
       val dlF = bcast(dl)
-      terms += dlF.join(currentSide(r, path + ".1", dl, keys, ctx), keys)
+      val postR = {
+        val cur = currentSide(r, path + ".1", dl, keys, ctx)
+        if (rHas) cur.unionByName(dr.select(
+          outputNames(r, ctx).map(col) :+ col(WEIGHT).cast("long").as(CW): _*))
+        else cur
+      }
+      terms += dlF.join(postR, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
         .select(outCols :+ col(WEIGHT): _*)
     }
@@ -996,13 +1096,6 @@ object ZDelta {
       val drF = bcast(dr)
       terms += currentSide(l, path + ".0", dr, keys, ctx).join(drF, keys)
         .withColumn(WEIGHT, col(WEIGHT) * col(CW))
-        .select(outCols :+ col(WEIGHT): _*)
-    }
-    if (lHas && rHas) {
-      val dl2 = dl.withColumnRenamed(WEIGHT, "__ivm_wl")
-      val dr2 = dr.withColumnRenamed(WEIGHT, "__ivm_wr")
-      terms += dl2.join(bcast(dr2), keys)
-        .withColumn(WEIGHT, col("__ivm_wl") * col("__ivm_wr"))
         .select(outCols :+ col(WEIGHT): _*)
     }
 
