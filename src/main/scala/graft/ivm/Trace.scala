@@ -187,10 +187,34 @@ private[ivm] object Trace {
     if (sys.props.get("graft.traceDebug").contains("true"))
       println(s"[trace] $msg")
 
-  /** Views this layer records: aggregate-topped (SPJ tops run mergeTop
-    * outside the walk) with no sketch aggregates anywhere (the sketch
-    * retraction probe is data-dependent control flow). */
+  /** Views this layer records: aggregate-topped, or JOIN-FREE SPJ-topped,
+    * with no sketch aggregates anywhere (the sketch retraction probe is
+    * data-dependent control flow).
+    *
+    * SPJ tops replay fine — the walk's final ΔV plan is the tape's final
+    * plan and mergeTop composes fresh after it either way — but a JOIN
+    * anywhere in the view means recording would suppress the touched-key
+    * literal pruning of the join's current sides (pruneAllowed only fires
+    * on walks that cannot record), trading a proven scan-level win for a
+    * tape the single-refresh gated shape never replays. Join-free SPJ
+    * views (the dedup-cascade signature level: project/filter over a
+    * scan) have nothing to prune, so the tape is pure win: the cascade's
+    * level-1 walk stops re-paying Dataset composition every micro-batch. */
   def traceable(q: IvmQuery): Boolean = {
+    def joinFree(n: IvmQuery): Boolean = n match {
+      case _: Join | _: LeftJoin | _: RightJoin | _: FullJoin => false
+      case Aggregate(c, _, _)     => joinFree(c)
+      case Filter(c, _)           => joinFree(c)
+      case Project(c, _)          => joinFree(c)
+      case Union(l, r)            => joinFree(l) && joinFree(r)
+      case Scan(_)                => true
+      case Materialize(c)         => joinFree(c)
+      case TopK(c, _, _)          => joinFree(c)
+      case WindowDeco(c, _)       => joinFree(c)
+      case ExpandCount(c, _)      => joinFree(c)
+      case ScalarDeco(c, subs, _) => joinFree(c) && subs.forall(joinFree)
+    }
+    if (!q.isInstanceOf[Aggregate] && !joinFree(q)) return false
     def noSketch(n: IvmQuery): Boolean = n match {
       case Aggregate(c, _, aggs) => !aggs.exists(ZDelta.isSketch) && noSketch(c)
       case Filter(c, _)          => noSketch(c)
@@ -207,7 +231,7 @@ private[ivm] object Trace {
       case ExpandCount(c, _)     => noSketch(c)
       case ScalarDeco(c, subs, _) => noSketch(c) && subs.forall(noSketch)
     }
-    q.isInstanceOf[Aggregate] && noSketch(q)
+    noSketch(q)
   }
 
   def sig(view: String, q: IvmQuery, deltaTables: Seq[String],
